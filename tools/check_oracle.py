@@ -1,0 +1,80 @@
+#!/usr/bin/env python3
+"""Local dev mirror of the driver's t2 correctness gate.
+
+Usage: tools/check_oracle.py <sfDir> <verifyOutDir>
+
+Reads each <verifyOutDir>/<query>/ parquet (written by graft.Verify), runs
+the matching SQL from oracle_sql.json in DuckDB against the same sfDir
+tables, and compares: columns sorted by name, rows sorted, values compared
+exactly (floats reported with max abs diff when not exact).
+
+Dev-only tool (driver-side python deps); not part of the shipped library.
+"""
+import sys, os, json, glob
+import duckdb
+import pandas as pd
+import numpy as np
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    # normalize dtypes for comparison
+    for c in df.columns:
+        if pd.api.types.is_datetime64_any_dtype(df[c]):
+            df[c] = pd.to_datetime(df[c]).astype("datetime64[us]")
+        elif isinstance(df[c].dtype, object.__class__) and df[c].dtype == object:
+            pass
+    df = df.sort_values(by=list(df.columns), kind="mergesort", na_position="first")
+    return df.reset_index(drop=True)
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    con = duckdb.connect()
+    for t in ["region","nation","customer","supplier","part","orders",
+              "lineitem","events","documents","embeddings"]:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    oracles = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
+    n_ok = n_bad = 0
+    for name in sorted(oracles):
+        sql = oracles[name]
+        pdir = os.path.join(out_dir, name)
+        files = glob.glob(os.path.join(pdir, "*.parquet"))
+        if not files:
+            print(f"FAIL {name}: no spark output"); n_bad += 1; continue
+        try:
+            got = canon(con.execute(f"SELECT * FROM read_parquet('{pdir}/*.parquet')").df())
+            want = canon(con.execute(sql).df())
+        except Exception as e:
+            print(f"FAIL {name}: oracle error: {e}"); n_bad += 1; continue
+        if list(got.columns) != list(want.columns):
+            print(f"FAIL {name}: columns {list(got.columns)} vs {list(want.columns)}"); n_bad += 1; continue
+        if len(got) != len(want):
+            print(f"FAIL {name}: rows {len(got)} vs {len(want)}"); n_bad += 1; continue
+        bad_cols = []
+        for c in got.columns:
+            a, b = got[c], want[c]
+            if pd.api.types.is_float_dtype(a) or pd.api.types.is_float_dtype(b):
+                av = a.astype(float).to_numpy(); bv = b.astype(float).to_numpy()
+                both_nan = np.isnan(av) & np.isnan(bv)
+                eq = (av == bv) | both_nan
+                if not eq.all():
+                    d = np.nanmax(np.abs(np.where(eq, 0, av - bv)))
+                    bad_cols.append(f"{c} (maxdiff={d:.3e}, n={int((~eq).sum())})")
+            else:
+                av = a.astype(str); bv = b.astype(str)
+                if not (av == bv).all():
+                    i = int(np.argmax((av != bv).to_numpy()))
+                    bad_cols.append(f"{c} (row {i}: {a.iloc[i]!r} vs {b.iloc[i]!r})")
+        if bad_cols:
+            print(f"FAIL {name}: value mismatch: {'; '.join(bad_cols)}"); n_bad += 1
+        else:
+            print(f"OK   {name} ({len(got)} rows)"); n_ok += 1
+    # queries without oracle
+    declared = set(oracles)
+    for d in sorted(os.listdir(out_dir)):
+        if os.path.isdir(os.path.join(out_dir, d)) and d not in declared:
+            print(f"INFO {d}: no oracle (rows-only check)")
+    print(f"\n{n_ok} ok, {n_bad} failed")
+    sys.exit(1 if n_bad else 0)
+
+if __name__ == "__main__":
+    main()
