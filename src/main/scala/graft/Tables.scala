@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Loaders for the driver-provided parquet fixtures (TESTDATA.md).
   *
@@ -14,5 +15,15 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    if (name == "events") {
+      // The events fixture stores `ts` as parquet TIMESTAMP(NANOS), which
+      // Spark refuses by default (PARQUET_TYPE_ILLEGAL). Read the nanos as
+      // a long and rebuild a µs-precision timestamp (truncation — matches
+      // DuckDB's epoch_us on its native TIMESTAMP_NS read).
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.parquet(s"$dir/$name.parquet")
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    } else {
+      spark.read.parquet(s"$dir/$name.parquet")
+    }
 }

@@ -1,0 +1,151 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.text.TextAnalysis
+
+/** Deduplication operators for a training-data pipeline (north-star set):
+  * exact (content-hash), n-gram Jaccard near-dup, MinHash+LSH, SimHash.
+  *
+  * Scale design (100 TB):
+  *  - exact dedup is one hash aggregation on the 32-byte fingerprint — the
+  *    shuffle carries (hash, min_id, count), never the documents;
+  *  - shingling is a narrow projection + explode; the distinct is a
+  *    map-side-combined aggregation on (doc, shingle);
+  *  - MinHash signatures aggregate K mins per doc in ONE pass (K agg
+  *    columns, not K passes); LSH banding turns the quadratic pair search
+  *    into an equi-join on band keys — only same-bucket pairs are
+  *    materialized, so candidate volume scales with collision count, not
+  *    n^2;
+  *  - the exact-Jaccard verify join touches only candidate pairs.
+  *
+  * All hashing is md5-based (identical on both engines) so every step is
+  * oracle-checkable — see [[graft.functions.PortableSql]].
+  */
+object Dedup {
+
+  /** Exact dedup groups: one row per distinct content fingerprint with the
+    * surviving (minimum) id and the duplicate count.
+    */
+  def exactGroups(df: DataFrame, idCol: Column, textCol: Column): DataFrame =
+    df.groupBy(TextAnalysis.fingerprint(textCol).as("content_hash"))
+      .agg(min(idCol).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** Word n-gram shingles, one row per (id, distinct shingle).
+    * `sequence(1, size-n+1)` is guarded so short documents yield no rows
+    * (sequence would otherwise count DOWN for stop < start).
+    */
+  def shingles(df: DataFrame, idCol: Column, textCol: Column, n: Int): DataFrame = {
+    val words = TextAnalysis.tokens(TextAnalysis.normalizeText(textCol))
+    df.select(idCol.as("id"), words.as("w"))
+      .select(col("id"),
+        explode(
+          when(size(col("w")) < n, array())
+            .otherwise(transform(
+              sequence(lit(1), size(col("w")) - (n - 1)),
+              i => concat_ws(" ", slice(col("w"), i, lit(n)))))).as("shingle"))
+      .distinct()
+  }
+
+  /** Per-id shingle counts (needed for Jaccard denominators). */
+  def shingleCounts(sh: DataFrame): DataFrame =
+    sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
+
+  /** Exact pairwise Jaccard over candidate pairs: self-join on shingle,
+    * |A∩B| / (|A|+|B|-|A∩B|), keeping pairs with jaccard >= threshold.
+    * Quadratic in colliding docs — use [[minhashCandidates]] to prefilter
+    * at scale.
+    */
+  def jaccardPairs(sh: DataFrame, threshold: Double): DataFrame = {
+    val counts = shingleCounts(sh)
+    val a = sh.as("a")
+    val b = sh.as("b")
+    val inter = a.join(b,
+        col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(counts.withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
+      .join(counts.withColumnRenamed("id", "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
+      .withColumn("jaccard",
+        round(col("n_inter") * 1.0 / (col("n_a") + col("n_b") - col("n_inter")), 6))
+      .where(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "n_inter", "n_a", "n_b", "jaccard")
+  }
+
+  /** MinHash signature: K independent min-hashes per id, computed in one
+    * aggregation pass. Hash k of shingle s = md5("k|s"); the min is taken
+    * lexicographically on the hex string (identical across engines).
+    * Output: id, m0..m{k-1}.
+    */
+  def minhashSignatures(sh: DataFrame, k: Int): DataFrame =
+    sh.groupBy("id")
+      .agg(
+        min(md5(concat(lit("0|"), col("shingle")).cast("binary"))).as("m0"),
+        (1 until k).map(i =>
+          min(md5(concat(lit(s"$i|"), col("shingle")).cast("binary"))).as(s"m$i")): _*)
+
+  /** LSH banding: group the K signature columns into bands of `rowsPerBand`,
+    * key each band by md5 of its concatenated min-hashes, and emit candidate
+    * pairs sharing any band key. Equi-join on (band_idx, band_key) — no
+    * cross product.
+    */
+  def minhashCandidates(sig: DataFrame, k: Int, rowsPerBand: Int): DataFrame = {
+    val nBands = k / rowsPerBand
+    val bands = sig.select(
+      col("id") +:
+        (0 until nBands).map { b =>
+          val cols = (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"m$i"))
+          md5(concat(cols: _*).cast("binary")).as(s"band$b")
+        }: _*)
+    val long = bands.select(col("id"),
+      explode(array((0 until nBands).map { b =>
+        struct(lit(b).as("band_idx"), col(s"band$b").as("band_key"))
+      }: _*)).as("bk"))
+      .select(col("id"), col("bk.band_idx").as("band_idx"),
+        col("bk.band_key").as("band_key"))
+    long.as("x").join(long.as("y"),
+        col("x.band_idx") === col("y.band_idx") &&
+          col("x.band_key") === col("y.band_key") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+      .distinct()
+  }
+
+  /** Full MinHash-LSH near-dup pipeline: shingle -> sign -> band -> candidate
+    * pairs -> exact-Jaccard verification at `threshold`.
+    */
+  def minhashNearDups(df: DataFrame, idCol: Column, textCol: Column,
+                      n: Int, k: Int, rowsPerBand: Int,
+                      threshold: Double): DataFrame = {
+    val sh = shingles(df, idCol, textCol, n).cache()
+    val cands = minhashCandidates(minhashSignatures(sh, k), k, rowsPerBand)
+    val verified = jaccardPairs(sh, threshold)
+    cands.join(verified, Seq("id_a", "id_b"))
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** SimHash fingerprint (2^bits-space, default 16 bits so the portable
+    * hex-to-int stays in safe integer range): per token, take the first 4
+    * hex chars of md5 as a 16-bit hash; per bit, sum +1/-1 over tokens;
+    * fingerprint sets bit b when the sum is >= 0. Token multiplicity
+    * counts (standard SimHash weighting by frequency).
+    */
+  def simhash(df: DataFrame, idCol: Column, textCol: Column,
+              bits: Int = 16): DataFrame = {
+    val toks = df.select(idCol.as("id"),
+      explode(TextAnalysis.tokens(TextAnalysis.normalizeText(textCol))).as("tok"))
+    val h = expr(graft.functions.PortableSql.hexToLong("md5(tok)", 4)).as("h")
+    val withH = toks.select(col("id"), h)
+    val bitSums = withH.groupBy("id")
+      .agg(
+        sum(expr(graft.functions.PortableSql.bit("h", 0)) * 2 - 1).as("s0"),
+        (1 until bits).map(b =>
+          sum(expr(graft.functions.PortableSql.bit("h", b)) * 2 - 1).as(s"s$b")): _*)
+    bitSums.select(col("id"),
+      (0 until bits).map(b =>
+        when(col(s"s$b") >= 0, lit(1L << b)).otherwise(lit(0L)))
+        .reduce(_ + _).as("simhash"))
+  }
+}

@@ -1,0 +1,62 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-time operators over the `events` fixture (SURVEY §2.10).
+  *
+  * The reference models time relationally (year partition columns,
+  * batch-incremental appends — `lakehouse_data_igestion.py:148-169`); these
+  * operators provide the event-time aggregation surface a pipeline engine
+  * needs, using the batch `window()` function so the same code shape lifts
+  * to Structured Streaming (`readStream` + `withWatermark`) unchanged —
+  * see [[graft.streaming.EventStreams]] for the streaming form.
+  *
+  * Scale: tumbling/sliding windows are plain hash aggregations on
+  * (window, keys) — one shuffle, partial aggregation map-side.
+  * Sessionization is a window-function scan per user partition — one
+  * shuffle on `user_id`, no driver state.
+  */
+object Events {
+
+  /** Tumbling event-time aggregation: one row per (window-start, key). */
+  def tumbling(events: DataFrame, size: String, keys: Seq[Column],
+               aggs: Seq[Column]): DataFrame =
+    events
+      .groupBy(window(col("ts"), size) +: keys: _*)
+      .agg(aggs.head, aggs.tail: _*)
+      .withColumn("ws", col("window.start"))
+      .drop("window")
+
+  /** Sliding event-time aggregation (size/slide), e.g. hourly windows every
+    * 30 minutes. Spark expands each event into size/slide window copies
+    * before aggregating.
+    */
+  def sliding(events: DataFrame, size: String, slide: String,
+              keys: Seq[Column], aggs: Seq[Column]): DataFrame =
+    events
+      .groupBy(window(col("ts"), size, slide) +: keys: _*)
+      .agg(aggs.head, aggs.tail: _*)
+      .withColumn("ws", col("window.start"))
+      .drop("window")
+
+  /** Gaps-and-islands sessionization: a new session starts when the gap to
+    * the previous event of the same user exceeds `gapSeconds`. Session id =
+    * running count of session-starts per user (deterministic: ordered by
+    * (ts, event_id)).
+    */
+  def sessionize(events: DataFrame, gapSeconds: Long): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val gap = unix_timestamp(col("ts")) -
+      unix_timestamp(lag(col("ts"), 1).over(byUser))
+    events
+      .withColumn("is_new",
+        when(lag(col("ts"), 1).over(byUser).isNull || gap > gapSeconds, 1)
+          .otherwise(0))
+      .withColumn("session_seq",
+        sum(col("is_new")).over(
+          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+  }
+}

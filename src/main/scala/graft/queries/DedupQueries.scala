@@ -1,0 +1,132 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.dedup.Dedup
+import graft.functions.PortableSql
+import graft.text.TextAnalysis
+
+/** North-star deduplication queries over `documents`: exact content-hash
+  * dedup, n-gram Jaccard near-dup pairs, MinHash+LSH near-dup pipeline,
+  * SimHash fingerprints. All md5-based so every stage is oracle-checkable
+  * bit-for-bit (see [[graft.dedup.Dedup]] for the scale design).
+  */
+object DedupQueries {
+
+  private def T(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** Shared oracle CTEs: normalized words and distinct 3-gram shingles. */
+  private val shingleCtes = """
+    WITH w AS (
+      SELECT doc_id AS id,
+        string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ') AS ws
+      FROM documents),
+    sh AS (
+      SELECT DISTINCT id, ws[pos] || ' ' || ws[pos+1] || ' ' || ws[pos+2] AS shingle
+      FROM w, LATERAL (SELECT unnest(generate_series(1, greatest(len(ws) - 2, 0))) AS pos) t),
+    cnt AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY 1)"""
+
+  private val MinhashK = 8
+  private val RowsPerBand = 2
+
+  def all: Seq[Q] = Seq(
+
+    // Exact dedup: one row per content hash with survivor id + copy count.
+    Q("q34_dedup_exact", Q.sql("""
+        SELECT md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS content_hash,
+          min(doc_id) AS keep_id, count(*) AS n_copies
+        FROM documents
+        GROUP BY 1
+        ORDER BY content_hash"""))(
+      (s, dir) =>
+        Dedup.exactGroups(T(s, dir, "documents"), col("doc_id"), col("text"))
+          .orderBy("content_hash")),
+
+    // Exact n-gram Jaccard near-dup pairs (3-word shingles, j >= 0.8).
+    Q("q35_jaccard_pairs", Q.sql(s"""
+        $shingleCtes,
+        inter AS (
+          SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_inter
+          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+          GROUP BY 1, 2)
+        SELECT id_a, id_b, n_inter, ca.n_sh AS n_a, cb.n_sh AS n_b,
+          round(n_inter * 1.0 / (ca.n_sh + cb.n_sh - n_inter), 6) AS jaccard
+        FROM inter
+        JOIN cnt ca ON ca.id = id_a
+        JOIN cnt cb ON cb.id = id_b
+        WHERE round(n_inter * 1.0 / (ca.n_sh + cb.n_sh - n_inter), 6) >= 0.8
+        ORDER BY id_a, id_b"""))(
+      (s, dir) =>
+        Dedup.jaccardPairs(
+            Dedup.shingles(T(s, dir, "documents"), col("doc_id"), col("text"), 3),
+            threshold = 0.8)
+          .orderBy("id_a", "id_b")),
+
+    // MinHash(K=8) + LSH(4 bands x 2 rows) candidates, verified at j >= 0.8.
+    Q("q36_minhash_lsh", {
+      val sigCols = (0 until MinhashK)
+        .map(i => s"min(md5('$i|' || shingle)) AS m$i").mkString(", ")
+      val nBands = MinhashK / RowsPerBand
+      val bandArms = (0 until nBands).map { b =>
+        val ms = (b * RowsPerBand until (b + 1) * RowsPerBand)
+          .map(i => s"m$i").mkString(" || ")
+        s"WHEN $b THEN md5($ms)"
+      }.mkString(" ")
+      val bandIdxList = (0 until nBands).mkString("[", ", ", "]")
+      Q.sql(s"""
+        $shingleCtes,
+        sig AS (SELECT id, $sigCols FROM sh GROUP BY 1),
+        bands AS (
+          SELECT id, band_idx, CASE band_idx $bandArms END AS band_key
+          FROM sig, (SELECT unnest($bandIdxList) AS band_idx) bi),
+        cand AS (
+          SELECT DISTINCT x.id AS id_a, y.id AS id_b
+          FROM bands x JOIN bands y
+            ON x.band_idx = y.band_idx AND x.band_key = y.band_key
+              AND x.id < y.id),
+        inter AS (
+          SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_inter
+          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+          GROUP BY 1, 2)
+        SELECT c.id_a, c.id_b,
+          round(n_inter * 1.0 / (ca.n_sh + cb.n_sh - n_inter), 6) AS jaccard
+        FROM cand c
+        JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+        JOIN cnt ca ON ca.id = c.id_a
+        JOIN cnt cb ON cb.id = c.id_b
+        WHERE round(n_inter * 1.0 / (ca.n_sh + cb.n_sh - n_inter), 6) >= 0.8
+        ORDER BY 1, 2""")
+    })(
+      (s, dir) =>
+        Dedup.minhashNearDups(T(s, dir, "documents"),
+            col("doc_id"), col("text"),
+            n = 3, k = MinhashK, rowsPerBand = RowsPerBand, threshold = 0.8)
+          .orderBy("id_a", "id_b")),
+
+    // SimHash (16-bit, token-frequency weighted) per document.
+    Q("q37_simhash", {
+      val h = PortableSql.hexToLong("md5(tok)", 4)
+      val bitSums = (0 until 16)
+        .map(b => s"sum(${PortableSql.bit("h", b)} * 2 - 1) AS s$b")
+        .mkString(", ")
+      val fp = (0 until 16)
+        .map(b => s"(CASE WHEN s$b >= 0 THEN ${PortableSql.pow2(b)} ELSE 0 END)")
+        .mkString(" + ")
+      Q.sql(s"""
+        WITH toks AS (
+          SELECT doc_id AS id,
+            unnest(string_split(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')), ' ')) AS tok
+          FROM documents),
+        hashed AS (SELECT id, $h AS h FROM toks),
+        bitsums AS (SELECT id, $bitSums FROM hashed GROUP BY 1)
+        SELECT id, $fp AS simhash FROM bitsums
+        ORDER BY id""")
+    })(
+      (s, dir) =>
+        Dedup.simhash(T(s, dir, "documents"), col("doc_id"), col("text"))
+          .orderBy("id"))
+  )
+}

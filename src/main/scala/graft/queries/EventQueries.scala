@@ -1,0 +1,93 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.ops.{Events, Relational}
+import graft.ops.Relational._
+
+/** Event-time queries over the `events` fixture (SURVEY §2.10): tumbling and
+  * sliding windows via the batch `window()` function, plus gaps-and-islands
+  * sessionization.
+  *
+  * Oracle-parity notes: the parquet `ts` column is nanosecond-precision;
+  * Spark reads it at µs, DuckDB at ns — so raw `ts` values are never
+  * emitted, only truncated or second-floored derivations, which agree on
+  * both engines. Tumbling/sliding window starts are epoch-aligned integer
+  * arithmetic in µs on both sides.
+  */
+object EventQueries {
+
+  private def T(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  def all: Seq[Q] = Seq(
+
+    // Tumbling 1h windows: window() start == date_trunc('hour') for
+    // epoch-aligned sizes.
+    Q("q23_events_tumbling", Q.sql("""
+        SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS ws, event_type,
+          count(*) AS n,
+          CAST(sum(CAST(value AS DECIMAL(27,4))) AS DOUBLE) AS total_value
+        FROM events
+        GROUP BY 1, 2
+        ORDER BY ws, event_type"""))(
+      (s, dir) =>
+        Events.tumbling(T(s, dir, "events"), "1 hour",
+          keys = Seq(col("event_type")),
+          aggs = Seq(count(lit(1)).as("n"),
+            dsum(col("value")).as("total_value")))
+          .select("ws", "event_type", "n", "total_value")
+          .orderBy("ws", "event_type")),
+
+    // Sliding 1h windows every 30min: each event lands in 2 windows.
+    // Oracle expands via integer µs arithmetic: ws = (floor(us/30m) - j)*30m.
+    Q("q24_events_sliding", Q.sql("""
+        SELECT make_timestamp((epoch_us(ts) // 1800000000 - j) * 1800000000) AS ws,
+          count(*) AS n,
+          CAST(sum(CAST(value AS DECIMAL(27,4))) AS DOUBLE) AS total_value
+        FROM events, (SELECT unnest([0, 1]) AS j) shifts
+        GROUP BY 1
+        ORDER BY ws"""))(
+      (s, dir) =>
+        Events.sliding(T(s, dir, "events"), "1 hour", "30 minutes",
+          keys = Seq.empty,
+          aggs = Seq(count(lit(1)).as("n"),
+            dsum(col("value")).as("total_value")))
+          .select("ws", "n", "total_value")
+          .orderBy("ws")),
+
+    // Gaps-and-islands sessionization (30-minute inactivity gap), then
+    // per-session rollup. Gap math on floor-to-second timestamps on both
+    // engines.
+    Q("q25_sessionize", Q.sql("""
+        WITH seq AS (
+          SELECT user_id, event_id, value, ts,
+            CASE WHEN lag(ts) OVER w IS NULL
+                 OR epoch_us(ts) // 1000000 - epoch_us(lag(ts) OVER w) // 1000000 > 1800
+                 THEN 1 ELSE 0 END AS is_new
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        sess AS (
+          SELECT user_id, event_id, value, ts,
+            sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+          FROM seq)
+        SELECT user_id, session_seq,
+          count(*) AS n_events,
+          CAST(min(date_trunc('second', ts)) AS TIMESTAMP) AS session_start,
+          CAST(sum(CAST(value AS DECIMAL(27,4))) AS DOUBLE) AS session_value
+        FROM sess
+        GROUP BY user_id, session_seq
+        ORDER BY user_id, session_seq"""))(
+      (s, dir) =>
+        Events.sessionize(T(s, dir, "events"), gapSeconds = 1800)
+          .groupBy("user_id", "session_seq")
+          .agg(
+            count(lit(1)).as("n_events"),
+            min(date_trunc("second", col("ts"))).as("session_start"),
+            dsum(col("value")).as("session_value"))
+          .orderBy("user_id", "session_seq"))
+  )
+}

@@ -1,0 +1,115 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.PortableSql
+import graft.text.TextAnalysis
+
+/** North-star text-analysis queries over `documents`: token counting,
+  * language ID, quality scoring, fingerprinting (BASELINE.json north-star;
+  * SURVEY §7 step 8).
+  *
+  * Oracle parity: DuckDB `regexp_replace` needs the explicit 'g' flag
+  * (Spark's is always global); marker counting uses the portable
+  * replace-length trick so no regex dialect is involved in scoring.
+  */
+object TextQueries {
+
+  private def T(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** DuckDB expression for the normalized text form
+    * ([[TextAnalysis.normalizeText]]).
+    */
+  private val normSql = "lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))"
+  private val paddedSql = s"(' ' || $normSql || ' ')"
+
+  private def langScoreSql(lang: String): String =
+    TextAnalysis.LangMarkers.toMap.apply(lang)
+      .map(m => PortableSql.countOccurrences(paddedSql, m))
+      .mkString("(", " + ", ")")
+
+  def all: Seq[Q] = Seq(
+
+    // Token counting: whitespace tokens + BPE-ish subword count.
+    Q("q30_token_stats", Q.sql("""
+        SELECT doc_id,
+          CAST(len(string_split_regex(trim(text), '\s+')) AS INT) AS n_tokens,
+          CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS INT) AS n_bpeish,
+          length(text) AS n_chars_measured
+        FROM documents
+        ORDER BY doc_id"""))(
+      (s, dir) =>
+        T(s, dir, "documents")
+          .select(col("doc_id"),
+            TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+            TextAnalysis.bpeishCount(col("text")).as("n_bpeish"),
+            length(col("text")).cast("int").as("n_chars_measured"))
+          .orderBy("doc_id")),
+
+    // Language ID: marker-occurrence argmax with fixed tie-break order.
+    Q("q31_lang_id", {
+      val scores = TextAnalysis.LangMarkers.map { case (l, _) =>
+        s"${langScoreSql(l)} AS score_$l"
+      }.mkString(", ")
+      val maxExpr = TextAnalysis.LangMarkers
+        .map { case (l, _) => s"score_$l" }
+        .mkString("greatest(", ", ", ")")
+      val caseArms = TextAnalysis.LangMarkers.map { case (l, _) =>
+        s"WHEN mx > 0 AND score_$l = mx THEN '$l'"
+      }.mkString(" ")
+      Q.sql(s"""
+        SELECT doc_id, lang, lang_pred, score_en, score_es, score_de, score_fr
+        FROM (
+          SELECT doc_id, lang, $maxExpr AS mx,
+            CASE $caseArms ELSE 'und' END AS lang_pred,
+            score_en, score_es, score_de, score_fr
+          FROM (SELECT doc_id, lang, $scores FROM documents) raw) scored
+        ORDER BY doc_id""")
+    })(
+      (s, dir) =>
+        T(s, dir, "documents")
+          .select(col("doc_id"), col("lang"),
+            TextAnalysis.langId(col("text")).as("lang_pred"),
+            TextAnalysis.langScore(col("text"), "en").as("score_en"),
+            TextAnalysis.langScore(col("text"), "es").as("score_es"),
+            TextAnalysis.langScore(col("text"), "de").as("score_de"),
+            TextAnalysis.langScore(col("text"), "fr").as("score_fr"))
+          .orderBy("doc_id")),
+
+    // Quality scoring: saturating-length + alpha-density - symbol-density.
+    Q("q32_quality_score", Q.sql("""
+        SELECT doc_id, n_tokens,
+          round(least(n_tokens / 100.0, 1.0) * 0.4
+            + (alpha / n_chr) * 0.4
+            + (1.0 - least(symbols * 5.0 / n_chr, 1.0)) * 0.2, 6) AS quality
+        FROM (
+          SELECT doc_id,
+            CAST(len(string_split_regex(trim(text), '\s+')) AS INT) AS n_tokens,
+            CAST(length(text) AS DOUBLE) AS n_chr,
+            CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE) AS alpha,
+            CAST(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS DOUBLE) AS symbols
+          FROM documents) t
+        ORDER BY doc_id"""))(
+      (s, dir) =>
+        T(s, dir, "documents")
+          .select(col("doc_id"),
+            TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+            TextAnalysis.qualityScore(col("text")).as("quality"))
+          .orderBy("doc_id")),
+
+    // Deterministic content fingerprint (rolling-hash role, md5-based so
+    // both engines agree).
+    Q("q33_fingerprint", Q.sql(s"""
+        SELECT doc_id, md5($normSql) AS fp
+        FROM documents
+        ORDER BY doc_id"""))(
+      (s, dir) =>
+        T(s, dir, "documents")
+          .select(col("doc_id"),
+            TextAnalysis.fingerprint(col("text")).as("fp"))
+          .orderBy("doc_id"))
+  )
+}
