@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.versioned.VersionedTable
+
+/** V1–V8 laws from SURVEY.md §5.3. */
+class VersionedTableSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def base: DataFrame =
+    Seq(("FERRARI", 4000, 2019), ("FIAT", 1200, 2019), ("FIAT", 1100, 2018))
+      .toDF("Mh", "ec_cm3", "year")
+
+  private def sortedRows(df: DataFrame) =
+    df.orderBy("Mh", "ec_cm3", "year").collect().toSeq
+
+  test("create → toDF round-trips the data; history has one CONVERT entry") {
+    val t = VersionedTable.create(spark, tmpDir("vt"), base)
+    sortedRows(t.toDF) shouldBe sortedRows(base)
+    t.version shouldBe 0
+    val h = t.history.collect()
+    h.length shouldBe 1
+    h.head.getString(1) shouldBe "CONVERT"
+  }
+
+  test("append grows history by 1 and unions rows") {
+    val t = VersionedTable.create(spark, tmpDir("vt"), base)
+    t.append(Seq(("AUDI", 2000, 2020)).toDF("Mh", "ec_cm3", "year"))
+    t.version shouldBe 1
+    t.toDF.count() shouldBe 4
+    t.asOf(0).count() shouldBe 3
+  }
+
+  test("V7: append with mismatched schema throws; table is unchanged") {
+    val t = VersionedTable.create(spark, tmpDir("vt"), base)
+    val bad = Seq(("AUDI", "not-an-int")).toDF("Mh", "ec_cm3")
+    an[IllegalArgumentException] should be thrownBy t.append(bad)
+    t.version shouldBe 0
+    t.toDF.count() shouldBe 3
+  }
+
+  test("V8: mergeSchema widens schema and null-pads old files") {
+    val t = VersionedTable.create(spark, tmpDir("vt"), base)
+    val wider = Seq(("AUDI", 2000, 2020, 95.5)).toDF("Mh", "ec_cm3", "year", "Ewltp")
+    t.append(wider, mergeSchema = true)
+    t.schema.fieldNames.toSeq shouldBe Seq("Mh", "ec_cm3", "year", "Ewltp")
+    val df = t.toDF
+    df.count() shouldBe 4
+    df.where($"Ewltp".isNull).count() shouldBe 3
+    df.where($"Mh" === "AUDI").select("Ewltp").as[Double].head() shouldBe 95.5
+  }
+
+  test("V4+V5: update is copy-on-write; asOf(pre) shows pre-update values") {
+    val t = VersionedTable.create(spark, tmpDir("vt"), base)
+    t.update($"Mh" === "FERRARI", Map("ec_cm3" -> ($"ec_cm3" + 10)))
+    t.toDF.where($"Mh" === "FERRARI").select("ec_cm3").as[Int].head() shouldBe 4010
+    // untouched rows unchanged, count preserved
+    t.toDF.count() shouldBe 3
+    t.toDF.where($"Mh" === "FIAT" && $"year" === 2019)
+      .select("ec_cm3").as[Int].head() shouldBe 1200
+    // time travel sees the pre-update snapshot
+    t.asOf(0).where($"Mh" === "FERRARI").select("ec_cm3").as[Int].head() shouldBe 4000
+  }
+
+  test("V6: restore(v) makes current == asOf(v) and appends to history") {
+    val t = VersionedTable.create(spark, tmpDir("vt"), base)
+    t.update($"Mh" === "FERRARI", Map("ec_cm3" -> ($"ec_cm3" + 10)))
+    t.restore(0)
+    t.version shouldBe 2
+    sortedRows(t.toDF) shouldBe sortedRows(t.asOf(0))
+    t.history.count() shouldBe 3
+  }
+
+  test("V2: compact rewrites to the requested file count, preserving rows") {
+    val t = VersionedTable.create(spark, tmpDir("vt"), base.repartition(3))
+    t.append(Seq(("AUDI", 2000, 2020)).toDF("Mh", "ec_cm3", "year"))
+    t.compact(numFiles = 1, clusterBy = Seq("Mh"))
+    t.toDF.count() shouldBe 4
+    t.toDF.rdd.getNumPartitions shouldBe 1
+    sortedRows(t.toDF) shouldBe sortedRows(t.asOf(1))
+  }
+
+  test("V1: convert versions an existing parquet dir in place") {
+    val dir = tmpDir("plain")
+    base.coalesce(1).write.mode("overwrite").parquet(dir)
+    val t = VersionedTable.convert(spark, dir)
+    sortedRows(t.toDF) shouldBe sortedRows(base)
+    VersionedTable.open(spark, dir).version shouldBe 0
+  }
+
+  test("open on a non-table fails fast") {
+    an[Exception] should be thrownBy VersionedTable.open(spark, tmpDir("empty"))
+  }
+}
