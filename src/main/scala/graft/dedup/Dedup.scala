@@ -75,29 +75,39 @@ object Dedup {
   }
 
   /** MinHash signature: K independent min-hashes per id, computed in one
-    * aggregation pass. Hash k of shingle s = md5("k|s"); the min is taken
-    * lexicographically on the hex string (identical across engines).
-    * Output: id, m0..m{k-1}.
+    * aggregation pass. Hash k of shingle s = first 12 hex chars of
+    * md5("k|s") as a BIGINT (the 48-bit prefix preserves the min order of
+    * the full hash up to ~2^-48 tie probability, and both engines compute
+    * the identical value). BIGINT buffers keep the aggregation on the
+    * HashAggregate fast path — `min` over strings forces SortAggregate
+    * (sort-based, an order of magnitude slower here).
+    * Output: id, m0..m{k-1} (long).
     */
-  def minhashSignatures(sh: DataFrame, k: Int): DataFrame =
-    sh.groupBy("id")
-      .agg(
-        min(md5(concat(lit("0|"), col("shingle")).cast("binary"))).as("m0"),
-        (1 until k).map(i =>
-          min(md5(concat(lit(s"$i|"), col("shingle")).cast("binary"))).as(s"m$i")): _*)
+  def minhashSignatures(sh: DataFrame, k: Int): DataFrame = {
+    val hashed = sh.select(
+      col("id") +: (0 until k).map { i =>
+        conv(substring(md5(concat(lit(s"$i|"), col("shingle")).cast("binary")), 1, 12),
+          16, 10).cast("long").as(s"h$i")
+      }: _*)
+    hashed.groupBy("id")
+      .agg(min(col("h0")).as("m0"),
+        (1 until k).map(i => min(col(s"h$i")).as(s"m$i")): _*)
+  }
 
   /** LSH banding: group the K signature columns into bands of `rowsPerBand`,
-    * key each band by md5 of its concatenated min-hashes, and emit candidate
+    * key each band by the concatenated min-hashes, and emit candidate
     * pairs sharing any band key. Equi-join on (band_idx, band_key) — no
-    * cross product.
+    * cross product. (The band key is plain string concatenation of the
+    * BIGINT minhashes — hashing it again buys nothing for an equi-join.)
     */
   def minhashCandidates(sig: DataFrame, k: Int, rowsPerBand: Int): DataFrame = {
     val nBands = k / rowsPerBand
     val bands = sig.select(
       col("id") +:
         (0 until nBands).map { b =>
-          val cols = (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"m$i"))
-          md5(concat(cols: _*).cast("binary")).as(s"band$b")
+          val cols = (b * rowsPerBand until (b + 1) * rowsPerBand)
+            .map(i => col(s"m$i").cast("string"))
+          concat_ws("|", cols: _*).as(s"band$b")
         }: _*)
     val long = bands.select(col("id"),
       explode(array((0 until nBands).map { b =>

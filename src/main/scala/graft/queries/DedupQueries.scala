@@ -66,14 +66,18 @@ object DedupQueries {
           .orderBy("id_a", "id_b")),
 
     // MinHash(K=8) + LSH(4 bands x 2 rows) candidates, verified at j >= 0.8.
+    // Minhashes are the 48-bit (12 hex char) md5 prefix as BIGINT — same
+    // value on both engines, and keeps Spark's aggregation on the
+    // HashAggregate fast path (string min would force SortAggregate).
     Q("q36_minhash_lsh", {
       val sigCols = (0 until MinhashK)
-        .map(i => s"min(md5('$i|' || shingle)) AS m$i").mkString(", ")
+        .map(i => s"min(${PortableSql.hexToLong(s"md5('$i|' || shingle)", 12)}) AS m$i")
+        .mkString(", ")
       val nBands = MinhashK / RowsPerBand
       val bandArms = (0 until nBands).map { b =>
         val ms = (b * RowsPerBand until (b + 1) * RowsPerBand)
-          .map(i => s"m$i").mkString(" || ")
-        s"WHEN $b THEN md5($ms)"
+          .map(i => s"CAST(m$i AS VARCHAR)").mkString(" || '|' || ")
+        s"WHEN $b THEN $ms"
       }.mkString(" ")
       val bandIdxList = (0 until nBands).mkString("[", ", ", "]")
       Q.sql(s"""

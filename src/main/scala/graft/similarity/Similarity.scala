@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.ops.Relational
-import graft.functions.PortableSql
+import graft.functions.{ArrayMath, PortableSql}
 
 /** Similarity search over embedding columns (north-star set).
   *
@@ -24,31 +24,54 @@ import graft.functions.PortableSql
   */
 object Similarity {
 
-  /** Dot product with a fixed fold order: elements promoted to double
-    * before multiply, accumulated left-to-right (matches the oracle's
-    * left-assoc `+` chain bit-for-bit).
+  /** Dot product via the native [[ArrayMath.DotProduct]] expression: a
+    * tight codegen loop with the same left-to-right IEEE accumulation
+    * order as the oracle's left-assoc `+` chain ([[PortableSql.dot]]).
+    * (`zip_with`+`aggregate` evaluates interpreted with a per-row
+    * intermediate array; a 64-term `element_at` chain makes a ~320-node
+    * tree that gets duplicated into pushed-down join conditions — both
+    * dominated the O(n²) pair queries.)
     */
-  def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0),
-      (acc, x) => acc + x)
+  def dot(a: Column, b: Column, dim: Int): Column = ArrayMath.dot(a, b)
 
-  /** Cosine similarity (same formula shape as [[PortableSql.cosine]]). */
-  def cosine(a: Column, b: Column): Column =
-    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+  /** L2 norm — compute ONCE per vector (see [[nearDupPairs]]), never per
+    * pair.
+    */
+  def norm(a: Column, dim: Int): Column = sqrt(dot(a, a, dim))
+
+  /** Cosine similarity (same formula shape as [[PortableSql.cosine]]).
+    * For pair joins prefer `dot(a,b)/(norm_a*norm_b)` with hoisted norms.
+    */
+  def cosine(a: Column, b: Column, dim: Int): Column =
+    dot(a, b, dim) / (norm(a, dim) * norm(b, dim))
 
   /** Exact top-k nearest neighbours by cosine for each query vector.
-    * `queries` is expected to be small (broadcast side).
+    * `queries` is expected to be small (broadcast side). Corpus norms are
+    * computed once in the scan projection, not per (query, corpus) pair —
+    * the per-pair work is one dot product.
     */
-  def knnBruteForce(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+  /** Spread CPU-heavy per-pair work across all cores: a small parquet
+    * input arrives as ONE scan partition (file < maxPartitionBytes), which
+    * would run an O(n²) nested-loop join single-threaded. Round-robin
+    * repartition of the streamed side costs one tiny shuffle and
+    * parallelizes the quadratic stage.
+    */
+  private def spread(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+  def knnBruteForce(queries: DataFrame, corpus: DataFrame, k: Int,
+                    dim: Int = 64): DataFrame = {
     val q = queries.select(col("vec_id").as("query_id"),
-      col("embedding").as("q_emb"))
-    val c = corpus.select(col("vec_id").as("neighbor_id"),
-      col("embedding").as("c_emb"))
+      col("embedding").as("q_emb"),
+      norm(col("embedding"), dim).as("q_norm"))
+    val c = spread(corpus).select(col("vec_id").as("neighbor_id"),
+      col("embedding").as("c_emb"),
+      norm(col("embedding"), dim).as("c_norm"))
     val scored = c.crossJoin(broadcast(q))
       .where(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos_sim", round(cosine(col("q_emb"), col("c_emb")), 6))
+      .withColumn("cos_sim",
+        round(dot(col("q_emb"), col("c_emb"), dim) /
+          (col("q_norm") * col("c_norm")), 6))
     Relational.topKPerGroup(scored,
         partitionCols = Seq(col("query_id")),
         order = Seq(col("cos_sim").desc, col("neighbor_id").asc),
@@ -57,34 +80,45 @@ object Similarity {
   }
 
   /** All pairs (a < b) with cosine >= threshold — embedding-space near-dup
-    * detection. Brute-force; for the bucketed variant compose with
-    * [[lshBuckets]].
+    * detection. Brute-force O(n²) baseline; [[knnLsh]] is the scale path.
+    * Norms are hoisted into the per-side scan projection so the O(n²)
+    * inner loop does one dot product per pair instead of three.
     */
-  def nearDupPairs(emb: DataFrame, threshold: Double): DataFrame = {
-    val a = emb.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"))
-    val b = emb.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"))
+  def nearDupPairs(emb: DataFrame, threshold: Double, dim: Int = 64): DataFrame = {
+    val a = spread(emb).select(col("vec_id").as("id_a"), col("embedding").as("emb_a"),
+      norm(col("embedding"), dim).as("norm_a"))
+    val b = emb.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"),
+      norm(col("embedding"), dim).as("norm_b"))
     a.join(b, col("id_a") < col("id_b"))
-      .withColumn("cos_sim", round(cosine(col("emb_a"), col("emb_b")), 6))
+      .withColumn("cos_sim",
+        round(dot(col("emb_a"), col("emb_b"), dim) /
+          (col("norm_a") * col("norm_b")), 6))
       .where(col("cos_sim") >= threshold)
       .select("id_a", "id_b", "cos_sim")
   }
 
   /** Deterministic pseudo-random hyperplane component for (plane p, dim i):
-    * maps md5("p|i") to a value in [-1, 1). Engine-portable.
+    * maps md5("p|i") to a value in [-1, 1). Computed driver-side with the
+    * identical derivation the SQL form would use (first 8 hex chars of the
+    * md5 as a base-16 integer, scaled) — hyperplanes are constants, they
+    * have no business being plan nodes.
     */
-  private def planeComponent(p: Int, i: Int): Column =
-    expr(PortableSql.hexToLong(s"md5('$p|$i')", 8)) / lit(math.pow(16, 8)) * 2 - 1
+  private[similarity] def planeComponent(p: Int, i: Int): Double = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"$p|$i".getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString.take(8)
+    java.lang.Long.parseLong(hex, 16).toDouble / math.pow(16, 8) * 2 - 1
+  }
 
   /** Sign-bit LSH bucket id from `nBits` random hyperplanes. Vectors whose
-    * dot with plane p is >= 0 set bit p. One narrow projection — no
-    * shuffle.
+    * dot with plane p is >= 0 set bit p. One narrow projection of compact
+    * [[ArrayMath.DotWithConst]] expressions — no shuffle, stays in
+    * whole-stage codegen.
     */
   def lshBucket(embCol: Column, dim: Int, nBits: Int): Column =
     (0 until nBits).map { p =>
-      val d = (1 to dim).map { i =>
-        element_at(embCol, i).cast("double") * planeComponent(p, i)
-      }.reduce(_ + _)
-      when(d >= 0, lit(1L << p)).otherwise(lit(0L))
+      val plane = Array.tabulate(dim)(i => planeComponent(p, i + 1))
+      when(ArrayMath.dotConst(embCol, plane) >= 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
 
   /** Bucketed approximate near-neighbour candidates: only pairs sharing an
@@ -92,15 +126,18 @@ object Similarity {
     * pairs with cosine >= threshold.
     */
   def knnLsh(emb: DataFrame, dim: Int, nBits: Int, threshold: Double): DataFrame = {
-    val bucketed = emb.select(col("vec_id"), col("embedding"),
-      lshBucket(col("embedding"), dim, nBits).as("bucket"))
+    val bucketed = spread(emb).select(col("vec_id"), col("embedding"),
+      lshBucket(col("embedding"), dim, nBits).as("bucket"),
+      norm(col("embedding"), dim).as("nrm"))
     val a = bucketed.select(col("bucket"), col("vec_id").as("id_a"),
-      col("embedding").as("emb_a"))
+      col("embedding").as("emb_a"), col("nrm").as("norm_a"))
     val b = bucketed.select(col("bucket"), col("vec_id").as("id_b"),
-      col("embedding").as("emb_b"))
+      col("embedding").as("emb_b"), col("nrm").as("norm_b"))
     a.join(b, Seq("bucket"))
       .where(col("id_a") < col("id_b"))
-      .withColumn("cos_sim", round(cosine(col("emb_a"), col("emb_b")), 6))
+      .withColumn("cos_sim",
+        round(dot(col("emb_a"), col("emb_b"), dim) /
+          (col("norm_a") * col("norm_b")), 6))
       .where(col("cos_sim") >= threshold)
       .select("id_a", "id_b", "bucket", "cos_sim")
   }
