@@ -1,0 +1,90 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.io.Lake
+import graft.versioned.VersionedTable
+
+/** Versioned-table (lakehouse) queries — SURVEY.md §2.13 V1–V8 exercised
+  * end-to-end through the DuckDB oracle. Each query builds a scratch
+  * versioned table from `nation`, applies lakehouse operations, and
+  * returns a final state whose expected value is reconstructible in pure
+  * SQL over the untouched base table:
+  *
+  *  - update (V4): `CASE WHEN cond THEN expr ELSE old END`
+  *  - time travel (V5): the pre-update snapshot == the base table
+  *  - restore (V6): post-restore current == the base table
+  *  - evolution (V8): widened rows reconstructed with a CASE'd extra column
+  *
+  * Scratch tables live under java.io.tmpdir and are rebuilt per run.
+  */
+object VersionedQueries {
+
+  private def nation(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "nation")
+
+  private val NationCols = Seq("n_nationkey", "n_name", "n_regionkey")
+
+  private def scratch(s: SparkSession, name: String, dir: String): String = {
+    val root = s"${sys.props("java.io.tmpdir")}/graft_vt/$name-${dir.replaceAll("[^A-Za-z0-9.]", "_")}"
+    Lake.rm(Lake.conf(s), root)
+    root
+  }
+
+  private def ordered(df: DataFrame): DataFrame =
+    df.select(NationCols.map(col): _*).orderBy("n_nationkey")
+
+  private val baseOracle =
+    "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey"
+
+  def all: Seq[Q] = Seq(
+
+    // V4: copy-on-write UPDATE — current state reflects the update.
+    Q("q42_versioned_update", Q.sql("""
+        SELECT n_nationkey,
+          CASE WHEN n_regionkey = 0 THEN 'REDACTED' ELSE n_name END AS n_name,
+          n_regionkey
+        FROM nation ORDER BY n_nationkey"""))(
+      (s, dir) => {
+        val t = VersionedTable.create(s, scratch(s, "update", dir), nation(s, dir))
+        t.update(col("n_regionkey") === 0, Map("n_name" -> lit("REDACTED")))
+        ordered(t.toDF)
+      }),
+
+    // V5: time travel — asOf(0) after an update equals the base table.
+    Q("q43_versioned_timetravel", Q.sql(baseOracle))(
+      (s, dir) => {
+        val t = VersionedTable.create(s, scratch(s, "timetravel", dir), nation(s, dir))
+        t.update(col("n_regionkey") === 0, Map("n_name" -> lit("REDACTED")))
+        ordered(t.asOf(0))
+      }),
+
+    // V6: restore — current after update + restore(0) equals the base table.
+    Q("q44_versioned_restore", Q.sql(baseOracle))(
+      (s, dir) => {
+        val t = VersionedTable.create(s, scratch(s, "restore", dir), nation(s, dir))
+        t.update(col("n_regionkey") === 0, Map("n_name" -> lit("REDACTED")))
+        t.restore(0)
+        ordered(t.toDF)
+      }),
+
+    // V8: schema evolution — append a widened batch with mergeSchema; old
+    // rows read back null-padded, new rows carry the extra column.
+    Q("q45_versioned_evolve", Q.sql("""
+        SELECT n_nationkey, n_name, n_regionkey,
+          CASE WHEN n_regionkey >= 3 THEN n_nationkey * 2 END AS extrakey
+        FROM nation ORDER BY n_nationkey"""))(
+      (s, dir) => {
+        val base = nation(s, dir)
+        val t = VersionedTable.create(s, scratch(s, "evolve", dir),
+          base.where(col("n_regionkey") < 3))
+        val widened = base.where(col("n_regionkey") >= 3)
+          .withColumn("extrakey", (col("n_nationkey") * 2).cast("long"))
+        t.append(widened, mergeSchema = true)
+        t.toDF.select((NationCols :+ "extrakey").map(col): _*)
+          .orderBy("n_nationkey")
+      })
+  )
+}

@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.dedup.Dedup
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy dog"),   // exact dup of 1
+    (3L, "the quick brown fox jumps over a sleepy dog"),   // near dup
+    (4L, "completely different text about spark engines here"),
+    (5L, "tiny")).toDF("doc_id", "text")
+
+  test("exactGroups collapses exact duplicates to the min id") {
+    val g = Dedup.exactGroups(docs, $"doc_id", $"text")
+    g.count() shouldBe 4
+    val dup = g.where($"n_copies" === 2).collect()
+    dup.length shouldBe 1
+    dup.head.getLong(1) shouldBe 1L // keep_id = min(1, 2)
+  }
+
+  test("shingles: n-gram count and short-document guard") {
+    val sh = Dedup.shingles(docs, $"doc_id", $"text", 3)
+    // 9 words -> 7 trigrams, all distinct for doc 1
+    sh.where($"id" === 1).count() shouldBe 7
+    // "tiny" has < 3 words -> no shingles (sequence guard)
+    sh.where($"id" === 5).count() shouldBe 0
+  }
+
+  test("jaccardPairs scores exact and near duplicates correctly") {
+    val sh = Dedup.shingles(docs, $"doc_id", $"text", 3)
+    val pairs = Dedup.jaccardPairs(sh, threshold = 0.1)
+      .select("id_a", "id_b", "jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    pairs((1L, 2L)) shouldBe 1.0  // identical docs
+    pairs((1L, 3L)) should (be > 0.2 and be < 1.0)
+    pairs.keySet should not contain ((1L, 4L))
+  }
+
+  test("minhash LSH candidates include all exact duplicates and verify to the same jaccard") {
+    val out = Dedup.minhashNearDups(docs, $"doc_id", $"text",
+      n = 3, k = 8, rowsPerBand = 2, threshold = 0.9)
+      .select("id_a", "id_b", "jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // identical docs share every band -> always candidates, jaccard 1.0
+    out((1L, 2L)) shouldBe 1.0
+    // nothing unrelated sneaks past the exact verification
+    out.keySet should not contain ((1L, 4L))
+  }
+
+  test("simhash: identical docs get identical fingerprints, disjoint docs differ") {
+    val fp = Dedup.simhash(docs, $"doc_id", $"text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    fp(1L) shouldBe fp(2L)
+    fp(1L) should not be fp(4L)
+  }
+}

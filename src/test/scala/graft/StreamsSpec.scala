@@ -1,0 +1,59 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.streaming.Streams
+
+class StreamsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(minute: Int) = Timestamp.valueOf(f"2026-01-01 10:$minute%02d:00")
+
+  test("tumblingCounts aggregates a MemoryStream incrementally") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String)]
+    val counts = Streams.tumblingCounts(
+      input.toDF().toDF("ts", "user"), "ts", "10 minutes", "5 minutes",
+      Seq(col("user")))
+    val q = counts.writeStream
+      .format("memory").queryName("tumbling_test").outputMode("complete")
+      .start()
+    try {
+      input.addData((ts(1), "a"), (ts(2), "a"), (ts(11), "a"), (ts(3), "b"))
+      q.processAllAvailable()
+      val rows = spark.table("tumbling_test")
+        .select("user", "n").as[(String, Long)].collect().toSet
+      rows shouldBe Set(("a", 2L), ("a", 1L), ("b", 1L))
+    } finally q.stop()
+  }
+
+  test("sessions merges gap-close events on a batch frame") {
+    val df = Seq(
+      (ts(0), "u1"), (ts(2), "u1"), (ts(30), "u1"), (ts(0), "u2"))
+      .toDF("ts", "user")
+    val sess = Streams.sessions(df, "ts", "10 minutes", Seq(col("user")))
+      .orderBy("user", "sess_start").collect()
+    // u1: [10:00,10:02] session of 2, then [10:30] session of 1; u2: one session
+    sess.length shouldBe 3
+    sess.map(_.getLong(3)).toSeq shouldBe Seq(2L, 1L, 1L)
+  }
+
+  test("sliding windows count each event in every covering window") {
+    val df = Seq((ts(5), "a")).toDF("ts", "user")
+    val out = Streams.slidingCounts(df, "ts", "10 minutes", "5 minutes",
+      "5 minutes", Seq(col("user")))
+    // one event at 10:05 falls into [10:00,10:10) and [10:05,10:15)
+    out.count() shouldBe 2
+  }
+
+  test("decade UDF variant agrees with the native expression") {
+    val years = Seq(1969, 1970, 2025).toDF("year")
+    val both = years.select(
+      graft.ops.Relational.decade(col("year")).as("native"),
+      graft.functions.Udfs.decadeViaUdf(col("year")).as("viaUdf"))
+    both.where(col("native") =!= col("viaUdf")).count() shouldBe 0
+  }
+}
