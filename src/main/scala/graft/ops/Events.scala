@@ -11,7 +11,7 @@ import org.apache.spark.sql.functions._
   * operators provide the event-time aggregation surface a pipeline engine
   * needs, using the batch `window()` function so the same code shape lifts
   * to Structured Streaming (`readStream` + `withWatermark`) unchanged —
-  * see [[graft.streaming.EventStreams]] for the streaming form.
+  * see [[graft.streaming.Streams]] for the streaming form.
   *
   * Scale: tumbling/sliding windows are plain hash aggregations on
   * (window, keys) — one shuffle, partial aggregation map-side.
