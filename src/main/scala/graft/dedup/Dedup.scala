@@ -57,7 +57,11 @@ object Dedup {
     * Quadratic in colliding docs — use [[minhashCandidates]] to prefilter
     * at scale.
     */
-  def jaccardPairs(sh: DataFrame, threshold: Double): DataFrame = {
+  def jaccardPairs(shRaw: DataFrame, threshold: Double): DataFrame = {
+    // The shingle frame is referenced four times below (join sides + both
+    // count denominators); without materialization Spark recomputes the
+    // scan→explode→distinct subtree per reference.
+    val sh = shRaw.cache()
     val counts = shingleCounts(sh)
     val a = sh.as("a")
     val b = sh.as("b")

@@ -52,6 +52,17 @@ class IoSpec extends SparkSpec {
     Readers.parquet(spark, dir).count() shouldBe 2
   }
 
+  test("parquetOverwrite with table registers an external table in the catalog") {
+    val dir = tmpDir("tbl") + "/t"
+    graft.io.Catalog.createDatabase(spark, "graft_test")
+    Writers.parquetOverwrite(Seq((1, "a")).toDF("k", "v"), dir,
+      table = Some("graft_test.t1"))
+    graft.io.Catalog.tableExists(spark, "graft_test.t1") shouldBe true
+    spark.table("graft_test.t1").count() shouldBe 1
+    graft.io.Catalog.showTables(spark, "graft_test").count() shouldBe 1
+    graft.io.Catalog.dropDatabase(spark, "graft_test")
+  }
+
   test("Lake mkdirs/ls/rm/exists") {
     val conf = Lake.conf(spark)
     val root = tmpDir("lake")

@@ -36,7 +36,7 @@ def main():
     n_ok = n_bad = 0
     for name in sorted(oracles):
         sql = oracles[name]
-        pdir = os.path.join(out_dir, name)
+        pdir = os.path.join(out_dir, name + ".parquet")
         files = glob.glob(os.path.join(pdir, "*.parquet"))
         if not files:
             print(f"FAIL {name}: no spark output"); n_bad += 1; continue
