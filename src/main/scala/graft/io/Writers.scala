@@ -70,6 +70,22 @@ object Writers {
       .save(path)
   }
 
+  /** Bucketed table: pre-shuffled on `bucketCols` into `nBuckets` files
+    * per partition, sorted within buckets. Joins/aggregations between
+    * tables bucketed the same way on the join key skip the shuffle
+    * entirely (no Exchange in the plan — asserted in SkewSpec). The
+    * co-location strategy for repeated large-fact joins at 100 TB;
+    * requires `saveAsTable` (bucket metadata lives in the catalog).
+    */
+  def bucketed(df: DataFrame, table: String, path: String,
+               bucketCols: Seq[String], nBuckets: Int,
+               sortCols: Seq[String] = Nil): Unit = {
+    val w = df.write.mode("overwrite").format("parquet").option("path", path)
+      .bucketBy(nBuckets, bucketCols.head, bucketCols.tail: _*)
+    (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
+      .saveAsTable(table)
+  }
+
   /** S10: noop sink — full compute, output discarded; the reference's
     * benchmark method (`udf_complex_logic.py:63-68`). Used by
     * [[graft.Bench]].
