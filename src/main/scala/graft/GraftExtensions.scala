@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions.ArrayMath
+
+/** SQL-surface registration for the engine's custom expressions, two ways:
+  *
+  *  1. `GraftFunctions.register(spark)` — imperative, works on any live
+  *     session; used by the mains and tests.
+  *  2. `spark.sql.extensions=graft.GraftExtensions` — the
+  *     [[SparkSessionExtensions]] injection point for sessions created by
+  *     infra that owns the builder (spark-submit, Thrift server).
+  *
+  * After either, SQL users get `graft_dot(a, b)` (native codegen dot
+  * product, [[ArrayMath.DotProduct]]).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.injections.foreach { case (name, info, builder) =>
+      ext.injectFunction((FunctionIdentifier(name), info, builder))
+    }
+}
+
+object GraftFunctions {
+
+  private[graft] val injections: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] =
+    Seq((
+      "graft_dot",
+      new ExpressionInfo(classOf[ArrayMath.DotProduct].getName, "graft_dot"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2, "graft_dot(arrayA, arrayB) takes 2 arguments")
+        ArrayMath.DotProduct(exprs(0), exprs(1))
+      }))
+
+  /** Register the functions on a live session. */
+  def register(spark: SparkSession): Unit =
+    injections.foreach { case (name, _, builder) =>
+      spark.sessionState.functionRegistry
+        .createOrReplaceTempFunction(name, builder, "built-in")
+    }
+}
