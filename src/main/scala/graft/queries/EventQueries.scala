@@ -89,5 +89,39 @@ object EventQueries {
             min(date_trunc("second", col("ts"))).as("session_start"),
             dsum(col("value")).as("session_value"))
           .orderBy("user_id", "session_seq"))
+  ,
+
+    // As-of join (point-in-time enrichment): each click gets the latest
+    // preceding view's value per user. Oracle uses DuckDB's NATIVE
+    // ASOF JOIN — semantic parity with an industry implementation.
+    // Times are second-floored on both engines (parquet ns vs Spark µs);
+    // the view side is pre-deduped to one row per (user, second) so the
+    // as-of pick is deterministic.
+    Q("q46_asof_enrich", Q.sql("""
+        WITH c AS (
+          SELECT user_id, event_id, date_trunc('second', ts) AS t, value AS click_value
+          FROM events WHERE event_type = 'click'),
+        v AS (
+          SELECT user_id, date_trunc('second', ts) AS t, max(value) AS view_value
+          FROM events WHERE event_type = 'view' GROUP BY 1, 2)
+        SELECT c.user_id, c.event_id,
+          CAST(c.t AS TIMESTAMP) AS click_sec, c.click_value, v.view_value
+        FROM c ASOF LEFT JOIN v ON c.user_id = v.user_id AND v.t <= c.t
+        ORDER BY c.user_id, c.event_id"""))(
+      (s, dir) => {
+        val e = T(s, dir, "events")
+        val clicks = e.where(col("event_type") === "click")
+          .select(col("user_id"), col("event_id"),
+            date_trunc("second", col("ts")).as("t"),
+            col("value").as("click_value"))
+        val views = e.where(col("event_type") === "view")
+          .groupBy(col("user_id"), date_trunc("second", col("ts")).as("t"))
+          .agg(max(col("value")).as("view_value"))
+        graft.ops.AsOfJoin.asOf(clicks, views, Seq("user_id"), "t", "t",
+            payload = Seq("view_value"))
+          .select(col("user_id"), col("event_id"), col("t").as("click_sec"),
+            col("click_value"), col("view_value"))
+          .orderBy("user_id", "event_id")
+      })
   )
 }

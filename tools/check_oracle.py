@@ -71,8 +71,9 @@ def main():
     # queries without oracle
     declared = set(oracles)
     for d in sorted(os.listdir(out_dir)):
-        if os.path.isdir(os.path.join(out_dir, d)) and d not in declared:
-            print(f"INFO {d}: no oracle (rows-only check)")
+        name = d[:-len(".parquet")] if d.endswith(".parquet") else d
+        if os.path.isdir(os.path.join(out_dir, d)) and name not in declared:
+            print(f"INFO {name}: no oracle (rows-only check)")
     print(f"\n{n_ok} ok, {n_bad} failed")
     sys.exit(1 if n_bad else 0)
 
