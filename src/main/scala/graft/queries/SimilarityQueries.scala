@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.PortableSql
-import graft.similarity.Similarity
+import graft.similarity.{Ivf, Similarity}
 
 /** North-star similarity-search queries over `embeddings` (64-dim float
   * vectors): brute-force cosine top-k (correctness baseline), cosine
@@ -60,6 +60,17 @@ object SimilarityQueries {
       (s, dir) =>
         Similarity.knnLsh(T(s, dir, "embeddings"), dim = Dim, nBits = 8,
             threshold = 0.3)
-          .orderBy("id_a", "id_b"))
+          .orderBy("id_a", "id_b")),
+
+    // IVF approximate top-k (second scale path; rows-only check — IvfSpec
+    // proves probe-all == brute force and measures partial-probe recall).
+    Q("q47_ivf_knn", None)(
+      (s, dir) => {
+        val emb = T(s, dir, "embeddings")
+        val centroids = Ivf.train(emb, k = 8, iters = 2)
+        Ivf.knn(emb.where(col("vec_id") < 5), emb, centroids,
+            nProbe = 3, k = 3)
+          .orderBy("query_id", "rank")
+      })
   )
 }
