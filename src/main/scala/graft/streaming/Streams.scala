@@ -1,7 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Structured-Streaming counterparts of the batch event-time operators
   * (extension beyond the reference, which is batch-only — SURVEY.md §2.10:
@@ -40,6 +41,55 @@ object Streams {
         (col("window.start").as("win_start") +:
           col("window.end").as("win_end") +:
           keys) :+ col("n"): _*)
+
+  /** A closed session emitted by [[sessionsWithState]]. */
+  final case class Session(user: String, start: Long, end: Long, nEvents: Long)
+
+  /** Internal running-session state for [[sessionsWithState]] (public:
+    * the state encoder's generated code must reach the accessors).
+    */
+  final case class SessState(start: Long, last: Long, n: Long)
+
+  /** Gap-based sessionization with EXPLICIT state —
+    * `flatMapGroupsWithState` — for session logic the declarative
+    * `session_window` can't express (custom close conditions, per-session
+    * side outputs, state beyond counters). Input: (user, epochSeconds).
+    * Emits a [[Session]] when a later event exceeds the gap; the open
+    * session stays in state (per key: one [[SessState]] — bounded). In
+    * production add `withWatermark` upstream and
+    * `GroupStateTimeout.EventTimeTimeout` so idle sessions flush and
+    * state is reclaimed; omitted here because the tuple input carries no
+    * timestamp column.
+    */
+  def sessionsWithState(events: Dataset[(String, Long)], gapSeconds: Long): Dataset[Session] = {
+    implicit val sessionEnc = Encoders.product[Session]
+    implicit val stateEnc = Encoders.product[SessState]
+    implicit val stringEnc = Encoders.STRING
+
+    def fn(user: String, rows: Iterator[(String, Long)],
+           state: GroupState[SessState]): Iterator[Session] = {
+      val ts = rows.map(_._2).toArray.sorted
+      val out = Seq.newBuilder[Session]
+      var cur = state.getOption
+      ts.foreach { t =>
+        cur match {
+          case Some(s) if t - s.last <= gapSeconds =>
+            cur = Some(SessState(s.start, t, s.n + 1))
+          case Some(s) =>
+            out += Session(user, s.start, s.last, s.n)
+            cur = Some(SessState(t, t, 1))
+          case None =>
+            cur = Some(SessState(t, t, 1))
+        }
+      }
+      cur.foreach(state.update)
+      out.result().iterator
+    }
+
+    events.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.NoTimeout())(fn _)
+  }
 
   /** Gap-based sessionization via the built-in `session_window` — the
     * declarative form of mapGroupsWithState session logic: per key,

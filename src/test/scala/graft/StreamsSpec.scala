@@ -49,6 +49,31 @@ class StreamsSpec extends SparkSpec {
     out.count() shouldBe 2
   }
 
+  test("sessionsWithState emits closed sessions incrementally across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Long)]
+    val sessions = Streams.sessionsWithState(input.toDS(), gapSeconds = 600)
+    val q = sessions.writeStream
+      .format("memory").queryName("state_sessions").outputMode("append")
+      .start()
+    try {
+      input.addData(("u1", 0L), ("u1", 100L), ("u2", 50L))
+      q.processAllAvailable()
+      spark.table("state_sessions").count() shouldBe 0 // all sessions still open
+
+      // u1 jumps past the gap -> the first u1 session closes with 2 events
+      input.addData(("u1", 1000L))
+      q.processAllAvailable()
+      val closed = spark.table("state_sessions")
+        .as[Streams.Session].collect()
+      closed.length shouldBe 1
+      closed.head.user shouldBe "u1"
+      closed.head.start shouldBe 0L
+      closed.head.end shouldBe 100L
+      closed.head.nEvents shouldBe 2L
+    } finally q.stop()
+  }
+
   test("decade UDF variant agrees with the native expression") {
     val years = Seq(1969, 1970, 2025).toDF("year")
     val both = years.select(
