@@ -1,0 +1,57 @@
+package graft
+
+import graft.text.TextAnalysis
+
+class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def one(text: String, c: org.apache.spark.sql.Column => org.apache.spark.sql.Column) =
+    Seq(text).toDF("t").select(c($"t").as("out"))
+
+  test("normalizeText collapses whitespace, trims spaces, lowercases") {
+    one("  Hello \t  WORLD  ", TextAnalysis.normalizeText)
+      .as[String].head() shouldBe "hello world"
+    // trim strips SPACES only (both engines) — other edge whitespace
+    // collapses to a single space; identical on Spark and DuckDB, which
+    // is what the oracle parity requires
+    one("Hello\n", TextAnalysis.normalizeText)
+      .as[String].head() shouldBe "hello "
+  }
+
+  test("tokenCount and bpeishCount") {
+    one("one two  three", TextAnalysis.tokenCount).as[Int].head() shouldBe 3
+    // "abc123!x" -> [abc][123][!][x] = 4 bpe-ish tokens
+    one("abc123!x", TextAnalysis.bpeishCount).as[Int].head() shouldBe 4
+  }
+
+  test("fingerprint is whitespace/case-insensitive but content-sensitive") {
+    val fp = (s: String) => one(s, TextAnalysis.fingerprint).as[String].head()
+    fp("Hello  World") shouldBe fp("hello world")
+    fp("hello world") should not be fp("hello worlds")
+  }
+
+  test("langId picks the dominant marker language, und when none") {
+    val lid = (s: String) => one(s, TextAnalysis.langId).as[String].head()
+    lid("the cat sat on the mat with a hat of wool") shouldBe "en"
+    lid("el perro y la casa que vimos ayer") shouldBe "es"
+    lid("der Hund und die Katze und der Vogel") shouldBe "de"
+    lid("le chat et les chiens et le merle") shouldBe "fr"
+    lid("xyzzy plugh") shouldBe "und"
+  }
+
+  test("qualityScore in [0,1]; clean prose scores above symbol soup") {
+    val qs = (s: String) => one(s, TextAnalysis.qualityScore).as[Double].head()
+    val clean = qs("a perfectly ordinary english sentence about data pipelines")
+    val soup = qs("$$@! ## %% ^^ && ** (( )) {{ }} [[ ]]")
+    clean should (be >= 0.0 and be <= 1.0)
+    soup should (be >= 0.0 and be <= 1.0)
+    clean should be > soup
+  }
+
+  test("countOccurrences counts non-overlapping literal matches") {
+    one("aXbXcX", c => TextAnalysis.countOccurrences(c, "X"))
+      .as[Int].head() shouldBe 3
+    one("a.b.c", c => TextAnalysis.countOccurrences(c, "."))
+      .as[Int].head() shouldBe 2 // regex metachar quoted -> literal
+  }
+}
