@@ -168,6 +168,50 @@ object PredicateQueries {
           max(col("l_extendedprice")).as("max_price"),
           davg(col("l_extendedprice")).as("avg_price"),
           date_format(min(col("l_shipdate").cast("date")), "yyyy-MM-dd").as("min_ship"),
-          date_format(max(col("l_shipdate").cast("date")), "yyyy-MM-dd").as("max_ship")))
+          date_format(max(col("l_shipdate").cast("date")), "yyyy-MM-dd").as("max_ship"))),
+
+    // Skew-salted join, oracled against the PLAIN join (salting must be
+    // row-identical — the oracle proves it through the driver gate).
+    Q("q28_salted_join", Q.sql("""
+        SELECT p_type,
+          CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,8))) AS DOUBLE) AS revenue,
+          count(*) AS n_items
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY p_type
+        ORDER BY p_type"""))(
+      (s, dir) => {
+        val l = T(s, dir, "lineitem").withColumnRenamed("l_partkey", "partkey")
+        val p = T(s, dir, "part").withColumnRenamed("p_partkey", "partkey")
+        graft.ops.Skew.saltedJoin(l, p, "partkey",
+            leftUnique = col("l_orderkey") * 8 + col("l_linenumber"), n = 8)
+          .groupBy("p_type")
+          .agg(
+            dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 8)
+              .as("revenue"),
+            count(lit(1)).as("n_items"))
+          .orderBy("p_type")
+      }),
+
+    // Bounded window frame: moving average over the 2 preceding + current
+    // order per customer (rowsBetween), decimal-exact.
+    Q("q29_moving_avg", Q.sql("""
+        SELECT o_custkey, o_orderkey,
+          CAST(sum(CAST(o_totalprice AS DECIMAL(27,4))) OVER w AS DOUBLE)
+            / count(*) OVER w AS moving_avg
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+        ORDER BY o_custkey, o_orderkey"""))(
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("o_custkey")
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+          .rowsBetween(-2, Window.currentRow)
+        T(s, dir, "orders")
+          .select(col("o_custkey"), col("o_orderkey"),
+            (sum(col("o_totalprice").cast("decimal(27,4)")).over(w).cast("double")
+              / count(lit(1)).over(w)).as("moving_avg"))
+          .orderBy("o_custkey", "o_orderkey")
+      })
   )
 }
