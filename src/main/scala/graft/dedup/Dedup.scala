@@ -32,7 +32,12 @@ object Dedup {
     df.groupBy(TextAnalysis.fingerprint(textCol).as("content_hash"))
       .agg(min(idCol).as("keep_id"), count(lit(1)).as("n_copies"))
 
-  /** Word n-gram shingles, one row per (id, distinct shingle).
+  /** Word n-gram shingles, one row per (id, distinct shingle), plus
+    * `shash` — the 48-bit md5-prefix of the shingle as BIGINT. Pair joins
+    * downstream equi-join on `shash` instead of the shingle string:
+    * an 8-byte fixed-width key shuffles and compares far cheaper, and
+    * because the oracle derives the identical hash, any collision (~2^-48)
+    * affects both engines identically.
     * `sequence(1, size-n+1)` is guarded so short documents yield no rows
     * (sequence would otherwise count DOWN for stop < start).
     */
@@ -46,6 +51,9 @@ object Dedup {
               sequence(lit(1), size(col("w")) - (n - 1)),
               i => concat_ws(" ", slice(col("w"), i, lit(n)))))).as("shingle"))
       .distinct()
+      .withColumn("shash",
+        conv(substring(md5(col("shingle").cast("binary")), 1, 12), 16, 10)
+          .cast("long"))
   }
 
   /** Per-id shingle counts (needed for Jaccard denominators). */
@@ -66,7 +74,7 @@ object Dedup {
     val a = sh.as("a")
     val b = sh.as("b")
     val inter = a.join(b,
-        col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
+        col("a.shash") === col("b.shash") && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .agg(count(lit(1)).as("n_inter"))
     inter

@@ -18,15 +18,21 @@ object DedupQueries {
   private def T(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
-  /** Shared oracle CTEs: normalized words and distinct 3-gram shingles. */
-  private val shingleCtes = """
+  /** Shared oracle CTEs: normalized words, distinct 3-gram shingles, and
+    * the 48-bit md5-prefix join hash (identical derivation to
+    * [[Dedup.shingles]]'s `shash` — pair joins run on the BIGINT).
+    */
+  private val shingleCtes = s"""
     WITH w AS (
       SELECT doc_id AS id,
-        string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ') AS ws
+        string_split(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')), ' ') AS ws
       FROM documents),
-    sh AS (
+    sh0 AS (
       SELECT DISTINCT id, ws[pos] || ' ' || ws[pos+1] || ' ' || ws[pos+2] AS shingle
       FROM w, LATERAL (SELECT unnest(generate_series(1, greatest(len(ws) - 2, 0))) AS pos) t),
+    sh AS (
+      SELECT id, shingle, ${PortableSql.hexToLong("md5(shingle)", 12)} AS shash
+      FROM sh0),
     cnt AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY 1)"""
 
   private val MinhashK = 8
@@ -50,7 +56,7 @@ object DedupQueries {
         $shingleCtes,
         inter AS (
           SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_inter
-          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+          FROM sh a JOIN sh b ON a.shash = b.shash AND a.id < b.id
           GROUP BY 1, 2)
         SELECT id_a, id_b, n_inter, ca.n_sh AS n_a, cb.n_sh AS n_b,
           round(n_inter * 1.0 / (ca.n_sh + cb.n_sh - n_inter), 6) AS jaccard
@@ -93,7 +99,7 @@ object DedupQueries {
               AND x.id < y.id),
         inter AS (
           SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_inter
-          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+          FROM sh a JOIN sh b ON a.shash = b.shash AND a.id < b.id
           GROUP BY 1, 2)
         SELECT c.id_a, c.id_b,
           round(n_inter * 1.0 / (ca.n_sh + cb.n_sh - n_inter), 6) AS jaccard
