@@ -1,0 +1,58 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+import graft.io.{Lake, Readers, Writers}
+
+/** IO-layer queries: CSV and JSONL round-trips through `graft.io`
+  * (SURVEY §2.1 S1/S2/S3/S6), oracled against the direct parquet table —
+  * if the write+read path loses or mangles anything, the hash comparison
+  * fails. Columns are strings/ints (doubles would test the text
+  * formatter, not the reader contract).
+  */
+object IoQueries {
+
+  private def scratch(s: SparkSession, name: String, dir: String): String = {
+    val root = s"${sys.props("java.io.tmpdir")}/graft_io/$name-${dir.replaceAll("[^A-Za-z0-9.]", "_")}"
+    Lake.rm(Lake.conf(s), root)
+    root
+  }
+
+  private val oracle = """
+      SELECT l_orderkey, l_linenumber, l_returnflag, l_linestatus
+      FROM lineitem WHERE l_orderkey < 100
+      ORDER BY l_orderkey, l_linenumber"""
+
+  private val schema = StructType(Seq(
+    StructField("l_orderkey", LongType), StructField("l_linenumber", IntegerType),
+    StructField("l_returnflag", StringType), StructField("l_linestatus", StringType)))
+
+  private def sample(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "lineitem")
+      .where(col("l_orderkey") < 100)
+      .select("l_orderkey", "l_linenumber", "l_returnflag", "l_linestatus")
+
+  def all: Seq[Q] = Seq(
+
+    // S1/S2: CSV sink + header/escape reader round-trip.
+    Q("q48_csv_roundtrip", Q.sql(oracle))(
+      (s, dir) => {
+        val path = scratch(s, "csv", dir)
+        sample(s, dir).write.option("header", "true").csv(path)
+        Readers.csvQuoted(s, path, Some(schema))
+          .orderBy("l_orderkey", "l_linenumber")
+      }),
+
+    // S3 (splittable variant): JSONL sink + reader round-trip.
+    Q("q49_jsonl_roundtrip", Q.sql(oracle))(
+      (s, dir) => {
+        val path = scratch(s, "jsonl", dir)
+        sample(s, dir).write.json(path)
+        Readers.jsonLines(s, path, Some(schema))
+          .orderBy("l_orderkey", "l_linenumber")
+      })
+  )
+}
