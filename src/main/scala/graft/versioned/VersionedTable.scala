@@ -160,9 +160,15 @@ final class VersionedTable private (val spark: SparkSession, val root: String) {
     */
   def update(cond: Column, set: Map[String, Column]): VersionedTable = {
     val cur = latest()
-    val updated = set.foldLeft(read(cur)) { case (df, (c, expr)) =>
-      df.withColumn(c, when(cond, expr).otherwise(col(s"`$c`")))
-    }
+    val df = read(cur)
+    // single projection: every SET expression reads the OLD row (SQL
+    // UPDATE semantics) — a sequential withColumn fold would let later
+    // assignments observe earlier ones
+    val updated = df.select(df.columns.map { c =>
+      set.get(c)
+        .map(e => when(cond, e).otherwise(col(s"`$c`")).as(c))
+        .getOrElse(col(s"`$c`"))
+    }.toSeq: _*)
     val files = writeBatch(updated, cur.version + 1)
     commit(Manifest(cur.version + 1, "UPDATE", cur.schema, files))
     this

@@ -64,6 +64,14 @@ class VersionedTableSpec extends SparkSpec {
     t.asOf(0).where($"Mh" === "FERRARI").select("ec_cm3").as[Int].head() shouldBe 4000
   }
 
+  test("V4: all SET expressions read the OLD row (column swap works)") {
+    val t = VersionedTable.create(spark, tmpDir("vt"),
+      Seq((1, 10, 20)).toDF("id", "a", "b"))
+    t.update(lit(true), Map("a" -> $"b", "b" -> $"a"))
+    val r = t.toDF.head()
+    (r.getInt(1), r.getInt(2)) shouldBe ((20, 10)) // swapped, not duplicated
+  }
+
   test("V6: restore(v) makes current == asOf(v) and appends to history") {
     val t = VersionedTable.create(spark, tmpDir("vt"), base)
     t.update($"Mh" === "FERRARI", Map("ec_cm3" -> ($"ec_cm3" + 10)))
