@@ -174,6 +174,43 @@ final class VersionedTable private (val spark: SparkSession, val root: String) {
     this
   }
 
+  /** DELETE — companion to V4 (Delta's `DELETE FROM t WHERE cond`):
+    * copy-on-write rewrite keeping only rows NOT matching `cond`.
+    */
+  def delete(cond: Column): VersionedTable = {
+    val cur = latest()
+    val kept = read(cur).where(!cond || cond.isNull)
+    val files = writeBatch(kept, cur.version + 1)
+    commit(Manifest(cur.version + 1, "DELETE", cur.schema, files))
+    this
+  }
+
+  /** VACUUM — delete data files no manifest version references (the
+    * garbage a crashed writer can leave; see the commit-protocol note).
+    * Unlike Delta's retention-window vacuum, every committed version here
+    * stays readable forever — only never-committed files are removed.
+    * Returns the deleted relative paths.
+    */
+  def vacuum(): Seq[String] = {
+    val referenced: Set[String] =
+      listVersions().flatMap(v => readManifest(v).files).toSet
+    val f = fs
+    val dataDir = new Path(rootPath, "data")
+    if (!f.exists(dataDir)) return Nil
+    val onDisk = f.listStatus(dataDir).toSeq.flatMap { batch =>
+      f.listStatus(batch.getPath).toSeq.map(s =>
+        s"data/${batch.getPath.getName}/${s.getPath.getName}")
+    }
+    val garbage = onDisk.filterNot(p =>
+      referenced.contains(p) || !p.endsWith(".parquet"))
+    garbage.foreach(p => f.delete(new Path(rootPath, p), false))
+    // drop now-empty batch dirs
+    f.listStatus(dataDir).foreach { batch =>
+      if (f.listStatus(batch.getPath).isEmpty) f.delete(batch.getPath, false)
+    }
+    garbage
+  }
+
   /** V6: restore the table to an old version — a NEW version whose file
     * list points at the old snapshot (`update_versioning.py:76-79`); no
     * data is copied and history is preserved, matching Delta RESTORE.

@@ -98,6 +98,31 @@ class VersionedTableSpec extends SparkSpec {
     VersionedTable.open(spark, dir).version shouldBe 0
   }
 
+  test("DELETE removes only matching rows; NULL-cond rows survive; old version intact") {
+    val t = VersionedTable.create(spark, tmpDir("vt"), base)
+    t.delete($"Mh" === "FIAT" && $"year" === 2018)
+    t.toDF.count() shouldBe 2
+    t.toDF.where($"Mh" === "FIAT").count() shouldBe 1
+    t.asOf(0).count() shouldBe 3
+    t.history.head().getString(1) shouldBe "DELETE"
+  }
+
+  test("vacuum removes only never-committed files; every version stays readable") {
+    val root = tmpDir("vt")
+    val t = VersionedTable.create(spark, root, base)
+    t.update($"Mh" === "FERRARI", Map("ec_cm3" -> ($"ec_cm3" + 10)))
+    // simulate a crashed writer: orphan batch dir with a fake parquet file
+    val orphanDir = java.nio.file.Paths.get(root, "data", "b9999-deadbeef")
+    java.nio.file.Files.createDirectories(orphanDir)
+    java.nio.file.Files.write(orphanDir.resolve("part-orphan.parquet"), Array[Byte](1, 2))
+    val deleted = t.vacuum()
+    deleted shouldBe Seq("data/b9999-deadbeef/part-orphan.parquet")
+    java.nio.file.Files.exists(orphanDir) shouldBe false
+    // both committed versions still fully readable
+    t.asOf(0).count() shouldBe 3
+    t.toDF.where($"Mh" === "FERRARI").select("ec_cm3").as[Int].head() shouldBe 4010
+  }
+
   test("open on a non-table fails fast") {
     an[Exception] should be thrownBy VersionedTable.open(spark, tmpDir("empty"))
   }
