@@ -13,6 +13,7 @@ object Explain {
       .master("local[32]").appName("graft-explain")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
     val df = SparkEntry.queries(name)(spark, dir)

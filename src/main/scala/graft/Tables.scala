@@ -20,6 +20,10 @@ object Tables {
       // Spark refuses by default (PARQUET_TYPE_ILLEGAL). Read the nanos as
       // a long and rebuild a µs-precision timestamp (truncation — matches
       // DuckDB's epoch_us on its native TIMESTAMP_NS read).
+      // The nanosAsLong flag is also pinned at session creation in every
+      // main and in TestSpark, so read behavior never depends on whether
+      // an events query ran first; this set() covers externally-built
+      // sessions.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       spark.read.parquet(s"$dir/$name.parquet")
         .withColumn("ts", timestamp_micros(expr("ts div 1000")))

@@ -36,6 +36,9 @@ object AsOfJoin {
     val leftCols = left.columns.toSeq
     require(payload.intersect(leftCols).isEmpty,
       s"payload columns ${payload.intersect(leftCols)} collide with left side")
+    val internal = Seq("_t", "_side")
+    require(!(left.columns ++ right.columns).exists(internal.contains),
+      s"input frames may not contain the internal columns ${internal.mkString("/")}")
 
     val taggedLeft = left
       .withColumn("_t", col(leftTime))

@@ -41,7 +41,11 @@ object IoQueries {
     Q("q48_csv_roundtrip", Q.sql(oracle))(
       (s, dir) => {
         val path = scratch(s, "csv", dir)
-        sample(s, dir).write.option("header", "true").csv(path)
+        // escape must match Readers.csvQuoted (escape='"'); Spark's default
+        // write escape is backslash, which that reader would mis-parse on
+        // quote-bearing fields
+        sample(s, dir).write
+          .option("header", "true").option("escape", "\"").csv(path)
         Readers.csvQuoted(s, path, Some(schema))
           .orderBy("l_orderkey", "l_linenumber")
       }),

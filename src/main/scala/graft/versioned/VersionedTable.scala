@@ -92,8 +92,12 @@ final class VersionedTable private (val spark: SparkSession, val root: String) {
     Manifest.fromJson(new String(bytes, StandardCharsets.UTF_8))
   }
 
-  /** Atomic commit: temp file + rename (rename is atomic on HDFS/local FS;
-    * on object stores swap in a conditional-put here).
+  /** Atomic commit: temp file + no-overwrite rename via `FileContext`,
+    * which throws `FileAlreadyExistsException` if the destination exists —
+    * unlike `FileSystem.rename`, whose local-FS implementation happily
+    * OVERWRITES an existing destination (POSIX rename), which would
+    * silently drop one of two racing commits. On object stores swap in a
+    * conditional put.
     */
   private def commit(m: Manifest): Unit = {
     val f = fs
@@ -101,9 +105,14 @@ final class VersionedTable private (val spark: SparkSession, val root: String) {
     val tmp = new Path(logDir, s".tmp-${java.util.UUID.randomUUID()}")
     val out = f.create(tmp, false)
     try out.write(m.toJson.getBytes(StandardCharsets.UTF_8)) finally out.close()
-    if (!f.rename(tmp, manifestPath(m.version)))
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      rootPath.toUri, spark.sparkContext.hadoopConfiguration)
+    try fc.rename(tmp, manifestPath(m.version)) // Rename.NONE: no overwrite
+    catch { case e: org.apache.hadoop.fs.FileAlreadyExistsException =>
+      f.delete(tmp, false)
       throw new IllegalStateException(
-        s"concurrent commit detected for version ${m.version} of $root")
+        s"concurrent commit detected for version ${m.version} of $root", e)
+    }
   }
 
   private def latest(): Manifest = {
@@ -161,6 +170,9 @@ final class VersionedTable private (val spark: SparkSession, val root: String) {
   def update(cond: Column, set: Map[String, Column]): VersionedTable = {
     val cur = latest()
     val df = read(cur)
+    val unknown = set.keySet -- df.columns.toSet
+    require(unknown.isEmpty,
+      s"UPDATE on $root sets non-existent column(s): ${unknown.mkString(", ")}")
     // single projection: every SET expression reads the OLD row (SQL
     // UPDATE semantics) — a sequential withColumn fold would let later
     // assignments observe earlier ones
@@ -169,6 +181,16 @@ final class VersionedTable private (val spark: SparkSession, val root: String) {
         .map(e => when(cond, e).otherwise(col(s"`$c`")).as(c))
         .getOrElse(col(s"`$c`"))
     }.toSeq: _*)
+    // schema enforcement: a SET expression that changes a column's type
+    // would write parquet the committed schema can't read (the version
+    // would be unreadable). Fail loudly instead, like the V7 append guard.
+    val changed = updated.schema.fields.zip(cur.schema.fields).collect {
+      case (n, o) if n.dataType != o.dataType =>
+        s"${o.name}: ${o.dataType.simpleString} -> ${n.dataType.simpleString}"
+    }
+    require(changed.isEmpty,
+      s"UPDATE on $root would change column type(s): ${changed.mkString(", ")}" +
+        " — cast the SET expression to the column's type explicitly")
     val files = writeBatch(updated, cur.version + 1)
     commit(Manifest(cur.version + 1, "UPDATE", cur.schema, files))
     this
@@ -189,17 +211,24 @@ final class VersionedTable private (val spark: SparkSession, val root: String) {
     * garbage a crashed writer can leave; see the commit-protocol note).
     * Unlike Delta's retention-window vacuum, every committed version here
     * stays readable forever — only never-committed files are removed.
-    * Returns the deleted relative paths.
+    *
+    * `minAgeMs` (default 1 h, like Delta's retention check) spares files
+    * younger than the threshold: an IN-FLIGHT append has written its
+    * batch but not yet committed its manifest, and deleting those files
+    * would corrupt the commit when it lands. Pass 0 only when no writer
+    * can be active. Returns the deleted relative paths.
     */
-  def vacuum(): Seq[String] = {
+  def vacuum(minAgeMs: Long = 3600000L): Seq[String] = {
     val referenced: Set[String] =
       listVersions().flatMap(v => readManifest(v).files).toSet
     val f = fs
     val dataDir = new Path(rootPath, "data")
     if (!f.exists(dataDir)) return Nil
+    val cutoff = System.currentTimeMillis() - minAgeMs
     val onDisk = f.listStatus(dataDir).toSeq.flatMap { batch =>
-      f.listStatus(batch.getPath).toSeq.map(s =>
-        s"data/${batch.getPath.getName}/${s.getPath.getName}")
+      f.listStatus(batch.getPath).toSeq
+        .filter(_.getModificationTime < cutoff)
+        .map(s => s"data/${batch.getPath.getName}/${s.getPath.getName}")
     }
     val garbage = onDisk.filterNot(p =>
       referenced.contains(p) || !p.endsWith(".parquet"))

@@ -72,6 +72,15 @@ class VersionedTableSpec extends SparkSpec {
     (r.getInt(1), r.getInt(2)) shouldBe ((20, 10)) // swapped, not duplicated
   }
 
+  test("V4 guards: unknown SET column and type-changing SET both fail, no version committed") {
+    val t = VersionedTable.create(spark, tmpDir("vt"), base)
+    an[IllegalArgumentException] should be thrownBy
+      t.update(lit(true), Map("Ec_cm3" -> lit(0))) // case typo
+    an[IllegalArgumentException] should be thrownBy
+      t.update(lit(true), Map("ec_cm3" -> lit("not-a-number"))) // int -> string
+    t.version shouldBe 0
+  }
+
   test("V6: restore(v) makes current == asOf(v) and appends to history") {
     val t = VersionedTable.create(spark, tmpDir("vt"), base)
     t.update($"Mh" === "FERRARI", Map("ec_cm3" -> ($"ec_cm3" + 10)))
@@ -115,7 +124,7 @@ class VersionedTableSpec extends SparkSpec {
     val orphanDir = java.nio.file.Paths.get(root, "data", "b9999-deadbeef")
     java.nio.file.Files.createDirectories(orphanDir)
     java.nio.file.Files.write(orphanDir.resolve("part-orphan.parquet"), Array[Byte](1, 2))
-    val deleted = t.vacuum()
+    val deleted = t.vacuum(minAgeMs = 0L)
     deleted shouldBe Seq("data/b9999-deadbeef/part-orphan.parquet")
     java.nio.file.Files.exists(orphanDir) shouldBe false
     // both committed versions still fully readable
