@@ -1,0 +1,118 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.GraftSqlBridge
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode, FalseLiteral}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block.BlockHelper
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** True Z-order (Morton) clustering key — upgrades the range-sort
+  * approximation of the reference's `OPTIMIZE … ZORDER BY`
+  * (`delta_lake.py:54-67`): range-sort clusters only the leading key;
+  * bit-interleaving clusters ALL keys simultaneously, so parquet
+  * row-group min/max skipping works on every z-ordered column.
+  *
+  * Pipeline: per column, map values to a `2^bits`-bucket rank via
+  * QUANTILE boundaries (equi-depth — skew-proof, unlike min/max-uniform
+  * `width_bucket`), then interleave the bucket bits into one long.
+  * Boundaries come from `approxQuantile` — a driver-side array bounded by
+  * `2^bits`, never by data size. Bucketing is a custom expression
+  * ([[BucketOf]], codegen'd binary search); interleaving is pure bit
+  * arithmetic on ints — everything stays in whole-stage codegen, one
+  * narrow projection, no shuffle until the clustering repartition itself.
+  */
+object ZOrder {
+
+  /** Equi-depth bucket index of `child` in [0, boundaries.length]:
+    * the number of boundaries <= value (binary search). Nulls land in
+    * bucket 0 (cluster together, first).
+    */
+  case class BucketOf(child: Expression, boundaries: Array[Double])
+      extends UnaryExpression {
+
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      child.dataType match {
+        case DoubleType =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+        case other =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+            s"graft_bucket needs a double column (cast first), got ${other.simpleString}")
+      }
+    override def dataType: DataType = IntegerType
+    override def prettyName: String = "graft_bucket"
+    override def nullable: Boolean = false
+    // nulls -> bucket 0 rather than null propagation
+    override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+      val v = child.eval(input)
+      if (v == null) 0 else bucket(v.asInstanceOf[Double])
+    }
+
+    private def bucket(v: Double): Int = {
+      var lo = 0
+      var hi = boundaries.length
+      while (lo < hi) {
+        val mid = (lo + hi) >>> 1
+        if (boundaries(mid) <= v) lo = mid + 1 else hi = mid
+      }
+      lo
+    }
+
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val bRef = ctx.addReferenceObj("boundaries", boundaries, "double[]")
+      val childGen = child.genCode(ctx)
+      val v = ctx.freshName("v")
+      val lo = ctx.freshName("lo")
+      val hi = ctx.freshName("hi")
+      val mid = ctx.freshName("mid")
+      val code =
+        code"""
+           |${childGen.code}
+           |int ${ev.value} = 0;
+           |if (!${childGen.isNull}) {
+           |  double $v = ${childGen.value};
+           |  int $lo = 0; int $hi = $bRef.length;
+           |  while ($lo < $hi) {
+           |    int $mid = ($lo + $hi) >>> 1;
+           |    if ($bRef[$mid] <= $v) $lo = $mid + 1; else $hi = $mid;
+           |  }
+           |  ${ev.value} = $lo;
+           |}
+         """
+      ev.copy(code = code, isNull = FalseLiteral)
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /** Interleave the low `bits` bits of each bucket column into one long
+    * Morton key: output bit (i*n + j) = bit i of column j.
+    */
+  def interleave(buckets: Seq[Column], bits: Int): Column = {
+    val n = buckets.size
+    val terms = for {
+      i <- 0 until bits
+      (b, j) <- buckets.zipWithIndex
+    } yield shiftleft(shiftright(b, i).bitwiseAND(lit(1)).cast("long"),
+      i * n + j)
+    terms.reduce(_.bitwiseOR(_))
+  }
+
+  /** Z-order key for `cols` over `df`'s value distribution: equi-depth
+    * quantile bucketing (2^bits buckets/column) + bit interleave.
+    */
+  def zorderKey(df: DataFrame, cols: Seq[String], bits: Int = 8): Column = {
+    val nBuckets = 1 << bits
+    val probs = (1 until nBuckets).map(_.toDouble / nBuckets).toArray
+    val buckets = cols.map { c =>
+      val bounds = df.stat
+        .approxQuantile(c, probs, 0.001)
+        .distinct
+      GraftSqlBridge.column(BucketOf(
+        GraftSqlBridge.expression(col(s"`$c`").cast("double")), bounds))
+    }
+    interleave(buckets, bits).as("zorder_key")
+  }
+}

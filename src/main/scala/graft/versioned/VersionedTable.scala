@@ -251,12 +251,12 @@ final class VersionedTable private (val spark: SparkSession, val root: String) {
     this
   }
 
-  /** V2: compaction + clustering — the `OPTIMIZE … ZORDER BY` approximation
+  /** V2: compaction + clustering — `OPTIMIZE … ZORDER BY`
     * (`delta_lake.py:54-67`). Rewrites the table into `numFiles` files
     * range-sorted on `clusterBy`, so parquet row-group min/max statistics
-    * skip non-matching files/row-groups on those columns. (True Z-order
-    * interleaves bits of multiple keys; range-sort clusters on the leading
-    * key — documented approximation.)
+    * skip non-matching files/row-groups on those columns. Range-sort
+    * clusters primarily on the leading key; for multi-column skipping use
+    * [[zorder]].
     */
   def compact(numFiles: Int, clusterBy: Seq[String] = Nil): VersionedTable = {
     val cur = latest()
@@ -268,6 +268,26 @@ final class VersionedTable private (val spark: SparkSession, val root: String) {
     val files = writeBatch(clustered, cur.version + 1)
     commit(Manifest(cur.version + 1,
       if (clusterBy.isEmpty) "COMPACT" else s"CLUSTER(${clusterBy.mkString(",")})",
+      cur.schema, files))
+    this
+  }
+
+  /** V2, true Z-order: rewrite clustered on the interleaved-bit Morton key
+    * of `cols` ([[graft.functions.ZOrder]]) so row-group min/max skipping
+    * works on EVERY z-ordered column, matching Delta's `ZORDER BY`
+    * semantics (numeric columns; equi-depth quantile buckets).
+    */
+  def zorder(numFiles: Int, cols: Seq[String], bits: Int = 8): VersionedTable = {
+    val cur = latest()
+    val base = read(cur)
+    val key = graft.functions.ZOrder.zorderKey(base, cols, bits)
+    val clustered = base
+      .withColumn("_zorder_key", key)
+      .repartitionByRange(numFiles, col("_zorder_key"))
+      .sortWithinPartitions("_zorder_key")
+      .drop("_zorder_key")
+    val files = writeBatch(clustered, cur.version + 1)
+    commit(Manifest(cur.version + 1, s"ZORDER(${cols.mkString(",")})",
       cur.schema, files))
     this
   }
