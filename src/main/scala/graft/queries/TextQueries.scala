@@ -110,6 +110,60 @@ object TextQueries {
         T(s, dir, "documents")
           .select(col("doc_id"),
             TextAnalysis.fingerprint(col("text")).as("fp"))
-          .orderBy("doc_id"))
+          .orderBy("doc_id")),
+
+    // Capstone: the training-corpus preparation pipeline composed
+    // end-to-end — exact dedup (survivor = min doc_id per content hash),
+    // language filter (en), quality floor, token stats out. Every stage
+    // is the oracle-checked primitive from q31-q34, so the composition
+    // is verified as a whole.
+    Q("q50_corpus_pipeline", {
+      val maxExpr = TextAnalysis.LangMarkers
+        .map { case (l, _) => s"score_$l" }
+        .mkString("greatest(", ", ", ")")
+      val caseArms = TextAnalysis.LangMarkers.map { case (l, _) =>
+        s"WHEN mx > 0 AND score_$l = mx THEN '$l'"
+      }.mkString(" ")
+      val scores = TextAnalysis.LangMarkers.map { case (l, _) =>
+        s"${langScoreSql(l)} AS score_$l"
+      }.mkString(", ")
+      Q.sql(s"""
+        WITH keep AS (
+          SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5($normSql)),
+        surv AS (
+          SELECT * FROM documents WHERE doc_id IN (SELECT doc_id FROM keep)),
+        scored AS (
+          SELECT doc_id, $maxExpr AS mx,
+            CASE $caseArms ELSE 'und' END AS lang_pred,
+            n_tokens,
+            round(least(n_tokens / 100.0, 1.0) * 0.4
+              + (alpha / n_chr) * 0.4
+              + (1.0 - least(symbols * 5.0 / n_chr, 1.0)) * 0.2, 6) AS quality
+          FROM (
+            SELECT doc_id, $scores,
+              CAST(len(string_split_regex(trim(text), '\\s+')) AS INT) AS n_tokens,
+              CAST(length(text) AS DOUBLE) AS n_chr,
+              CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE) AS alpha,
+              CAST(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS DOUBLE) AS symbols
+            FROM surv) raw)
+        SELECT doc_id, n_tokens, quality
+        FROM scored
+        WHERE lang_pred = 'en' AND quality >= 0.5
+        ORDER BY doc_id""")
+    })(
+      (s, dir) => {
+        val docs = T(s, dir, "documents")
+        val keep = docs
+          .groupBy(TextAnalysis.fingerprint(col("text")).as("fp"))
+          .agg(min(col("doc_id")).as("doc_id"))
+          .select("doc_id")
+        docs.join(keep, Seq("doc_id"), "left_semi")
+          .where(TextAnalysis.langId(col("text")) === "en")
+          .select(col("doc_id"),
+            TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+            TextAnalysis.qualityScore(col("text")).as("quality"))
+          .where(col("quality") >= 0.5)
+          .orderBy("doc_id")
+      })
   )
 }
