@@ -112,6 +112,24 @@ object TextQueries {
             TextAnalysis.fingerprint(col("text")).as("fp"))
           .orderBy("doc_id")),
 
+    // Rabin-Karp rolling-hash fingerprint over the normalized text — the
+    // streaming-hash counterpart to q33's md5 (custom codegen expression;
+    // oracle folds the identical polynomial with list_reduce).
+    Q("q51_rolling_hash", Q.sql(s"""
+        SELECT doc_id, list_reduce(
+          list_prepend(CAST(0 AS BIGINT),
+            list_transform(regexp_extract_all($normSql, '.'),
+              c -> CAST(unicode(c) AS BIGINT))),
+          (h, c) -> (h * 31 + c) % 1000000007) AS rh
+        FROM documents
+        ORDER BY doc_id"""))(
+      (s, dir) =>
+        T(s, dir, "documents")
+          .select(col("doc_id"),
+            graft.functions.RollingHash.rollingHash(
+              TextAnalysis.normalizeText(col("text"))).as("rh"))
+          .orderBy("doc_id")),
+
     // Capstone: the training-corpus preparation pipeline composed
     // end-to-end — exact dedup (survivor = min doc_id per content hash),
     // language filter (en), quality floor, token stats out. Every stage

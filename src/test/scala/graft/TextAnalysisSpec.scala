@@ -48,6 +48,14 @@ class TextAnalysisSpec extends SparkSpec {
     clean should be > soup
   }
 
+  test("rollingHash: known value, empty string, null propagation") {
+    import graft.functions.RollingHash
+    one("abc", RollingHash.rollingHash).as[Long].head() shouldBe 96354L
+    one("", RollingHash.rollingHash).as[Long].head() shouldBe 0L
+    Seq(Option.empty[String]).toDF("t")
+      .select(RollingHash.rollingHash($"t")).head().isNullAt(0) shouldBe true
+  }
+
   test("countOccurrences counts non-overlapping literal matches") {
     one("aXbXcX", c => TextAnalysis.countOccurrences(c, "X"))
       .as[Int].head() shouldBe 3
