@@ -148,6 +148,36 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** SimHash near-duplicate pairs: hamming(simhash_a, simhash_b) <=
+    * `maxDist`. Pigeonhole banding makes it an equi-join: split the
+    * 16-bit fingerprint into `maxDist + 1` bands — any pair within
+    * `maxDist` must agree on at least one whole band — then verify
+    * candidates with an exact `bit_count(xor)`. No n² comparison;
+    * candidate volume scales with band collisions.
+    */
+  def simhashNearDups(df: DataFrame, idCol: Column, textCol: Column,
+                      maxDist: Int = 3, bits: Int = 16): DataFrame = {
+    val nBands = maxDist + 1
+    val bandBits = bits / nBands
+    val fp = simhash(df, idCol, textCol, bits)
+    val banded = fp.select(col("id"), col("simhash"),
+      explode(array((0 until nBands).map { b =>
+        struct(lit(b).as("band_idx"),
+          shiftright(col("simhash"), b * bandBits)
+            .bitwiseAND(lit((1L << bandBits) - 1)).as("band_val"))
+      }: _*)).as("bk"))
+      .select(col("id"), col("simhash"),
+        col("bk.band_idx").as("band_idx"), col("bk.band_val").as("band_val"))
+    banded.as("x").join(banded.as("y"),
+        col("x.band_idx") === col("y.band_idx") &&
+          col("x.band_val") === col("y.band_val") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
+        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming"))
+      .distinct()
+      .where(col("hamming") <= maxDist)
+  }
+
   /** SimHash fingerprint (2^bits-space, default 16 bits so the portable
     * hex-to-int stays in safe integer range): per token, take the first 4
     * hex chars of md5 as a 16-bit hash; per bit, sum +1/-1 over tokens;
@@ -156,9 +186,10 @@ object Dedup {
     */
   def simhash(df: DataFrame, idCol: Column, textCol: Column,
               bits: Int = 16): DataFrame = {
+    require(bits % 4 == 0 && bits <= 48, s"bits must be a multiple of 4 <= 48, got $bits")
     val toks = df.select(idCol.as("id"),
       explode(TextAnalysis.tokens(TextAnalysis.normalizeText(textCol))).as("tok"))
-    val h = expr(graft.functions.PortableSql.hexToLong("md5(tok)", 4)).as("h")
+    val h = expr(graft.functions.PortableSql.hexToLong("md5(tok)", bits / 4)).as("h")
     val withH = toks.select(col("id"), h)
     val bitSums = withH.groupBy("id")
       .agg(

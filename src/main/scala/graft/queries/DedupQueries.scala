@@ -116,6 +116,50 @@ object DedupQueries {
             n = 3, k = MinhashK, rowsPerBand = RowsPerBand, threshold = 0.8)
           .orderBy("id_a", "id_b")),
 
+    // SimHash hamming-near pairs: pigeonhole banding (maxDist+1 = 4 bands
+    // of 6 bits over a 24-bit fingerprint) + exact bit_count(xor)
+    // verification. 24 bits keeps the near-dup signal selective at sf0.1
+    // (a 16-bit space saturates: ~⅓ of all pairs collide within d=3).
+    Q("q52_simhash_neardup", {
+      val Bits = 24
+      val bandBits = 6
+      val h = PortableSql.hexToLong("md5(tok)", Bits / 4)
+      val bitSums = (0 until Bits)
+        .map(b => s"sum(${PortableSql.bit("h", b)} * 2 - 1) AS s$b")
+        .mkString(", ")
+      val fp = (0 until Bits)
+        .map(b => s"(CASE WHEN s$b >= 0 THEN ${PortableSql.pow2(b)} ELSE 0 END)")
+        .mkString(" + ")
+      val divisors = (0 until 4).map(b => 1L << (b * bandBits))
+      val divCase = s"CASE band_idx WHEN 0 THEN ${divisors(0)} WHEN 1 THEN ${divisors(1)} " +
+        s"WHEN 2 THEN ${divisors(2)} ELSE ${divisors(3)} END"
+      Q.sql(s"""
+        WITH toks AS (
+          SELECT doc_id AS id,
+            unnest(string_split(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')), ' ')) AS tok
+          FROM documents),
+        hashed AS (SELECT id, $h AS h FROM toks),
+        bitsums AS (SELECT id, $bitSums FROM hashed GROUP BY 1),
+        fp AS (SELECT id, $fp AS simhash FROM bitsums),
+        banded AS (
+          SELECT id, simhash, band_idx,
+            CAST(floor(simhash / $divCase) AS BIGINT) % ${1 << bandBits} AS band_val
+          FROM fp, (SELECT unnest([0, 1, 2, 3]) AS band_idx) b),
+        cand AS (
+          SELECT DISTINCT x.id AS id_a, y.id AS id_b,
+            bit_count(xor(CAST(x.simhash AS BIGINT), CAST(y.simhash AS BIGINT))) AS hamming
+          FROM banded x JOIN banded y
+            ON x.band_idx = y.band_idx AND x.band_val = y.band_val
+              AND x.id < y.id)
+        SELECT id_a, id_b, hamming FROM cand
+        WHERE hamming <= 3
+        ORDER BY id_a, id_b""")
+    })(
+      (s, dir) =>
+        Dedup.simhashNearDups(T(s, dir, "documents"),
+            col("doc_id"), col("text"), maxDist = 3, bits = 24)
+          .orderBy("id_a", "id_b")),
+
     // SimHash (16-bit, token-frequency weighted) per document.
     Q("q37_simhash", {
       val h = PortableSql.hexToLong("md5(tok)", 4)

@@ -51,6 +51,13 @@ class DedupSpec extends SparkSpec {
     out.keySet should not contain ((1L, 4L))
   }
 
+  test("simhashNearDups: identical docs at hamming 0; pairs are exact-verified") {
+    val out = Dedup.simhashNearDups(docs, $"doc_id", $"text", maxDist = 3, bits = 24)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    out((1L, 2L)) shouldBe 0 // identical docs
+    out.values.foreach(h => h should be <= 3)
+  }
+
   test("simhash: identical docs get identical fingerprints, disjoint docs differ") {
     val fp = Dedup.simhash(docs, $"doc_id", $"text")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
