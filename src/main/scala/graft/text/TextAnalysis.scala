@@ -40,9 +40,13 @@ object TextAnalysis {
   def fingerprint(c: Column): Column =
     md5(normalizeText(c).cast("binary"))
 
-  /** Occurrences of a constant substring (portable replace-length trick). */
+  /** Occurrences of a constant substring (portable replace-length trick).
+    * Literal `replace`, not regexp_replace — langId runs 12 of these per
+    * document and the regex engine costs ~3× the literal scan (the
+    * DuckDB oracle uses the same literal replace).
+    */
   def countOccurrences(c: Column, needle: String): Column =
-    ((length(c) - length(regexp_replace(c, java.util.regex.Pattern.quote(needle), ""))) / needle.length)
+    ((length(c) - length(call_function("replace", c, lit(needle), lit("")))) / needle.length)
       .cast("int")
 
   /** Language markers: tiny per-language stopword lists. Scores are padded
