@@ -186,7 +186,9 @@ object Dedup {
     */
   def simhash(df: DataFrame, idCol: Column, textCol: Column,
               bits: Int = 16): DataFrame = {
-    require(bits % 4 == 0 && bits <= 48, s"bits must be a multiple of 4 <= 48, got $bits")
+    // bit() extraction goes through CAST(... AS INT): h < 2^28 keeps the
+    // cast safe under Spark 4 ANSI mode (2^31 would overflow)
+    require(bits % 4 == 0 && bits <= 28, s"bits must be a multiple of 4 <= 28, got $bits")
     val toks = df.select(idCol.as("id"),
       explode(TextAnalysis.tokens(TextAnalysis.normalizeText(textCol))).as("tok"))
     val h = expr(graft.functions.PortableSql.hexToLong("md5(tok)", bits / 4)).as("h")

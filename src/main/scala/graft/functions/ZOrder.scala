@@ -92,6 +92,9 @@ object ZOrder {
     */
   def interleave(buckets: Seq[Column], bits: Int): Column = {
     val n = buckets.size
+    require(n * bits <= 64,
+      s"interleave of $n columns x $bits bits exceeds 64 key bits " +
+        "(Java long shifts wrap mod 64 and would silently corrupt the key)")
     val terms = for {
       i <- 0 until bits
       (b, j) <- buckets.zipWithIndex
@@ -106,12 +109,12 @@ object ZOrder {
   def zorderKey(df: DataFrame, cols: Seq[String], bits: Int = 8): Column = {
     val nBuckets = 1 << bits
     val probs = (1 until nBuckets).map(_.toDouble / nBuckets).toArray
-    val buckets = cols.map { c =>
-      val bounds = df.stat
-        .approxQuantile(c, probs, 0.001)
-        .distinct
+    // ONE pass for all columns (the per-column overload would scan the
+    // table being optimized once per z-order column)
+    val allBounds = df.stat.approxQuantile(cols.toArray, probs, 0.001)
+    val buckets = cols.zip(allBounds).map { case (c, bounds) =>
       GraftSqlBridge.column(BucketOf(
-        GraftSqlBridge.expression(col(s"`$c`").cast("double")), bounds))
+        GraftSqlBridge.expression(col(s"`$c`").cast("double")), bounds.distinct))
     }
     interleave(buckets, bits).as("zorder_key")
   }

@@ -66,9 +66,14 @@ object Ivf {
         .map(r => (r.getInt(0), r.getInt(1)) -> (r.getDouble(2), r.getLong(3)))
         .toMap
       centroids = Array.tabulate(k) { c =>
-        if (stats.contains((c, 0)))
-          Array.tabulate(dim) { p => val (s, n) = stats((c, p)); s / n }
-        else centroids(c)
+        if (stats.contains((c, 0))) {
+          val mean = Array.tabulate(dim) { p => val (s, n) = stats((c, p)); s / n }
+          // spherical k-means: L2-normalize so max-inner-product assignment
+          // stays equivalent to nearest-by-cosine (unnormalized means bias
+          // assignment toward tight, large-norm cells)
+          val nrm = math.sqrt(mean.map(x => x * x).sum)
+          if (nrm > 0) mean.map(_ / nrm) else mean
+        } else centroids(c)
       }
     }
     centroids
@@ -85,15 +90,16 @@ object Ivf {
     */
   def knn(queries: DataFrame, corpus: DataFrame,
           centroids: Array[Array[Double]], nProbe: Int, k: Int,
-          dim: Int = 64): DataFrame = {
+          dim: Int = 64, idCol: String = "vec_id",
+          embCol: String = "embedding"): DataFrame = {
     val q = queries
-      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
-        Similarity.norm(col("embedding"), dim).as("q_norm"),
-        explode(probeCells(col("embedding"), centroids, nProbe)).as("cell"))
-    val c = assign(corpus, centroids)
-      .select(col("cell"), col("vec_id").as("neighbor_id"),
-        col("embedding").as("c_emb"),
-        Similarity.norm(col("embedding"), dim).as("c_norm"))
+      .select(col(idCol).as("query_id"), col(embCol).as("q_emb"),
+        Similarity.norm(col(embCol), dim).as("q_norm"),
+        explode(probeCells(col(embCol), centroids, nProbe)).as("cell"))
+    val c = assign(corpus, centroids, embCol)
+      .select(col("cell"), col(idCol).as("neighbor_id"),
+        col(embCol).as("c_emb"),
+        Similarity.norm(col(embCol), dim).as("c_norm"))
     val scored = q.join(c, Seq("cell"))
       .where(col("query_id") =!= col("neighbor_id"))
       .withColumn("cos_sim",

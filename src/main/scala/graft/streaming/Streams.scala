@@ -74,7 +74,10 @@ object Streams {
       ts.foreach { t =>
         cur match {
           case Some(s) if t - s.last <= gapSeconds =>
-            cur = Some(SessState(s.start, t, s.n + 1))
+            // merge; min/max so a LATE event (t < s.last, possible across
+            // micro-batches with no watermark) extends the session rather
+            // than regressing `last` and breaking the next gap computation
+            cur = Some(SessState(math.min(s.start, t), math.max(s.last, t), s.n + 1))
           case Some(s) =>
             out += Session(user, s.start, s.last, s.n)
             cur = Some(SessState(t, t, 1))

@@ -74,6 +74,34 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionsWithState: a late event merges without regressing session bounds") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Long)]
+    val sessions = Streams.sessionsWithState(input.toDS(), gapSeconds = 600)
+    val q = sessions.writeStream
+      .format("memory").queryName("late_sessions").outputMode("append")
+      .start()
+    try {
+      input.addData(("u1", 1000L))
+      q.processAllAvailable()
+      input.addData(("u1", 500L)) // late, within gap of [1000]
+      q.processAllAvailable()
+      // 1150 is 150s after the true last event (1000) -> must still merge;
+      // before the min/max fix, state.last had regressed to 500 and this
+      // wrongly closed a Session(start=1000, end=500)
+      input.addData(("u1", 1150L))
+      q.processAllAvailable()
+      spark.table("late_sessions").count() shouldBe 0
+      input.addData(("u1", 9999L)) // far future closes the merged session
+      q.processAllAvailable()
+      val s = spark.table("late_sessions").as[Streams.Session].collect()
+      s.length shouldBe 1
+      s.head.start shouldBe 500L
+      s.head.end shouldBe 1150L
+      s.head.nEvents shouldBe 3L
+    } finally q.stop()
+  }
+
   test("decade UDF variant agrees with the native expression") {
     val years = Seq(1969, 1970, 2025).toDF("year")
     val both = years.select(

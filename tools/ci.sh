@@ -1,20 +1,36 @@
 #!/bin/bash
 # One-command round validation: compile, unit tests, smoke, sf0.01
-# oracle gate, sf0.001 bench contract. Exit non-zero on any failure.
-set -e
+# oracle gate, sf0.001 bench contract. Exits non-zero on any failure
+# (exit codes are captured explicitly — a `cmd | grep` pipeline would
+# swallow the real status).
+set -u
 cd "$(dirname "$0")/.."
+fail=0
 
 echo "== compile + test"
-sbt -batch test 2>&1 | grep -E "Tests:|\*\*\*|error" | head -5
+test_out=$(sbt -batch test 2>&1); test_rc=$?
+echo "$test_out" | grep -E "Tests:|\*\*\*|\[error\]" | head -5
+[ $test_rc -ne 0 ] && { echo "FAIL: sbt test (rc=$test_rc)"; fail=1; }
 
 echo "== smoke (driver t1)"
-tools/run.sh graft.Smoke 2>/dev/null | grep "entry rows"
+smoke=$(tools/run.sh graft.Smoke 2>/dev/null | grep "entry rows")
+echo "$smoke"
+echo "$smoke" | grep -qE "entry rows=[1-9]" || { echo "FAIL: smoke"; fail=1; }
 
 echo "== correctness vs DuckDB oracle (driver t2 mirror, sf0.01)"
 out=$(mktemp -d)
 tools/run.sh graft.Verify /root/testdata/sf0.01 "$out" 2>/dev/null >/dev/null
-python3 tools/check_oracle.py /root/testdata/sf0.01 "$out" 2>&1 | tail -1
+oracle_out=$(python3 tools/check_oracle.py /root/testdata/sf0.01 "$out" 2>&1); oracle_rc=$?
+echo "$oracle_out" | tail -1
+[ $oracle_rc -ne 0 ] && { echo "FAIL: oracle gate (rc=$oracle_rc)"; fail=1; }
 
 echo "== bench JSON contract (sf0.001)"
-SPARK_GRAFT_SF_DIR=/root/testdata/sf0.001 tools/run.sh graft.Bench 2>/dev/null \
-  | tail -1 | python3 -c "import json,sys; d=json.load(sys.stdin); print('total', round(d['value'],1), 'sec,', len(d['queries']), 'queries')"
+bench=$(SPARK_GRAFT_SF_DIR=/root/testdata/sf0.001 tools/run.sh graft.Bench 2>/dev/null | tail -1)
+echo "$bench" | python3 -c "
+import json, sys
+d = json.load(sys.stdin)
+bad = [k for k, v in d['queries'].items() if v < 0]
+print('total', round(d['value'], 1), 'sec,', len(d['queries']), 'queries,', len(bad), 'failed')
+sys.exit(1 if bad else 0)" || { echo "FAIL: bench contract"; fail=1; }
+
+exit $fail
