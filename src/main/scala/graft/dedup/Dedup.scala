@@ -150,7 +150,7 @@ object Dedup {
 
   /** SimHash near-duplicate pairs: hamming(simhash_a, simhash_b) <=
     * `maxDist`. Pigeonhole banding makes it an equi-join: split the
-    * 16-bit fingerprint into `maxDist + 1` bands — any pair within
+    * fingerprint into `maxDist + 1` bands — any pair within
     * `maxDist` must agree on at least one whole band — then verify
     * candidates with an exact `bit_count(xor)`. No n² comparison;
     * candidate volume scales with band collisions.
