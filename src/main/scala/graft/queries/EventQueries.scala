@@ -122,6 +122,36 @@ object EventQueries {
           .select(col("user_id"), col("event_id"), col("t").as("click_sec"),
             col("click_value"), col("view_value"))
           .orderBy("user_id", "event_id")
+      }),
+
+    // Banded range join: for each click, how many OTHER events (any user)
+    // happened within ±60 s. The oracle is the naive theta join; the
+    // Spark side is the banded equi-join (no nested-loop O(n·m)).
+    // Times floor to epoch seconds on both engines.
+    Q("q53_range_join", Q.sql("""
+        SELECT c.event_id, count(*) AS n_neighbors
+        FROM (SELECT event_id, epoch_us(ts) // 1000000 AS sec
+              FROM events WHERE event_type = 'click') c
+        JOIN (SELECT event_id, epoch_us(ts) // 1000000 AS sec FROM events) e
+          ON e.sec BETWEEN c.sec - 60 AND c.sec + 60
+            AND e.event_id <> c.event_id
+        GROUP BY c.event_id
+        ORDER BY c.event_id"""))(
+      (s, dir) => {
+        val ev = T(s, dir, "events")
+          .select(col("event_id"), unix_timestamp(col("ts")).as("sec"))
+        val clicks = T(s, dir, "events")
+          .where(col("event_type") === "click")
+          .select(col("event_id").as("click_id"),
+            (unix_timestamp(col("ts")) - 60).as("win_start"),
+            (unix_timestamp(col("ts")) + 60).as("win_end"))
+        graft.ops.RangeJoin.pointInInterval(ev, clicks,
+            pointCol = "sec", startCol = "win_start", endCol = "win_end",
+            bandWidth = 60)
+          .where(col("event_id") =!= col("click_id"))
+          .groupBy(col("click_id").as("event_id"))
+          .agg(count(lit(1)).as("n_neighbors"))
+          .orderBy("event_id")
       })
   )
 }
