@@ -5,11 +5,14 @@ import org.apache.spark.sql.SparkSession
 /** Benchmark main (driver contract): times every registered query on
   * `SPARK_GRAFT_SF_DIR` and prints ONE JSON line.
   *
-  * Timing method: wall-clock around a `count()` action (compute without
-  * sink cost), adopted from the reference's noop-sink timing
-  * (`udf_complex_logic.py:63-71`). A small untimed warmup query runs
-  * first so JVM/codegen startup isn't attributed to whichever query
-  * happens to run first; queries run in name order for stable attribution.
+  * Timing method: wall-clock around a `noop`-format sink write
+  * ([[graft.io.Writers.noop]]) — full compute of every projected column,
+  * output discarded — matching the reference's benchmark method
+  * (`udf_complex_logic.py:63-71`). `count()` would let Catalyst prune all
+  * columns and under-time projection-heavy queries. A small untimed warmup
+  * query runs first so JVM/codegen startup isn't attributed to whichever
+  * query happens to run first; queries run in name order for stable
+  * attribution.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -25,14 +28,18 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // warmup: exercise scan + shuffle + codegen paths once, untimed
     // (entry reads its own fixture path; a missing path must not kill the run)
-    try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
+    try io.Writers.noop(SparkEntry.entry(spark)) catch { case _: Throwable => () }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       // a failed query reports -1 (unambiguous error marker), never its
       // elapsed-to-crash time masquerading as a fast success
       val sec =
-        try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+        try { io.Writers.noop(fn(spark, sfDir)); (System.nanoTime() - t0) / 1e9 }
         catch { case _: Throwable => -1.0 }
+      // per-query cache isolation: operators (dedup) cache intermediates
+      // for intra-query reuse; without this the 53-query run accumulates
+      // every cached plan in executor memory
+      spark.catalog.clearCache()
       name -> sec
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

@@ -2,6 +2,7 @@ package graft.dedup
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 import graft.text.TextAnalysis
 
@@ -25,6 +26,20 @@ import graft.text.TextAnalysis
   */
 object Dedup {
 
+  /** Spread CPU-heavy per-row work across all cores: a small parquet input
+    * arrives as ONE scan partition (file < maxPartitionBytes), which would
+    * run the regex-heavy normalize→tokenize→explode stages single-threaded.
+    * One tiny round-robin shuffle parallelizes them.
+    */
+  private def spread(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+  /** Cache only if the caller has not already done so (double-caching logs
+    * "already cached" warnings and double-registers the plan).
+    */
+  private def cached(df: DataFrame): DataFrame =
+    if (df.storageLevel == StorageLevel.NONE) df.cache() else df
+
   /** Exact dedup groups: one row per distinct content fingerprint with the
     * surviving (minimum) id and the duplicate count.
     */
@@ -43,7 +58,7 @@ object Dedup {
     */
   def shingles(df: DataFrame, idCol: Column, textCol: Column, n: Int): DataFrame = {
     val words = TextAnalysis.tokens(TextAnalysis.normalizeText(textCol))
-    df.select(idCol.as("id"), words.as("w"))
+    spread(df).select(idCol.as("id"), words.as("w"))
       .select(col("id"),
         explode(
           when(size(col("w")) < n, array())
@@ -64,12 +79,32 @@ object Dedup {
     * |A∩B| / (|A|+|B|-|A∩B|), keeping pairs with jaccard >= threshold.
     * Quadratic in colliding docs — use [[minhashCandidates]] to prefilter
     * at scale.
+    *
+    * `maxDf` (scale path, off by default): drop shingles appearing in more
+    * than `maxDf` documents BEFORE counts and the pair join. Boilerplate
+    * shingles have quadratic posting lists (df=10⁶ → 5·10¹¹ pairs for ONE
+    * key) and carry no near-dup signal; capping them bounds the worst key
+    * at maxDf²/2 pairs. Changes semantics to "Jaccard over shingles with
+    * df <= maxDf" — the caller's oracle must apply the same cap.
     */
-  def jaccardPairs(shRaw: DataFrame, threshold: Double): DataFrame = {
+  def jaccardPairs(shRaw: DataFrame, threshold: Double,
+                   maxDf: Option[Int] = None): DataFrame = {
     // The shingle frame is referenced four times below (join sides + both
     // count denominators); without materialization Spark recomputes the
-    // scan→explode→distinct subtree per reference.
-    val sh = shRaw.cache()
+    // scan→explode→distinct subtree per reference. Cache lifecycle: the
+    // harness mains clear the session cache after each query's action.
+    val shAll = cached(shRaw)
+    val sh = maxDf match {
+      case None => shAll
+      case Some(cap) =>
+        // df-filter joins on shash, the same key as the pair join below —
+        // co-partitioned, so the cap costs one aggregation, no extra
+        // shuffle of the big side.
+        val keep = shAll.groupBy("shash")
+          .agg(count(lit(1)).as("df")).where(col("df") <= cap)
+          .select("shash")
+        shAll.join(keep, Seq("shash"), "left_semi")
+    }
     val counts = shingleCounts(sh)
     val a = sh.as("a")
     val b = sh.as("b")
@@ -137,14 +172,30 @@ object Dedup {
 
   /** Full MinHash-LSH near-dup pipeline: shingle -> sign -> band -> candidate
     * pairs -> exact-Jaccard verification at `threshold`.
+    *
+    * The verify stage is candidate-restricted: intersections are computed
+    * FROM the candidate pairs (pair ⋈ shingles-of-a ⋈ shingles-of-b), never
+    * over all shingle collisions — the whole point of LSH is that the
+    * candidate set is tiny while the all-collisions pair set is quadratic.
+    * Equivalent to intersecting the full Jaccard-pair set with the
+    * candidates (DedupSpec proves it), at candidate-proportional cost.
     */
   def minhashNearDups(df: DataFrame, idCol: Column, textCol: Column,
                       n: Int, k: Int, rowsPerBand: Int,
                       threshold: Double): DataFrame = {
-    val sh = shingles(df, idCol, textCol, n).cache()
+    val sh = cached(shingles(df, idCol, textCol, n))
     val cands = minhashCandidates(minhashSignatures(sh, k), k, rowsPerBand)
-    val verified = jaccardPairs(sh, threshold)
-    cands.join(verified, Seq("id_a", "id_b"))
+    val inter = cands
+      .join(sh.select(col("id").as("id_a"), col("shash")), Seq("id_a"))
+      .join(sh.select(col("id").as("id_b"), col("shash")), Seq("id_b", "shash"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_inter"))
+    val counts = shingleCounts(sh)
+    inter
+      .join(counts.withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
+      .join(counts.withColumnRenamed("id", "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
+      .withColumn("jaccard",
+        round(col("n_inter") * 1.0 / (col("n_a") + col("n_b") - col("n_inter")), 6))
+      .where(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
   }
 
@@ -189,7 +240,7 @@ object Dedup {
     // bit() extraction goes through CAST(... AS INT): h < 2^28 keeps the
     // cast safe under Spark 4 ANSI mode (2^31 would overflow)
     require(bits % 4 == 0 && bits <= 28, s"bits must be a multiple of 4 <= 28, got $bits")
-    val toks = df.select(idCol.as("id"),
+    val toks = spread(df).select(idCol.as("id"),
       explode(TextAnalysis.tokens(TextAnalysis.normalizeText(textCol))).as("tok"))
     val h = expr(graft.functions.PortableSql.hexToLong("md5(tok)", bits / 4)).as("h")
     val withH = toks.select(col("id"), h)

@@ -59,27 +59,47 @@ object TextAnalysis {
     "de" -> Seq(" der ", " und ", " die "),
     "fr" -> Seq(" le ", " et ", " les "))
 
-  private def padded(c: Column): Column =
-    concat(lit(" "), normalizeText(c), lit(" "))
-
-  /** Per-language marker score. */
-  def langScore(c: Column, lang: String): Column = {
-    val p = padded(c)
-    LangMarkers.toMap.apply(lang)
-      .map(m => countOccurrences(p, m))
-      .reduce(_ + _)
-  }
-
-  /** N-gram-heuristic language ID: highest marker score wins, ties resolve
-    * in [[LangMarkers]] order; all-zero scores -> "und".
+  /** Space-padded form of an ALREADY-normalized column, so markers match
+    * at string boundaries too.
     */
-  def langId(c: Column): Column = {
-    val scores = LangMarkers.map { case (l, _) => l -> langScore(c, l) }
+  def padNorm(norm: Column): Column = concat(lit(" "), norm, lit(" "))
+
+  private def padded(c: Column): Column = padNorm(normalizeText(c))
+
+  /** Marker score for one language from a pre-padded normalized column.
+    * Hoist `padNorm(normalizeText(text))` into a projection ONCE and feed
+    * it here: inlining the normalization into every marker count (12+
+    * regex passes/doc) generates a codegen method past the 8 KB JIT limit
+    * ("Generated method too long to be JIT compiled") and re-scans the
+    * string a dozen times.
+    */
+  def langScoreFromPadded(pad: Column, lang: String): Column =
+    LangMarkers.toMap.apply(lang)
+      .map(m => countOccurrences(pad, m))
+      .reduce(_ + _)
+
+  /** Per-language marker score (self-contained form; prefer
+    * [[langScoreFromPadded]] over a hoisted column in multi-score plans).
+    */
+  def langScore(c: Column, lang: String): Column =
+    langScoreFromPadded(padded(c), lang)
+
+  /** Language ID from already-projected per-language score columns —
+    * the scores are referenced ~2× each here, so they must be attributes,
+    * not inlined expression trees.
+    */
+  def langIdFromScores(scores: Seq[(String, Column)]): Column = {
     val maxScore = scores.map(_._2).reduce((a, b) => greatest(a, b))
     scores.foldRight(lit("und"): Column) { case ((l, s), acc) =>
       when(maxScore > 0 && s === maxScore, lit(l)).otherwise(acc)
     } // foldRight: earlier entries take precedence on ties
   }
+
+  /** N-gram-heuristic language ID: highest marker score wins, ties resolve
+    * in [[LangMarkers]] order; all-zero scores -> "und".
+    */
+  def langId(c: Column): Column =
+    langIdFromScores(LangMarkers.map { case (l, _) => l -> langScore(c, l) })
 
   /** Heuristic quality score in [0,1]: rewards length (saturating at 100
     * tokens) and alphabetic density, penalizes symbol density. Formula is

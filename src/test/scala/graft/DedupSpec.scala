@@ -51,6 +51,38 @@ class DedupSpec extends SparkSpec {
     out.keySet should not contain ((1L, 4L))
   }
 
+  test("candidate-restricted verify equals full-Jaccard-intersect-candidates") {
+    // minhashNearDups computes intersections FROM the candidate pairs
+    // (cost ∝ candidates); this proves it returns exactly what the naive
+    // formulation — all Jaccard pairs intersected with the candidates —
+    // would, pair for pair and score for score.
+    val sh = Dedup.shingles(docs, $"doc_id", $"text", 3)
+    val cands = Dedup.minhashCandidates(
+      Dedup.minhashSignatures(sh, 8), 8, rowsPerBand = 2)
+    val naive = Dedup.jaccardPairs(sh, threshold = 0.1)
+      .join(cands, Seq("id_a", "id_b"))
+      .select("id_a", "id_b", "jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val restricted = Dedup.minhashNearDups(docs, $"doc_id", $"text",
+      n = 3, k = 8, rowsPerBand = 2, threshold = 0.1)
+      .select("id_a", "id_b", "jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    restricted shouldBe naive
+    restricted should not be empty
+  }
+
+  test("jaccardPairs maxDf drops boilerplate shingles from pairs and denominators") {
+    // With a cap of 1 every shared shingle (df >= 2) is dropped, so no
+    // pair can form; with a generous cap results equal the uncapped run.
+    val sh = Dedup.shingles(docs, $"doc_id", $"text", 3)
+    Dedup.jaccardPairs(sh, threshold = 0.1, maxDf = Some(1)).count() shouldBe 0
+    val capped = Dedup.jaccardPairs(sh, threshold = 0.1, maxDf = Some(1000))
+      .select("id_a", "id_b", "jaccard").collect().toSet
+    val full = Dedup.jaccardPairs(sh, threshold = 0.1)
+      .select("id_a", "id_b", "jaccard").collect().toSet
+    capped shouldBe full
+  }
+
   test("simhashNearDups: identical docs at hamming 0; pairs are exact-verified") {
     val out = Dedup.simhashNearDups(docs, $"doc_id", $"text", maxDist = 3, bits = 24)
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap

@@ -33,6 +33,10 @@ def main():
               "lineitem","events","documents","embeddings"]:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
     oracles = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
+    # Verify emits each entry under both `<name>` and `<name>.parquet`
+    # (driver-handoff redundancy); keep the bare form only.
+    oracles = {k[:-len(".parquet")] if k.endswith(".parquet") else k: v
+               for k, v in oracles.items()}
     n_ok = n_bad = 0
     for name in sorted(oracles):
         sql = oracles[name]

@@ -24,6 +24,25 @@ oracle_out=$(python3 tools/check_oracle.py /root/testdata/sf0.01 "$out" 2>&1); o
 echo "$oracle_out" | tail -1
 [ $oracle_rc -ne 0 ] && { echo "FAIL: oracle gate (rc=$oracle_rc)"; fail=1; }
 
+echo "== oracle coverage (every query must ship an oracle unless allowlisted)"
+# rows-only allowlist: queries whose semantics cannot be expressed in
+# DuckDB SQL. Adding a query without an oracle and without listing it
+# here fails the round.
+ROWS_ONLY=""
+python3 - "$out" "$ROWS_ONLY" <<'EOF' || { echo "FAIL: oracle coverage"; fail=1; }
+import json, os, sys
+out, allow = sys.argv[1], set(filter(None, sys.argv[2].split(",")))
+oracles = json.load(open(os.path.join(out, "oracle_sql.json")))
+keys = {k[:-8] if k.endswith(".parquet") else k for k in oracles}
+results = {d[:-8] for d in os.listdir(out)
+           if d.endswith(".parquet") and os.path.isdir(os.path.join(out, d))}
+missing = sorted(results - keys - allow)
+print(f"{len(results)} queries, {len(keys)} oracled, {len(allow)} allowlisted rows-only")
+if missing:
+    print("MISSING ORACLE:", ", ".join(missing))
+    sys.exit(1)
+EOF
+
 echo "== bench JSON contract (sf0.001)"
 bench=$(SPARK_GRAFT_SF_DIR=/root/testdata/sf0.001 tools/run.sh graft.Bench 2>/dev/null | tail -1)
 echo "$bench" | python3 -c "
