@@ -57,6 +57,26 @@ object PortableSql {
   def cosine(aExpr: String, bExpr: String, dim: Int): String =
     s"(${dot(aExpr, bExpr, dim)} / (sqrt(${dot(aExpr, aExpr, dim)}) * sqrt(${dot(bExpr, bExpr, dim)})))"
 
+  /** Shortest round-trip decimal form of a double: both Spark SQL and
+    * DuckDB parse it back to the identical bits (correctly-rounded strtod),
+    * so constant vectors (LSH hyperplanes, IVF centroids) can be embedded
+    * as SQL literals.
+    */
+  def doubleLit(v: Double): String = {
+    require(!v.isNaN && !v.isInfinite, s"non-finite literal: $v")
+    java.lang.Double.toString(v)
+  }
+
+  /** Dot product of a float-array column against a CONSTANT weight vector,
+    * as a left-associative chain — the identical accumulation order of
+    * [[graft.functions.ArrayMath.DotWithConst]]'s codegen loop, so the
+    * result is bit-identical.
+    */
+  def dotConst(arrExpr: String, w: Array[Double]): String =
+    w.zipWithIndex.map { case (v, i) =>
+      s"CAST($arrExpr[${i + 1}] AS DOUBLE) * (${doubleLit(v)})"
+    }.mkString("(", " + ", ")")
+
   /** 2^b as an integer literal. */
   def pow2(b: Int): Long = 1L << b
 

@@ -9,13 +9,16 @@ import graft.similarity.{Ivf, Similarity}
 
 /** North-star similarity-search queries over `embeddings` (64-dim float
   * vectors): brute-force cosine top-k (correctness baseline), cosine
-  * near-dup pairs, and the LSH-bucketed scale path (rows-only check — its
-  * oracle SQL would be ~0.5 MB of constant-folded hyperplanes; its
-  * equivalence to brute force is asserted in ScalaTest instead).
+  * near-dup pairs, and the two scale paths — hyperplane-LSH buckets and
+  * IVF cell probing — each oracled bit-for-bit by embedding the
+  * deterministic plane/centroid constants as round-trip double literals
+  * in generated DuckDB SQL.
   */
 object SimilarityQueries {
 
   private val Dim = 64
+  private val LshBits = 8
+  private val IvfK = 8
 
   private def T(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
@@ -55,21 +58,75 @@ object SimilarityQueries {
         Similarity.nearDupPairs(T(s, dir, "embeddings"), threshold = 0.4)
           .orderBy("id_a", "id_b")),
 
-    // LSH-bucketed near-neighbour candidates (scale path; rows-only check).
-    Q("q41_lsh_neardup", None)(
+    // LSH-bucketed near-neighbour candidates (scale path). The hyperplanes
+    // are deterministic md5-derived constants, so the oracle embeds them as
+    // double literals and rebuilds the identical sign-bit bucket id —
+    // bit-exact on both engines (left-assoc accumulation, round-trip
+    // literals).
+    Q("q41_lsh_neardup", {
+      val bucket = Similarity.planes(LshBits, Dim).zipWithIndex.map {
+        case (plane, p) =>
+          s"(CASE WHEN ${PortableSql.dotConst("embedding", plane)} >= 0" +
+            s" THEN ${1L << p} ELSE 0 END)"
+      }.mkString("(", " + ", ")")
+      Q.sql(s"""
+        WITH b AS (
+          SELECT vec_id, embedding, CAST($bucket AS BIGINT) AS bucket
+          FROM embeddings)
+        SELECT x.vec_id AS id_a, y.vec_id AS id_b, x.bucket,
+          ${cosSql("x.embedding", "y.embedding")} AS cos_sim
+        FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+        WHERE ${cosSql("x.embedding", "y.embedding")} >= 0.3
+        ORDER BY id_a, id_b""")
+    })(
       (s, dir) =>
-        Similarity.knnLsh(T(s, dir, "embeddings"), dim = Dim, nBits = 8,
+        Similarity.knnLsh(T(s, dir, "embeddings"), dim = Dim, nBits = LshBits,
             threshold = 0.3)
           .orderBy("id_a", "id_b")),
 
-    // IVF approximate top-k (second scale path; rows-only check — IvfSpec
-    // proves probe-all == brute force and measures partial-probe recall).
-    Q("q47_ivf_knn", None)(
+    // IVF approximate top-k (second scale path). The SEARCH path — probe
+    // ranking, cell assignment, candidate equi-join, per-query top-k — runs
+    // against deterministic fixed unit centroids the oracle embeds as
+    // literals; data-adaptive Lloyd training stays spec-verified (IvfSpec:
+    // probe-all == brute force, partial-probe recall).
+    Q("q47_ivf_knn", {
+      val cents = Ivf.fixedCentroids(IvfK, Dim)
+      val cellList = cents.indices.mkString("[", ", ", "]")
+      val scoreList = cents.map(c => PortableSql.dotConst("embedding", c))
+        .mkString("[", ", ", "]")
+      Q.sql(s"""
+        WITH sc AS (
+          SELECT vec_id, embedding, unnest($cellList) AS cell,
+            unnest($scoreList) AS score
+          FROM embeddings),
+        asg AS (
+          SELECT vec_id, embedding, cell FROM (
+            SELECT vec_id, embedding, cell, row_number() OVER (
+              PARTITION BY vec_id ORDER BY score DESC, cell DESC) AS rn
+            FROM sc) t
+          WHERE rn = 1),
+        probe AS (
+          SELECT vec_id, embedding, cell FROM (
+            SELECT vec_id, embedding, cell, row_number() OVER (
+              PARTITION BY vec_id ORDER BY score DESC, cell DESC) AS rn
+            FROM sc WHERE vec_id < 5) t
+          WHERE rn <= 3),
+        cand AS (
+          SELECT p.vec_id AS query_id, a.vec_id AS neighbor_id,
+            ${cosSql("p.embedding", "a.embedding")} AS cos_sim
+          FROM probe p JOIN asg a USING (cell)
+          WHERE p.vec_id <> a.vec_id)
+        SELECT query_id, neighbor_id, cos_sim, rank FROM (
+          SELECT query_id, neighbor_id, cos_sim, row_number() OVER (
+            PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+          FROM cand) t
+        WHERE rank <= 3
+        ORDER BY query_id, rank""")
+    })(
       (s, dir) => {
         val emb = T(s, dir, "embeddings")
-        val centroids = Ivf.train(emb, k = 8, iters = 2)
-        Ivf.knn(emb.where(col("vec_id") < 5), emb, centroids,
-            nProbe = 3, k = 3)
+        Ivf.knn(emb.where(col("vec_id") < 5), emb,
+            Ivf.fixedCentroids(IvfK, Dim), nProbe = 3, k = 3)
           .orderBy("query_id", "rank")
       })
   )

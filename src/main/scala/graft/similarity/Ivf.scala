@@ -79,6 +79,21 @@ object Ivf {
     centroids
   }
 
+  /** Deterministic pseudo-random UNIT centroids (md5-derived, same
+    * generator family as [[Similarity.planeComponent]], offset so they
+    * never coincide with LSH planes). Lets the IVF *search path* — probe
+    * ranking, cell assignment, candidate join, top-k — run against a
+    * statically-known centroid matrix that a SQL oracle can embed as
+    * literals; [[train]] remains the data-adaptive path (spec-verified:
+    * probe-all ≡ brute force).
+    */
+  def fixedCentroids(k: Int, dim: Int): Array[Array[Double]] =
+    Array.tabulate(k) { c =>
+      val raw = Array.tabulate(dim)(i => Similarity.planeComponent(1000 + c, i + 1))
+      val nrm = math.sqrt(raw.map(x => x * x).sum)
+      raw.map(_ / nrm)
+    }
+
   /** Corpus with its cell assignment (the inverted-file key). */
   def assign(emb: DataFrame, centroids: Array[Array[Double]],
              embCol: String = "embedding"): DataFrame =

@@ -103,12 +103,18 @@ object Similarity {
     * md5 as a base-16 integer, scaled) — hyperplanes are constants, they
     * have no business being plan nodes.
     */
-  private[similarity] def planeComponent(p: Int, i: Int): Double = {
+  def planeComponent(p: Int, i: Int): Double = {
     val md = java.security.MessageDigest.getInstance("MD5")
     val hex = md.digest(s"$p|$i".getBytes("UTF-8"))
       .map(b => f"$b%02x").mkString.take(8)
     java.lang.Long.parseLong(hex, 16).toDouble / math.pow(16, 8) * 2 - 1
   }
+
+  /** The deterministic hyperplane matrix (nBits × dim) — shared between
+    * the Spark bucketing expression and generated oracle SQL.
+    */
+  def planes(nBits: Int, dim: Int): Array[Array[Double]] =
+    Array.tabulate(nBits)(p => Array.tabulate(dim)(i => planeComponent(p, i + 1)))
 
   /** Sign-bit LSH bucket id from `nBits` random hyperplanes. Vectors whose
     * dot with plane p is >= 0 set bit p. One narrow projection of compact
@@ -116,8 +122,7 @@ object Similarity {
     * whole-stage codegen.
     */
   def lshBucket(embCol: Column, dim: Int, nBits: Int): Column =
-    (0 until nBits).map { p =>
-      val plane = Array.tabulate(dim)(i => planeComponent(p, i + 1))
+    planes(nBits, dim).zipWithIndex.map { case (plane, p) =>
       when(ArrayMath.dotConst(embCol, plane) >= 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
 
