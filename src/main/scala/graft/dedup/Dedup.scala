@@ -47,16 +47,12 @@ object Dedup {
     df.groupBy(TextAnalysis.fingerprint(textCol).as("content_hash"))
       .agg(min(idCol).as("keep_id"), count(lit(1)).as("n_copies"))
 
-  /** Word n-gram shingles, one row per (id, distinct shingle), plus
-    * `shash` — the 48-bit md5-prefix of the shingle as BIGINT. Pair joins
-    * downstream equi-join on `shash` instead of the shingle string:
-    * an 8-byte fixed-width key shuffles and compares far cheaper, and
-    * because the oracle derives the identical hash, any collision (~2^-48)
-    * affects both engines identically.
-    * `sequence(1, size-n+1)` is guarded so short documents yield no rows
-    * (sequence would otherwise count DOWN for stop < start).
+  /** Word n-gram shingles with multiplicity (NOT deduped): one row per
+    * (id, shingle occurrence). `sequence(1, size-n+1)` is guarded so short
+    * documents yield no rows (sequence would otherwise count DOWN for
+    * stop < start).
     */
-  def shingles(df: DataFrame, idCol: Column, textCol: Column, n: Int): DataFrame = {
+  def shinglesRaw(df: DataFrame, idCol: Column, textCol: Column, n: Int): DataFrame = {
     val words = TextAnalysis.tokens(TextAnalysis.normalizeText(textCol))
     spread(df).select(idCol.as("id"), words.as("w"))
       .select(col("id"),
@@ -65,17 +61,46 @@ object Dedup {
             .otherwise(transform(
               sequence(lit(1), size(col("w")) - (n - 1)),
               i => concat_ws(" ", slice(col("w"), i, lit(n)))))).as("shingle"))
-      .distinct()
-      .withColumn("shash",
-        conv(substring(md5(col("shingle").cast("binary")), 1, 12), 16, 10)
-          .cast("long"))
   }
+
+  /** 48-bit md5-prefix of a string column as BIGINT. Set operations and
+    * pair joins run on this 8-byte fixed-width key instead of the shingle
+    * text: it shuffles and compares far cheaper, and because the oracle
+    * derives the identical hash, any collision (~2^-48) affects both
+    * engines identically.
+    */
+  private def hash48(c: Column): Column =
+    conv(substring(md5(c.cast("binary")), 1, 12), 16, 10).cast("long")
+
+  /** Word n-gram shingles, one row per (id, distinct shingle), plus
+    * `shash` (the 48-bit join hash). Kept for callers that need the
+    * shingle TEXT; the pair pipelines use [[shingleHashSet]], which drops
+    * the string before the dedup shuffle.
+    */
+  def shingles(df: DataFrame, idCol: Column, textCol: Column, n: Int): DataFrame =
+    shinglesRaw(df, idCol, textCol, n)
+      .distinct()
+      .withColumn("shash", hash48(col("shingle")))
+
+  /** The distinct (id, shash) shingle set — the string-free form every
+    * pair join consumes. The projection to the 8-byte hash happens BEFORE
+    * the distinct, so the dedup shuffle carries two longs per row, never
+    * the shingle text. Set semantics are identical to
+    * `shingles().select(id, shash)` up to simultaneous 48-bit collisions
+    * within one document (~2^-48 per in-doc pair); the generated oracle
+    * SQL applies the same distinct-on-hash so both engines agree exactly.
+    */
+  def shingleHashSet(df: DataFrame, idCol: Column, textCol: Column, n: Int): DataFrame =
+    shinglesRaw(df, idCol, textCol, n)
+      .select(col("id"), hash48(col("shingle")).as("shash"))
+      .distinct()
 
   /** Per-id shingle counts (needed for Jaccard denominators). */
   def shingleCounts(sh: DataFrame): DataFrame =
     sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
 
-  /** Exact pairwise Jaccard over candidate pairs: self-join on shingle,
+  /** Exact pairwise Jaccard over a distinct (id, shash) shingle set
+    * (see [[shingleHashSet]]): self-join on shash,
     * |A∩B| / (|A|+|B|-|A∩B|), keeping pairs with jaccard >= threshold.
     * Quadratic in colliding docs — use [[minhashCandidates]] to prefilter
     * at scale.
@@ -91,9 +116,11 @@ object Dedup {
                    maxDf: Option[Int] = None): DataFrame = {
     // The shingle frame is referenced four times below (join sides + both
     // count denominators); without materialization Spark recomputes the
-    // scan→explode→distinct subtree per reference. Cache lifecycle: the
-    // harness mains clear the session cache after each query's action.
-    val shAll = cached(shRaw)
+    // scan→explode→distinct subtree per reference. Project to the two
+    // 8-byte columns first so a string-bearing caller frame is never
+    // cached or shuffled. Cache lifecycle: the harness mains clear the
+    // session cache after each query's action.
+    val shAll = cached(shRaw.select(col("id"), col("shash")))
     val sh = maxDf match {
       case None => shAll
       case Some(cap) =>
@@ -128,18 +155,26 @@ object Dedup {
     * the identical value). BIGINT buffers keep the aggregation on the
     * HashAggregate fast path — `min` over strings forces SortAggregate
     * (sort-based, an order of magnitude slower here).
+    * `min` is multiset-invariant, so the input may be raw
+    * ([[shinglesRaw]]) or distinct ([[shingles]]) — identical signatures,
+    * and the raw form skips a whole distinct shuffle.
     * Output: id, m0..m{k-1} (long).
     */
-  def minhashSignatures(sh: DataFrame, k: Int): DataFrame = {
-    val hashed = sh.select(
-      col("id") +: (0 until k).map { i =>
-        conv(substring(md5(concat(lit(s"$i|"), col("shingle")).cast("binary")), 1, 12),
-          16, 10).cast("long").as(s"h$i")
-      }: _*)
-    hashed.groupBy("id")
+  def minhashSignatures(sh: DataFrame, k: Int): DataFrame =
+    perShingleHashes(sh, k).groupBy("id")
       .agg(min(col("h0")).as("m0"),
         (1 until k).map(i => min(col(s"h$i")).as(s"m$i")): _*)
-  }
+
+  /** Per-shingle-occurrence hash projection: the pair-join hash `shash`
+    * plus the K signature hashes h0..h{k-1}, one narrow row of longs per
+    * occurrence. This is the last stage that touches the shingle STRING —
+    * everything downstream (signature agg, distinct, pair joins) moves
+    * only fixed-width longs.
+    */
+  private def perShingleHashes(sh: DataFrame, k: Int): DataFrame =
+    sh.select(
+      col("id") +: hash48(col("shingle")).as("shash") +:
+        (0 until k).map(i => hash48(concat(lit(s"$i|"), col("shingle"))).as(s"h$i")): _*)
 
   /** LSH banding: group the K signature columns into bands of `rowsPerBand`,
     * key each band by the concatenated min-hashes, and emit candidate
@@ -183,8 +218,17 @@ object Dedup {
   def minhashNearDups(df: DataFrame, idCol: Column, textCol: Column,
                       n: Int, k: Int, rowsPerBand: Int,
                       threshold: Double): DataFrame = {
-    val sh = cached(shingles(df, idCol, textCol, n))
-    val cands = minhashCandidates(minhashSignatures(sh, k), k, rowsPerBand)
+    // ONE pass over the raw (non-distinct) shingles computes the join hash
+    // and all K signature hashes; the cached frame is (k+2) longs wide and
+    // the shingle string never reaches a shuffle. Signatures aggregate the
+    // raw multiset directly (min is multiset-invariant); the verify side
+    // distincts the two-long (id, shash) projection.
+    val hashed = cached(perShingleHashes(shinglesRaw(df, idCol, textCol, n), k))
+    val sig = hashed.groupBy("id")
+      .agg(min(col("h0")).as("m0"),
+        (1 until k).map(i => min(col(s"h$i")).as(s"m$i")): _*)
+    val cands = minhashCandidates(sig, k, rowsPerBand)
+    val sh = hashed.select("id", "shash").distinct()
     val inter = cands
       .join(sh.select(col("id").as("id_a"), col("shash")), Seq("id_a"))
       .join(sh.select(col("id").as("id_b"), col("shash")), Seq("id_b", "shash"))

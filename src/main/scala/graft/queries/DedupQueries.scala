@@ -18,21 +18,24 @@ object DedupQueries {
   private def T(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
-  /** Shared oracle CTEs: normalized words, distinct 3-gram shingles, and
-    * the 48-bit md5-prefix join hash (identical derivation to
-    * [[Dedup.shingles]]'s `shash` — pair joins run on the BIGINT).
+  /** Shared oracle CTEs: normalized words, raw 3-gram shingle occurrences
+    * (`shr`), and the distinct string-free (id, shash) set (`sh`) — the
+    * identical derivation to [[Dedup.shingleHashSet]]: the 48-bit
+    * md5-prefix hash is taken per occurrence and the DISTINCT runs on the
+    * hash, exactly as the Spark side does (so even a 48-bit collision
+    * affects both engines identically).
     */
   private val shingleCtes = s"""
     WITH w AS (
       SELECT doc_id AS id,
         string_split(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')), ' ') AS ws
       FROM documents),
-    sh0 AS (
-      SELECT DISTINCT id, ws[pos] || ' ' || ws[pos+1] || ' ' || ws[pos+2] AS shingle
+    shr AS (
+      SELECT id, ws[pos] || ' ' || ws[pos+1] || ' ' || ws[pos+2] AS shingle
       FROM w, LATERAL (SELECT unnest(generate_series(1, greatest(len(ws) - 2, 0))) AS pos) t),
     sh AS (
-      SELECT id, shingle, ${PortableSql.hexToLong("md5(shingle)", 12)} AS shash
-      FROM sh0),
+      SELECT DISTINCT id, ${PortableSql.hexToLong("md5(shingle)", 12)} AS shash
+      FROM shr),
     cnt AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY 1)"""
 
   private val MinhashK = 8
@@ -67,7 +70,7 @@ object DedupQueries {
         ORDER BY id_a, id_b"""))(
       (s, dir) =>
         Dedup.jaccardPairs(
-            Dedup.shingles(T(s, dir, "documents"), col("doc_id"), col("text"), 3),
+            Dedup.shingleHashSet(T(s, dir, "documents"), col("doc_id"), col("text"), 3),
             threshold = 0.8)
           .orderBy("id_a", "id_b")),
 
@@ -76,6 +79,8 @@ object DedupQueries {
     // value on both engines, and keeps Spark's aggregation on the
     // HashAggregate fast path (string min would force SortAggregate).
     Q("q36_minhash_lsh", {
+      // Signatures aggregate the RAW occurrences (min is multiset-
+      // invariant), mirroring the Spark side's single-pass form.
       val sigCols = (0 until MinhashK)
         .map(i => s"min(${PortableSql.hexToLong(s"md5('$i|' || shingle)", 12)}) AS m$i")
         .mkString(", ")
@@ -88,7 +93,7 @@ object DedupQueries {
       val bandIdxList = (0 until nBands).mkString("[", ", ", "]")
       Q.sql(s"""
         $shingleCtes,
-        sig AS (SELECT id, $sigCols FROM sh GROUP BY 1),
+        sig AS (SELECT id, $sigCols FROM shr GROUP BY 1),
         bands AS (
           SELECT id, band_idx, CASE band_idx $bandArms END AS band_key
           FROM sig, (SELECT unnest($bandIdxList) AS band_idx) bi),

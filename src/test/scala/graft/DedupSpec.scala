@@ -30,6 +30,19 @@ class DedupSpec extends SparkSpec {
     sh.where($"id" === 5).count() shouldBe 0
   }
 
+  test("shingleHashSet equals the hash projection of distinct string shingles") {
+    // The pair pipelines distinct on the 48-bit hash BEFORE any shuffle;
+    // this proves that short-cut yields the same set as deduping on the
+    // shingle text first (no in-document hash collisions on real tokens).
+    val direct = Dedup.shingleHashSet(docs, $"doc_id", $"text", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val viaStrings = Dedup.shingles(docs, $"doc_id", $"text", 3)
+      .select("id", "shash").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    direct shouldBe viaStrings
+    direct should not be empty
+  }
+
   test("jaccardPairs scores exact and near duplicates correctly") {
     val sh = Dedup.shingles(docs, $"doc_id", $"text", 3)
     val pairs = Dedup.jaccardPairs(sh, threshold = 0.1)
