@@ -49,6 +49,18 @@ object Scratch {
       graft.dedup.Dedup.minhashNearDups(docs, col("doc_id"), col("text"),
         n = 3, k = 8, rowsPerBand = 2, threshold = 0.8).count())
 
+    // q52 stage breakdown
+    spark.catalog.clearCache()
+    val fp = graft.dedup.Dedup.simhash(docs, col("doc_id"), col("text"), bits = 24)
+    time("q52a simhash fingerprints cold")(fp.count())
+    time("q52a simhash fingerprints warm")(fp.count())
+    time("q52 simhashNearDups cold-ish")(
+      graft.dedup.Dedup.simhashNearDups(docs, col("doc_id"), col("text"),
+        maxDist = 3, bits = 24).count())
+    time("q52 simhashNearDups warm")(
+      graft.dedup.Dedup.simhashNearDups(docs, col("doc_id"), col("text"),
+        maxDist = 3, bits = 24).count())
+
     spark.stop()
   }
 }

@@ -191,12 +191,15 @@ object Dedup {
             .map(i => col(s"m$i").cast("string"))
           concat_ws("|", cols: _*).as(s"band$b")
         }: _*)
-    val long = bands.select(col("id"),
+    // Cache before the self-join: both sides reference this frame, and
+    // without materialization Spark recomputes the whole signature
+    // pipeline per side. n_docs × nBands rows of three scalars — tiny.
+    val long = cached(bands.select(col("id"),
       explode(array((0 until nBands).map { b =>
         struct(lit(b).as("band_idx"), col(s"band$b").as("band_key"))
       }: _*)).as("bk"))
       .select(col("id"), col("bk.band_idx").as("band_idx"),
-        col("bk.band_key").as("band_key"))
+        col("bk.band_key").as("band_key")))
     long.as("x").join(long.as("y"),
         col("x.band_idx") === col("y.band_idx") &&
           col("x.band_key") === col("y.band_key") &&
@@ -255,14 +258,17 @@ object Dedup {
     val nBands = maxDist + 1
     val bandBits = bits / nBands
     val fp = simhash(df, idCol, textCol, bits)
-    val banded = fp.select(col("id"), col("simhash"),
+    // Cached for the same reason as the LSH bands: the self-join below
+    // would otherwise recompute the scan→tokenize→md5→bit-sum pipeline
+    // once per side. n_docs × (maxDist+1) rows of four scalars.
+    val banded = cached(fp.select(col("id"), col("simhash"),
       explode(array((0 until nBands).map { b =>
         struct(lit(b).as("band_idx"),
           shiftright(col("simhash"), b * bandBits)
             .bitwiseAND(lit((1L << bandBits) - 1)).as("band_val"))
       }: _*)).as("bk"))
       .select(col("id"), col("simhash"),
-        col("bk.band_idx").as("band_idx"), col("bk.band_val").as("band_val"))
+        col("bk.band_idx").as("band_idx"), col("bk.band_val").as("band_val")))
     banded.as("x").join(banded.as("y"),
         col("x.band_idx") === col("y.band_idx") &&
           col("x.band_val") === col("y.band_val") &&
@@ -286,13 +292,18 @@ object Dedup {
     require(bits % 4 == 0 && bits <= 28, s"bits must be a multiple of 4 <= 28, got $bits")
     val toks = spread(df).select(idCol.as("id"),
       explode(TextAnalysis.tokens(TextAnalysis.normalizeText(textCol))).as("tok"))
-    val h = expr(graft.functions.PortableSql.hexToLong("md5(tok)", bits / 4)).as("h")
+    // Native hex→long and bit ops here; the oracle uses PortableSql's
+    // instr-chain/floor-division forms (DuckDB has no conv()), which
+    // compute the identical values — h is a non-negative int < 2^28, so
+    // floor(h / 2^b) % 2 == (h >> b) & 1 digit for digit.
+    val h = conv(substring(md5(col("tok").cast("binary")), 1, bits / 4), 16, 10)
+      .cast("long").as("h")
+    def bit(b: Int): Column = shiftright(col("h"), b).bitwiseAND(lit(1L))
     val withH = toks.select(col("id"), h)
     val bitSums = withH.groupBy("id")
       .agg(
-        sum(expr(graft.functions.PortableSql.bit("h", 0)) * 2 - 1).as("s0"),
-        (1 until bits).map(b =>
-          sum(expr(graft.functions.PortableSql.bit("h", b)) * 2 - 1).as(s"s$b")): _*)
+        sum(bit(0) * 2 - 1).as("s0"),
+        (1 until bits).map(b => sum(bit(b) * 2 - 1).as(s"s$b")): _*)
     bitSums.select(col("id"),
       (0 until bits).map(b =>
         when(col(s"s$b") >= 0, lit(1L << b)).otherwise(lit(0L)))
