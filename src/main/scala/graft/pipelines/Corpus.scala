@@ -1,0 +1,92 @@
+package graft.pipelines
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.io.Writers
+import graft.text.TextAnalysis
+
+/** The north-star training-corpus pipeline as library API: exact dedup →
+  * language ID → quality scoring → serving filter, composed from the
+  * oracle-checked primitives (q31–q34; the composition itself is q50).
+  *
+  * Scale shape (100 TB):
+  *  - the input scan is spread across all cores before any per-row text
+  *    work (small files otherwise arrive as ONE partition);
+  *  - `normalizeText` is computed ONCE per document and reused by the
+  *    dedup fingerprint and all language-marker counts — inlining it per
+  *    marker generated a 35 KB codegen method the JVM refused to JIT;
+  *  - dedup is a fingerprint hash-aggregation + left-semi join — the
+  *    shuffle carries (hash, min_id), never document text;
+  *  - [[score]] persists its output: the natural stage boundary between
+  *    scoring and serving (a temp table / checkpoint on a cluster).
+  *    Without a materialization boundary, PushDownPredicates folds the
+  *    downstream lang/quality filter through the score aliases and lands
+  *    a ~50-regex-pass predicate on the raw scan.
+  */
+object Corpus {
+
+  final case class Config(
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      lang: String = "en",
+      minQuality: Double = 0.5,
+      outPath: Option[String] = None)
+
+  private val langs = TextAnalysis.LangMarkers.map(_._1)
+
+  /** Documents with the shared normalized-text column projected once
+    * (`__norm`), spread across all cores.
+    */
+  def withNorm(docs: DataFrame, cfg: Config = Config()): DataFrame =
+    docs
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+      .select(col(cfg.idCol), col(cfg.textCol),
+        TextAnalysis.normalizeText(col(cfg.textCol)).as("__norm"))
+
+  /** Exact-dedup survivors: one document (the minimum id) per normalized
+    * content fingerprint. Input must come from [[withNorm]].
+    */
+  def dedupSurvivors(normed: DataFrame, cfg: Config = Config()): DataFrame = {
+    val keep = normed
+      .groupBy(md5(col("__norm").cast("binary")).as("fp"))
+      .agg(min(col(cfg.idCol)).as(cfg.idCol))
+      .select(cfg.idCol)
+    normed.join(keep, Seq(cfg.idCol), "left_semi")
+  }
+
+  /** Survivors scored: token count, quality, and one `__score_<lang>`
+    * column per known language, persisted as the scoring/serving stage
+    * boundary. The caller owns the unpersist (the harness mains clear the
+    * session cache per query).
+    */
+  def score(surv: DataFrame, cfg: Config = Config()): DataFrame = {
+    val padded = surv.withColumn("__pad", TextAnalysis.padNorm(col("__norm")))
+    padded.select(
+      Seq(col(cfg.idCol),
+        TextAnalysis.tokenCount(col(cfg.textCol)).as("n_tokens"),
+        TextAnalysis.qualityScore(col(cfg.textCol)).as("quality")) ++
+        langs.map(l => TextAnalysis.langScoreFromPadded(col("__pad"), l)
+          .as(s"__score_$l")): _*)
+      .persist()
+  }
+
+  /** Serving filter: predicted language matches and quality clears the
+    * bar. Keeps (id, n_tokens, quality).
+    */
+  def serve(scored: DataFrame, cfg: Config = Config()): DataFrame =
+    scored
+      .where(TextAnalysis.langIdFromScores(
+        langs.map(l => l -> col(s"__score_$l"))) === cfg.lang
+        && col("quality") >= cfg.minQuality)
+      .select(cfg.idCol, "n_tokens", "quality")
+
+  /** The whole pipeline: dedup → score → filter (q50's exact semantics),
+    * optionally written as parquet.
+    */
+  def curate(docs: DataFrame, cfg: Config = Config()): DataFrame = {
+    val out = serve(score(dedupSurvivors(withNorm(docs, cfg), cfg), cfg), cfg)
+    cfg.outPath.foreach(p => Writers.parquetSingleFile(out, p))
+    out
+  }
+}

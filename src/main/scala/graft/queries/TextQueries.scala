@@ -180,47 +180,12 @@ object TextQueries {
         WHERE lang_pred = 'en' AND quality >= 0.5
         ORDER BY doc_id""")
     })(
-      (s, dir) => {
-        // Scale shape: the documents scan is repartitioned (small files
-        // arrive as ONE partition — the per-row text work must spread
-        // across all cores), normalizeText is computed ONCE and reused by
-        // fingerprint + all 12 marker counts, and the language scores are
-        // projected as attributes before langId references them. The
-        // inlined form generated a 35 KB codegen method the JVM refused
-        // to JIT (round-1 driver bench: 32.9 s for 5k rows).
-        val langs = TextAnalysis.LangMarkers.map(_._1)
-        val docs = T(s, dir, "documents")
-          .repartition(s.sparkContext.defaultParallelism)
-          .select(col("doc_id"), col("text"),
-            TextAnalysis.normalizeText(col("text")).as("__norm"))
-        val keep = docs
-          .groupBy(md5(col("__norm").cast("binary")).as("fp"))
-          .agg(min(col("doc_id")).as("doc_id"))
-          .select("doc_id")
-        val surv = docs.join(keep, Seq("doc_id"), "left_semi")
-          .withColumn("__pad", TextAnalysis.padNorm(col("__norm")))
-        // Score ONCE into a materialized stage, then filter. Without the
-        // persist boundary, PushDownPredicates substitutes the lang/quality
-        // filter through the score aliases and lands a ~50-regex-pass
-        // predicate directly on the one-partition scan, below the
-        // repartition (round-1 driver bench: 32.9 s for 5k rows). The
-        // cached scored corpus is the pipeline's natural stage boundary
-        // (at cluster scale this is the `persist`/temp-table between
-        // scoring and serving); the harness clears the session cache after
-        // each query.
-        val scored = surv.select(
-          Seq(col("doc_id"),
-            TextAnalysis.tokenCount(col("text")).as("n_tokens"),
-            TextAnalysis.qualityScore(col("text")).as("quality")) ++
-            langs.map(l => TextAnalysis.langScoreFromPadded(col("__pad"), l)
-              .as(s"__score_$l")): _*)
-          .persist()
-        scored
-          .where(TextAnalysis.langIdFromScores(
-            langs.map(l => l -> col(s"__score_$l"))) === "en"
-            && col("quality") >= 0.5)
-          .select("doc_id", "n_tokens", "quality")
-          .orderBy("doc_id")
-      })
+      (s, dir) =>
+        // The pipeline is library API — [[graft.pipelines.Corpus]] owns
+        // the scale shape (spread scan, shared normalized-text column,
+        // semi-join dedup, persisted scoring boundary); this query is its
+        // oracle check.
+        graft.pipelines.Corpus.curate(T(s, dir, "documents"))
+          .orderBy("doc_id"))
   )
 }

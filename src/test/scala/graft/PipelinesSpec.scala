@@ -108,4 +108,22 @@ class PipelinesSpec extends SparkSpec {
     t.schema.fieldNames.toSeq shouldBe Seq("Mh", "ec_cm3", "year", "Ewltp")
     t.toDF.where(col("Ewltp").isNull).count() shouldBe 2
   }
+
+  test("corpus: dedup drops copies, scoring filter keeps the good English doc") {
+    import graft.pipelines.Corpus
+    val goodEn = ("the quick brown fox jumps over the lazy dog and then " +
+      "the dog wakes up and chases the fox around the yard for a while") * 3
+    val docs = Seq(
+      (1L, goodEn),
+      (2L, goodEn),                                  // exact dup of 1 → dropped
+      (3L, "le renard brun et rapide saute par dessus le chien paresseux " +
+        "et les animaux de la ferme regardent la scène avec une grande joie"),
+      (4L, "@@@ ### $$$ %%% ^^^ &&& *** ((( ))) !!!") // symbol soup → low quality
+    ).toDF("doc_id", "text")
+    val out = Corpus.curate(docs).orderBy("doc_id").collect()
+    out.map(_.getLong(0)).toSeq shouldBe Seq(1L)     // survivor, English, quality ≥ 0.5
+    out.head.getDouble(2) should be >= 0.5
+    // stage granularity: dedup alone keeps one of each content group
+    Corpus.dedupSurvivors(Corpus.withNorm(docs)).count() shouldBe 3
+  }
 }
