@@ -63,14 +63,10 @@ object Dedup {
               i => concat_ws(" ", slice(col("w"), i, lit(n)))))).as("shingle"))
   }
 
-  /** 48-bit md5-prefix of a string column as BIGINT. Set operations and
-    * pair joins run on this 8-byte fixed-width key instead of the shingle
-    * text: it shuffles and compares far cheaper, and because the oracle
-    * derives the identical hash, any collision (~2^-48) affects both
-    * engines identically.
+  /** Pair joins run on the shared 48-bit md5 key instead of the shingle
+    * text — see [[graft.functions.Hashing.hash48]].
     */
-  private def hash48(c: Column): Column =
-    conv(substring(md5(c.cast("binary")), 1, 12), 16, 10).cast("long")
+  private def hash48(c: Column): Column = graft.functions.Hashing.hash48(c)
 
   /** Word n-gram shingles, one row per (id, distinct shingle), plus
     * `shash` (the 48-bit join hash). Kept for callers that need the
@@ -277,6 +273,54 @@ object Dedup {
         bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming"))
       .distinct()
       .where(col("hamming") <= maxDist)
+  }
+
+  /** Connected components over a near-dup pair graph (id_a, id_b):
+    * returns one (id, component) row per endpoint, where `component` is
+    * the minimum id reachable — the cluster representative a dedup
+    * pipeline keeps. Pair generators ([[minhashNearDups]],
+    * [[simhashNearDups]], [[jaccardPairs]]) emit edges; this turns them
+    * into groups.
+    *
+    * Algorithm: iterative min-label propagation — each round every node
+    * takes the min of its own label and its neighbours' labels, until a
+    * round changes nothing. Rounds = graph diameter; near-dup clusters
+    * are small and dense (diameter 2–3), so this converges in a handful
+    * of joins. Each round is one equi-join + one aggregation on the edge
+    * list — no driver-side graph state; `localCheckpoint` truncates the
+    * growing lineage so round N's plan does not replay rounds 1..N-1.
+    * (For general graphs with long chains, prefer the O(log n)-round
+    * large-star/small-star variant — Kiveris et al., "Connected
+    * Components in MapReduce and Beyond", SoCC'14; the propagation loop
+    * here is the right shape for dedup-cluster diameters.)
+    */
+  def components(pairs: DataFrame, maxIters: Int = 25): DataFrame = {
+    // Undirected: keep each edge in both directions so one join per round
+    // sees every neighbour.
+    val edges = cached(pairs
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .distinct())
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint(true)
+    var changed = 1L
+    var it = 0
+    while (changed > 0 && it < maxIters) {
+      val neigh = edges
+        .join(labels.select(col("id").as("dst"), col("label").as("nlabel")), "dst")
+        .groupBy("src").agg(min(col("nlabel")).as("min_neighbor"))
+        .select(col("src").as("id"), col("min_neighbor"))
+      val next = labels.join(neigh, Seq("id"))
+        .select(col("id"), least(col("label"), col("min_neighbor")).as("label"),
+          (col("min_neighbor") < col("label")).cast("long").as("moved"))
+        .localCheckpoint(true)
+      changed = next.agg(coalesce(sum(col("moved")), lit(0L))).head.getLong(0)
+      labels = next.select("id", "label")
+      it += 1
+    }
+    edges.unpersist()
+    labels.select(col("id"), col("label").as("component"))
   }
 
   /** SimHash fingerprint (2^bits-space, default 16 bits so the portable

@@ -1,0 +1,58 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Hashing
+
+/** Deterministic, reproducible sampling for training-data pipelines.
+  *
+  * `DataFrame.sample` draws per-partition pseudo-random rows: the result
+  * changes with partitioning, task retries, and engine version — useless
+  * for a corpus that must be re-derivable. Hash sampling keys the
+  * decision on the DATA instead: a row is in the sample iff the md5 of
+  * its key lands in the lowest buckets, so any engine, any partitioning,
+  * any run selects the identical rows.
+  *
+  * At 100 TB the sample predicate is one narrow codegen'd filter on the
+  * scan (no shuffle, no state); combined with a partitioned layout it
+  * prunes before reading. Different `salt` values yield statistically
+  * independent samples (train/validation splits that never overlap by
+  * construction when buckets are disjoint).
+  */
+object Sampling {
+
+  val Buckets = 1000
+
+  /** The row's sample bucket in [0, 1000): 48-bit md5 of (key ++ salt)
+    * mod 1000. Uniform for any high-entropy key.
+    */
+  def bucket(keyCol: Column, salt: String = ""): Column =
+    Hashing.hash48(concat(keyCol.cast("string"), lit(salt))) % Buckets
+
+  /** Keep rows whose bucket < `permille` — a deterministic ~permille/1000
+    * sample.
+    */
+  def hashSample(df: DataFrame, keyCol: Column, permille: Int,
+                 salt: String = ""): DataFrame = {
+    require(permille >= 0 && permille <= Buckets,
+      s"permille must be in [0, $Buckets], got $permille")
+    df.where(bucket(keyCol, salt) < permille)
+  }
+
+  /** Disjoint train/validation/test split by bucket range: (0, trainPm)
+    * → "train", [trainPm, trainPm+valPm) → "val", rest → "test". One
+    * pass, no shuffle, rows never move between splits when the ratios
+    * for an earlier split grow.
+    */
+  def split(df: DataFrame, keyCol: Column, trainPm: Int, valPm: Int,
+            salt: String = ""): DataFrame = {
+    require(trainPm >= 0 && valPm >= 0 && trainPm + valPm <= Buckets,
+      s"trainPm + valPm must be <= $Buckets, got $trainPm + $valPm")
+    val b = bucket(keyCol, salt)
+    df.withColumn("split",
+      when(b < trainPm, lit("train"))
+        .when(b < trainPm + valPm, lit("val"))
+        .otherwise(lit("test")))
+  }
+}

@@ -41,6 +41,42 @@ object DedupQueries {
   private val MinhashK = 8
   private val RowsPerBand = 2
 
+  /** Simhash near-dup pair CTE chain (24-bit fingerprints, pigeonhole
+    * bands, hamming verify) — the body of q52's oracle, shared with q54's
+    * component oracle. Produces `cand(id_a, id_b, hamming)`.
+    */
+  private val simhashPairCtes: String = {
+    val Bits = 24
+    val bandBits = 6
+    val h = PortableSql.hexToLong("md5(tok)", Bits / 4)
+    val bitSums = (0 until Bits)
+      .map(b => s"sum(${PortableSql.bit("h", b)} * 2 - 1) AS s$b")
+      .mkString(", ")
+    val fp = (0 until Bits)
+      .map(b => s"(CASE WHEN s$b >= 0 THEN ${PortableSql.pow2(b)} ELSE 0 END)")
+      .mkString(" + ")
+    val divisors = (0 until 4).map(b => 1L << (b * bandBits))
+    val divCase = s"CASE band_idx WHEN 0 THEN ${divisors(0)} WHEN 1 THEN ${divisors(1)} " +
+      s"WHEN 2 THEN ${divisors(2)} ELSE ${divisors(3)} END"
+    s"""toks AS (
+          SELECT doc_id AS id,
+            unnest(string_split(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')), ' ')) AS tok
+          FROM documents),
+        hashed AS (SELECT id, $h AS h FROM toks),
+        bitsums AS (SELECT id, $bitSums FROM hashed GROUP BY 1),
+        fp AS (SELECT id, $fp AS simhash FROM bitsums),
+        banded AS (
+          SELECT id, simhash, band_idx,
+            CAST(floor(simhash / $divCase) AS BIGINT) % ${1 << bandBits} AS band_val
+          FROM fp, (SELECT unnest([0, 1, 2, 3]) AS band_idx) b),
+        cand AS (
+          SELECT DISTINCT x.id AS id_a, y.id AS id_b,
+            bit_count(xor(CAST(x.simhash AS BIGINT), CAST(y.simhash AS BIGINT))) AS hamming
+          FROM banded x JOIN banded y
+            ON x.band_idx = y.band_idx AND x.band_val = y.band_val
+              AND x.id < y.id)"""
+  }
+
   def all: Seq[Q] = Seq(
 
     // Exact dedup: one row per content hash with survivor id + copy count.
@@ -125,41 +161,11 @@ object DedupQueries {
     // of 6 bits over a 24-bit fingerprint) + exact bit_count(xor)
     // verification. 24 bits keeps the near-dup signal selective at sf0.1
     // (a 16-bit space saturates: ~⅓ of all pairs collide within d=3).
-    Q("q52_simhash_neardup", {
-      val Bits = 24
-      val bandBits = 6
-      val h = PortableSql.hexToLong("md5(tok)", Bits / 4)
-      val bitSums = (0 until Bits)
-        .map(b => s"sum(${PortableSql.bit("h", b)} * 2 - 1) AS s$b")
-        .mkString(", ")
-      val fp = (0 until Bits)
-        .map(b => s"(CASE WHEN s$b >= 0 THEN ${PortableSql.pow2(b)} ELSE 0 END)")
-        .mkString(" + ")
-      val divisors = (0 until 4).map(b => 1L << (b * bandBits))
-      val divCase = s"CASE band_idx WHEN 0 THEN ${divisors(0)} WHEN 1 THEN ${divisors(1)} " +
-        s"WHEN 2 THEN ${divisors(2)} ELSE ${divisors(3)} END"
-      Q.sql(s"""
-        WITH toks AS (
-          SELECT doc_id AS id,
-            unnest(string_split(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')), ' ')) AS tok
-          FROM documents),
-        hashed AS (SELECT id, $h AS h FROM toks),
-        bitsums AS (SELECT id, $bitSums FROM hashed GROUP BY 1),
-        fp AS (SELECT id, $fp AS simhash FROM bitsums),
-        banded AS (
-          SELECT id, simhash, band_idx,
-            CAST(floor(simhash / $divCase) AS BIGINT) % ${1 << bandBits} AS band_val
-          FROM fp, (SELECT unnest([0, 1, 2, 3]) AS band_idx) b),
-        cand AS (
-          SELECT DISTINCT x.id AS id_a, y.id AS id_b,
-            bit_count(xor(CAST(x.simhash AS BIGINT), CAST(y.simhash AS BIGINT))) AS hamming
-          FROM banded x JOIN banded y
-            ON x.band_idx = y.band_idx AND x.band_val = y.band_val
-              AND x.id < y.id)
+    Q("q52_simhash_neardup", Q.sql(s"""
+        WITH $simhashPairCtes
         SELECT id_a, id_b, hamming FROM cand
         WHERE hamming <= 3
-        ORDER BY id_a, id_b""")
-    })(
+        ORDER BY id_a, id_b"""))(
       (s, dir) =>
         Dedup.simhashNearDups(T(s, dir, "documents"),
             col("doc_id"), col("text"), maxDist = 3, bits = 24)
@@ -186,6 +192,32 @@ object DedupQueries {
     })(
       (s, dir) =>
         Dedup.simhash(T(s, dir, "documents"), col("doc_id"), col("text"))
+          .orderBy("id")),
+
+    // Near-dup cluster formation: connected components over the simhash
+    // pair graph (q52's edges) — min reachable id as the cluster
+    // representative. Spark side is iterative min-label propagation
+    // (diameter-bounded joins); oracle is the equivalent transitive
+    // closure via a recursive CTE.
+    Q("q54_components", Q.sql(s"""
+        WITH RECURSIVE $simhashPairCtes,
+        pairs AS (SELECT id_a, id_b FROM cand WHERE hamming <= 3),
+        edges AS (
+          SELECT id_a AS src, id_b AS dst FROM pairs
+          UNION
+          SELECT id_b AS src, id_a AS dst FROM pairs),
+        reach(id, lab) AS (
+          SELECT src, src FROM edges
+          UNION
+          SELECT e.src, r.lab FROM edges e JOIN reach r ON e.dst = r.id)
+        SELECT id, min(lab) AS component
+        FROM reach
+        GROUP BY id
+        ORDER BY id"""))(
+      (s, dir) =>
+        Dedup.components(
+            Dedup.simhashNearDups(T(s, dir, "documents"),
+              col("doc_id"), col("text"), maxDist = 3, bits = 24))
           .orderBy("id"))
   )
 }

@@ -187,5 +187,54 @@ object TextQueries {
         // oracle check.
         graft.pipelines.Corpus.curate(T(s, dir, "documents"))
           .orderBy("doc_id"))
+          ,
+
+    // TF-IDF keyword extraction: top-5 terms per document by
+    // tf · ln(N/df), rounded to 6 decimals BEFORE ranking so ties break
+    // on the token identically in both engines.
+    Q("q55_tfidf_keywords", Q.sql(s"""
+        WITH toks AS (
+          SELECT doc_id AS id, unnest(string_split_regex($normSql, '\\s+')) AS tok
+          FROM documents),
+        tfq AS (SELECT id, tok, count(*) AS tf FROM toks GROUP BY 1, 2),
+        dfq AS (SELECT tok, count(*) AS df_docs FROM tfq GROUP BY 1),
+        nq AS (SELECT count(*) AS n_docs FROM documents),
+        scored AS (
+          SELECT id, tfq.tok AS tok, tf, df_docs,
+            round(tf * ln(CAST(n_docs AS DOUBLE) / df_docs), 6) AS tfidf
+          FROM tfq JOIN dfq ON tfq.tok = dfq.tok CROSS JOIN nq)
+        SELECT id, tok, tf, df_docs, tfidf, rank FROM (
+          SELECT scored.*, CAST(row_number() OVER (
+            PARTITION BY id ORDER BY tfidf DESC, tok) AS INT) AS rank
+          FROM scored) ranked
+        WHERE rank <= 5
+        ORDER BY id, rank"""))(
+      (s, dir) =>
+        graft.text.TfIdf.topKeywords(
+            T(s, dir, "documents"), col("doc_id"), col("text"), k = 5)
+          .orderBy("id", "rank")),
+
+    // Deterministic hash-bucket sampling / train-val-test split: the
+    // decision is a pure function of the data key, so any engine, any
+    // partitioning, any run derives the identical split.
+    Q("q56_hash_split", Q.sql(s"""
+        SELECT doc_id, bucket,
+          CASE WHEN bucket < 800 THEN 'train'
+               WHEN bucket < 900 THEN 'val'
+               ELSE 'test' END AS split
+        FROM (
+          SELECT doc_id,
+            ${PortableSql.hexToLong("md5(CAST(doc_id AS VARCHAR) || 'r3')", 12)} % 1000 AS bucket
+          FROM documents) b
+        ORDER BY doc_id"""))(
+      (s, dir) => {
+        import graft.ops.Sampling
+        val withBucket = T(s, dir, "documents")
+          .withColumn("bucket", Sampling.bucket(col("doc_id"), "r3"))
+        Sampling.split(withBucket, col("doc_id"), trainPm = 800, valPm = 100,
+            salt = "r3")
+          .select(col("doc_id"), col("bucket"), col("split"))
+          .orderBy("doc_id")
+      })
   )
 }

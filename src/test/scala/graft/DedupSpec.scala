@@ -109,4 +109,21 @@ class DedupSpec extends SparkSpec {
     fp(1L) shouldBe fp(2L)
     fp(1L) should not be fp(4L)
   }
+
+  test("components: min-label propagation finds connected clusters") {
+    // Chain 1-2-3 plus island 5-6: transitive closure must label 3 with 1
+    // even though (1,3) is not an edge; 4 appears in no pair -> no row.
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
+    val comp = Dedup.components(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    comp shouldBe Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 5L)
+  }
+
+  test("components: long chain converges past one propagation round") {
+    val pairs = (1L until 12L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val comp = Dedup.components(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    comp.values.toSet shouldBe Set(1L)
+    comp.keySet shouldBe (1L to 12L).toSet
+  }
 }

@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.Sampling
+
+class SamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def rows = (1L to 2000L).map(i => (i, s"payload-$i")).toDF("id", "v")
+
+  test("hashSample is deterministic and partitioning-independent") {
+    val a = Sampling.hashSample(rows, $"id", permille = 200)
+      .select("id").collect().map(_.getLong(0)).toSet
+    val b = Sampling.hashSample(rows.repartition(7), $"id", permille = 200)
+      .select("id").collect().map(_.getLong(0)).toSet
+    a shouldBe b
+    // Uniformity sanity: a ~20% sample of 2000 keys lands near 400.
+    a.size.toDouble shouldBe 400.0 +- 80.0
+  }
+
+  test("growing the rate only adds rows (nested samples)") {
+    val small = Sampling.hashSample(rows, $"id", permille = 100)
+      .select("id").collect().map(_.getLong(0)).toSet
+    val big = Sampling.hashSample(rows, $"id", permille = 500)
+      .select("id").collect().map(_.getLong(0)).toSet
+    small.subsetOf(big) shouldBe true
+  }
+
+  test("different salts draw independent samples") {
+    val a = Sampling.hashSample(rows, $"id", 300, salt = "a")
+      .select("id").collect().map(_.getLong(0)).toSet
+    val b = Sampling.hashSample(rows, $"id", 300, salt = "b")
+      .select("id").collect().map(_.getLong(0)).toSet
+    a should not be b
+    // Independence sanity: overlap near 300/1000 * |a|, far from |a|.
+    val overlap = (a intersect b).size.toDouble
+    overlap shouldBe (0.3 * a.size) +- (0.15 * a.size)
+  }
+
+  test("split covers every row once, with disjoint stable assignments") {
+    val s = Sampling.split(rows, $"id", trainPm = 800, valPm = 100)
+    s.count() shouldBe 2000
+    val bySplit = s.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    bySplit.keySet shouldBe Set("train", "val", "test")
+    bySplit("train").toDouble shouldBe 1600.0 +- 150.0
+    // A row's split never changes when the frame is re-partitioned.
+    val s2 = Sampling.split(rows.repartition(5), $"id", trainPm = 800, valPm = 100)
+    s.select("id", "split").collect().toSet shouldBe
+      s2.select("id", "split").collect().toSet
+  }
+
+  test("split is monotone: growing train only promotes from later splits") {
+    val s80 = Sampling.split(rows, $"id", 800, 100).where($"split" === "train")
+      .select("id").collect().map(_.getLong(0)).toSet
+    val s90 = Sampling.split(rows, $"id", 900, 50).where($"split" === "train")
+      .select("id").collect().map(_.getLong(0)).toSet
+    s80.subsetOf(s90) shouldBe true
+  }
+
+  test("sample predicate stays a scan-level filter (no shuffle)") {
+    val plan = Sampling.hashSample(rows, $"id", 200)
+      .queryExecution.executedPlan.toString
+    plan should not include "Exchange"
+  }
+}
