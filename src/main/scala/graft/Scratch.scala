@@ -7,6 +7,8 @@ import org.apache.spark.sql.functions._
 object Scratch {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val names = if (args.length > 1) args.drop(1).toSeq
+      else Seq("q54_components", "q55_tfidf_keywords")
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -15,52 +17,14 @@ object Scratch {
       .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-
-    def time[T](label: String)(f: => T): T = {
-      val t0 = System.nanoTime(); val r = f
-      println(f"$label%-44s ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
+    // warmup
+    try io.Writers.noop(SparkEntry.entry(spark)) catch { case _: Throwable => () }
+    for (name <- names; i <- 1 to 3) {
+      val t0 = System.nanoTime()
+      io.Writers.noop(SparkEntry.queries(name)(spark, sfDir))
+      println(f"$name run$i ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      spark.catalog.clearCache()
     }
-
-    val docs = Tables.load(spark, sfDir, "documents")
-    time("warmup: docs.count")(docs.count())
-
-    val raw = graft.dedup.Dedup.shinglesRaw(docs, col("doc_id"), col("text"), 3)
-    time("shinglesRaw.count (regex+explode CPU)")(raw.count())
-    time("shinglesRaw.count again (warm JIT)")(raw.count())
-
-    val hs = graft.dedup.Dedup.shingleHashSet(docs, col("doc_id"), col("text"), 3)
-    time("shingleHashSet.count (+hash +distinct)")(hs.count())
-
-    spark.catalog.clearCache()
-    time("q35 jaccardPairs cold")(
-      graft.dedup.Dedup.jaccardPairs(
-        graft.dedup.Dedup.shingleHashSet(docs, col("doc_id"), col("text"), 3), 0.8).count())
-    spark.catalog.clearCache()
-    time("q35 jaccardPairs warm")(
-      graft.dedup.Dedup.jaccardPairs(
-        graft.dedup.Dedup.shingleHashSet(docs, col("doc_id"), col("text"), 3), 0.8).count())
-
-    spark.catalog.clearCache()
-    time("q36 minhashNearDups cold")(
-      graft.dedup.Dedup.minhashNearDups(docs, col("doc_id"), col("text"),
-        n = 3, k = 8, rowsPerBand = 2, threshold = 0.8).count())
-    spark.catalog.clearCache()
-    time("q36 minhashNearDups warm")(
-      graft.dedup.Dedup.minhashNearDups(docs, col("doc_id"), col("text"),
-        n = 3, k = 8, rowsPerBand = 2, threshold = 0.8).count())
-
-    // q52 stage breakdown
-    spark.catalog.clearCache()
-    val fp = graft.dedup.Dedup.simhash(docs, col("doc_id"), col("text"), bits = 24)
-    time("q52a simhash fingerprints cold")(fp.count())
-    time("q52a simhash fingerprints warm")(fp.count())
-    time("q52 simhashNearDups cold-ish")(
-      graft.dedup.Dedup.simhashNearDups(docs, col("doc_id"), col("text"),
-        maxDist = 3, bits = 24).count())
-    time("q52 simhashNearDups warm")(
-      graft.dedup.Dedup.simhashNearDups(docs, col("doc_id"), col("text"),
-        maxDist = 3, bits = 24).count())
-
     spark.stop()
   }
 }

@@ -282,45 +282,69 @@ object Dedup {
     * [[simhashNearDups]], [[jaccardPairs]]) emit edges; this turns them
     * into groups.
     *
-    * Algorithm: iterative min-label propagation — each round every node
-    * takes the min of its own label and its neighbours' labels, until a
-    * round changes nothing. Rounds = graph diameter; near-dup clusters
-    * are small and dense (diameter 2–3), so this converges in a handful
-    * of joins. Each round is one equi-join + one aggregation on the edge
-    * list — no driver-side graph state; `localCheckpoint` truncates the
-    * growing lineage so round N's plan does not replay rounds 1..N-1.
-    * (For general graphs with long chains, prefer the O(log n)-round
-    * large-star/small-star variant — Kiveris et al., "Connected
-    * Components in MapReduce and Beyond", SoCC'14; the propagation loop
-    * here is the right shape for dedup-cluster diameters.)
+    * Algorithm: min-label contraction with pointer jumping. Each round
+    * (1) relabels every node to the min of itself and its neighbours,
+    * (2) CONTRACTS the edge list to the distinct cross-label edges —
+    * near-dup clusters are dense, so after round one the 2|pairs|-row
+    * edge list collapses to almost nothing and later rounds are free —
+    * and (3) composes the cumulative node→representative mapping with
+    * itself (pointer jumping), which halves any remaining chain depth so
+    * even path-shaped graphs converge in O(log n) rounds (the same
+    * regime as the large-star/small-star method of Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", SoCC'14). No
+    * driver-side graph state; `localCheckpoint` truncates lineage so
+    * round N's plan does not replay rounds 1..N-1.
     */
   def components(pairs: DataFrame, maxIters: Int = 25): DataFrame = {
-    // Undirected: keep each edge in both directions so one join per round
-    // sees every neighbour.
-    val edges = cached(pairs
+    require(maxIters > 0, s"maxIters must be positive, got $maxIters")
+    // Undirected: keep each edge in both directions so one aggregation
+    // per round sees every neighbour. Generators emit unique id_a < id_b
+    // pairs, so the mirrored list needs no dedup; later rounds dedup
+    // their own contracted output.
+    var edges = pairs
       .select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .distinct())
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id"))
       .localCheckpoint(true)
-    var changed = 1L
+    // Cumulative node -> representative mapping; round 0's labels seed it
+    // (every node of the graph is a `src` in the mirrored list).
+    var mapping: DataFrame = null
     var it = 0
-    while (changed > 0 && it < maxIters) {
-      val neigh = edges
-        .join(labels.select(col("id").as("dst"), col("label").as("nlabel")), "dst")
-        .groupBy("src").agg(min(col("nlabel")).as("min_neighbor"))
-        .select(col("src").as("id"), col("min_neighbor"))
-      val next = labels.join(neigh, Seq("id"))
-        .select(col("id"), least(col("label"), col("min_neighbor")).as("label"),
-          (col("min_neighbor") < col("label")).cast("long").as("moved"))
+    var done = false
+    while (!done && it < maxIters) {
+      // (1) Every current representative takes min(self, neighbours).
+      // Checkpointed: several joins consume it, and without this each one
+      // would re-run the aggregation over the full edge list.
+      val labRaw = edges.groupBy("src").agg(min(col("dst")).as("mn"))
+        .select(col("src").as("node"), least(col("src"), col("mn")).as("lab"))
         .localCheckpoint(true)
-      changed = next.agg(coalesce(sum(col("moved")), lit(0L))).head.getLong(0)
-      labels = next.select("id", "label")
+      // Pointer-jump the labels (lab := lab∘lab): two hops collapse per
+      // round, so chain-shaped merge fronts shrink geometrically. Total
+      // join — every lab value is itself a node with a labRaw row.
+      val lab = labRaw
+        .join(labRaw.select(col("node").as("lab"), col("lab").as("lab2")), Seq("lab"))
+        .select(col("node"), col("lab2").as("lab"))
+      // (2) Contract: relabel endpoints, keep only cross-label edges —
+      // dense near-dup clusters collapse here in the first round, so the
+      // 2|pairs| edge list shrinks to almost nothing immediately.
+      edges = edges
+        .join(lab.select(col("node").as("src"), col("lab").as("slab")), "src")
+        .join(lab.select(col("node").as("dst"), col("lab").as("dlab")), "dst")
+        .where(col("slab") =!= col("dlab"))
+        .select(col("slab").as("src"), col("dlab").as("dst"))
+        .distinct()
+        .localCheckpoint(true)
+      // (3) Compose the cumulative mapping with this round's labels;
+      // representatives untouched this round (no edges left) keep theirs.
+      mapping =
+        (if (mapping == null) lab.select(col("node").as("id"), col("lab").as("rep"))
+         else mapping
+           .join(lab.select(col("node").as("rep"), col("lab")), Seq("rep"), "left")
+           .select(col("id"), coalesce(col("lab"), col("rep")).as("rep")))
+          .localCheckpoint(true)
+      done = edges.isEmpty
       it += 1
     }
-    edges.unpersist()
-    labels.select(col("id"), col("label").as("component"))
+    mapping.select(col("id"), col("rep").as("component"))
   }
 
   /** SimHash fingerprint (2^bits-space, default 16 bits so the portable
