@@ -1,0 +1,75 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Globally-ordered running totals WITHOUT the single-partition window
+  * trap.
+  *
+  * `sum(x) OVER (ORDER BY k)` with no PARTITION BY moves the whole
+  * dataset to one task ("No Partition Defined for Window operation" —
+  * a scale-killer at 100 TB). This operator computes the identical
+  * result in three parallel phases:
+  *
+  *  1. range-partition by the order key (Spark's distributed sort
+  *     machinery: sampled boundaries, P ordered partitions);
+  *  2. per-partition running sums — an ordinary partitioned window,
+  *     fully parallel;
+  *  3. per-partition TOTALS (one row per partition) prefix-summed and
+  *     broadcast back as offsets; final value = local running sum +
+  *     partition offset.
+  *
+  * The only single-partition window runs over ≤ P rows (one per
+  * partition), which is cluster-size-bounded, not data-bounded. The
+  * result is deterministic whenever the order key is unique — range
+  * boundaries only decide WHERE the split falls, never the order.
+  *
+  * Downstream uses: token-budget shard packing ([[packShards]]) and
+  * deterministic corpus shuffling ([[graft.ops.Sampling.shuffleOrder]]).
+  */
+object Prefix {
+
+  /** `out` = running total of `valueCol` over the global `orderCols`
+    * order (ROWS UNBOUNDED PRECEDING .. CURRENT ROW, current row
+    * included). Use integral/decimal value types for bit-deterministic
+    * sums; `orderCols` must be a unique key of `df`.
+    */
+  def runningTotal(df: DataFrame, orderCols: Seq[Column], valueCol: Column,
+                   out: String): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    val ranged = df.repartitionByRange(p, orderCols: _*)
+      .withColumn("__pid", spark_partition_id())
+    val wLocal = Window.partitionBy(col("__pid")).orderBy(orderCols: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withLocal = ranged.withColumn("__local", sum(valueCol).over(wLocal))
+    // One row per partition; the exclusive prefix of partition totals is
+    // each partition's offset. P rows — safe in a single window partition.
+    val wOffsets = Window.orderBy(col("__pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = withLocal.groupBy(col("__pid"))
+      .agg(max(col("__local")).as("__ptotal"))
+      .withColumn("__offset", coalesce(sum(col("__ptotal")).over(wOffsets), lit(0L)))
+      .select(col("__pid"), col("__offset"))
+    withLocal.join(broadcast(offsets), "__pid")
+      .withColumn(out, col("__local") + col("__offset"))
+      .drop("__pid", "__local", "__offset")
+  }
+
+  /** Pack rows into fixed-budget shards: rows in global `orderCols`
+    * order accumulate `sizeCol` (e.g. token counts); a row's shard is
+    * `exclusivePrefix div budget` — shard k holds the rows whose
+    * preceding mass fits in [k·budget, (k+1)·budget). Emits `cum` (the
+    * inclusive running total) and `shard`. Greedy sequential packing,
+    * computed with zero sequential execution.
+    */
+  def packShards(df: DataFrame, orderCols: Seq[Column], sizeCol: Column,
+                 budget: Long, cum: String = "cum", shard: String = "shard"): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    // `div` (not `/` + cast): exact integral division, no double rounding.
+    runningTotal(df, orderCols, sizeCol, cum)
+      .withColumn("__excl", (col(cum) - sizeCol).cast("long"))
+      .withColumn(shard, expr(s"__excl div ${budget}L"))
+      .drop("__excl")
+  }
+}

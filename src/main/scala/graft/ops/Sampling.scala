@@ -40,6 +40,18 @@ object Sampling {
     df.where(bucket(keyCol, salt) < permille)
   }
 
+  /** Deterministic corpus shuffle: adds `shuffle_key` (md5 of key ++
+    * salt) and `pos` (the row's 1-based position in shuffle_key order) —
+    * a reproducible random training order. Any engine, any partitioning
+    * derives the identical permutation; a new salt is a fresh epoch
+    * order. Global positions come from [[Prefix.runningTotal]], so no
+    * single-partition window is involved.
+    */
+  def shuffleOrder(df: DataFrame, keyCol: Column, salt: String = ""): DataFrame =
+    Prefix.runningTotal(
+      df.withColumn("shuffle_key", md5(concat(keyCol.cast("string"), lit(salt)))),
+      orderCols = Seq(col("shuffle_key"), keyCol), valueCol = lit(1L), out = "pos")
+
   /** Disjoint train/validation/test split by bucket range: (0, trainPm)
     * → "train", [trainPm, trainPm+valPm) → "val", rest → "test". One
     * pass, no shuffle, rows never move between splits when the ratios

@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.PortableSql
+import graft.ops.Sampling
 import graft.text.TextAnalysis
 
 /** North-star text-analysis queries over `documents`: token counting,
@@ -228,13 +229,52 @@ object TextQueries {
           FROM documents) b
         ORDER BY doc_id"""))(
       (s, dir) => {
-        import graft.ops.Sampling
         val withBucket = T(s, dir, "documents")
           .withColumn("bucket", Sampling.bucket(col("doc_id"), "r3"))
         Sampling.split(withBucket, col("doc_id"), trainPm = 800, valPm = 100,
             salt = "r3")
           .select(col("doc_id"), col("bucket"), col("split"))
           .orderBy("doc_id")
-      })
+      }),
+
+    // Token-budget shard packing: greedy sequential packing computed with
+    // a fully parallel two-phase prefix sum (Prefix.runningTotal) — no
+    // single-partition window anywhere.
+    Q("q57_pack_shards", Q.sql("""
+        WITH t AS (
+          SELECT doc_id,
+            CAST(len(string_split_regex(trim(text), '\s+')) AS INT) AS n_tokens
+          FROM documents),
+        c AS (
+          SELECT doc_id, n_tokens,
+            CAST(sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+          FROM t)
+        SELECT doc_id, n_tokens, cum_tokens,
+          CAST((cum_tokens - n_tokens) // 2000 AS BIGINT) AS shard
+        FROM c
+        ORDER BY doc_id"""))(
+      (s, dir) =>
+        graft.ops.Prefix.packShards(
+            T(s, dir, "documents")
+              .select(col("doc_id"),
+                TextAnalysis.tokenCount(col("text")).as("n_tokens")),
+            orderCols = Seq(col("doc_id")), sizeCol = col("n_tokens"),
+            budget = 2000L, cum = "cum_tokens", shard = "shard")
+          .orderBy("doc_id")),
+
+    // Deterministic corpus shuffle: reproducible random training order
+    // (position = rank of md5(key ++ salt)); same parallel prefix-sum
+    // machinery assigns global positions.
+    Q("q58_shuffle_order", Q.sql("""
+        SELECT doc_id, md5(CAST(doc_id AS VARCHAR) || 'e1') AS shuffle_key,
+          CAST(row_number() OVER (
+            ORDER BY md5(CAST(doc_id AS VARCHAR) || 'e1'), doc_id) AS BIGINT) AS pos
+        FROM documents
+        ORDER BY pos"""))(
+      (s, dir) =>
+        Sampling.shuffleOrder(T(s, dir, "documents").select("doc_id"),
+            col("doc_id"), salt = "e1")
+          .select(col("doc_id"), col("shuffle_key"), col("pos"))
+          .orderBy("pos"))
   )
 }

@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Prefix, Sampling}
+
+class PrefixSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def rows = (1L to 500L).map(i => (i, (i * 7919) % 97 + 1)) // sizes 1..97
+    .toDF("id", "size")
+
+  test("runningTotal equals the naive global window") {
+    val naive = rows.withColumn("cum",
+      sum($"size").over(Window.orderBy($"id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select("id", "cum").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val fast = Prefix.runningTotal(rows, Seq($"id"), $"size", "cum")
+      .select("id", "cum").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    fast shouldBe naive
+  }
+
+  test("runningTotal is partitioning-independent") {
+    val a = Prefix.runningTotal(rows, Seq($"id"), $"size", "cum")
+      .select("id", "cum").collect().toSet
+    val b = Prefix.runningTotal(rows.repartition(13), Seq($"id"), $"size", "cum")
+      .select("id", "cum").collect().toSet
+    a shouldBe b
+  }
+
+  test("runningTotal's big window is partitioned (only the P-row offsets window is global)") {
+    // The data-sized window must carry a partition spec; a bare
+    // Window.orderBy over the full frame would be the single-partition trap.
+    val plan = Prefix.runningTotal(rows, Seq($"id"), $"size", "cum")
+      .queryExecution.optimizedPlan.toString
+    plan should include("windowspecdefinition(__pid")
+  }
+
+  test("packShards: no shard's exclusive prefix spans a budget boundary") {
+    val out = Prefix.packShards(rows, Seq($"id"), $"size", budget = 300L)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3))) // id, cum, shard
+    // Shard of each row == (cum - size-at-row) / 300 by definition; check
+    // monotone non-decreasing in id order and first row in shard 0.
+    val sorted = out.sortBy(_._1)
+    sorted.head._3 shouldBe 0L
+    sorted.sliding(2).foreach { case Array(a, b) => b._3 should be >= a._3; case _ => () }
+    // Total mass / budget bounds the shard count.
+    val totalMass = rows.agg(sum($"size")).head.getLong(0)
+    sorted.map(_._3).max should be <= (totalMass / 300L)
+  }
+
+  test("shuffleOrder: a permutation, stable across runs, different by salt") {
+    val df = rows.select("id")
+    val p1 = Sampling.shuffleOrder(df, $"id", salt = "s").collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val p2 = Sampling.shuffleOrder(df.repartition(11), $"id", salt = "s").collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    p1 shouldBe p2
+    p1.values.toSeq.sorted shouldBe (1L to 500L)
+    val other = Sampling.shuffleOrder(df, $"id", salt = "t").collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    other should not be p1
+  }
+}
