@@ -40,6 +40,23 @@ object Sampling {
     df.where(bucket(keyCol, salt) < permille)
   }
 
+  /** Stratified deterministic sample: per-stratum keep rates (permille),
+    * with a default for strata not in the map. Same hash-bucket predicate
+    * as [[hashSample]], so the per-stratum samples are reproducible,
+    * partitioning-independent, and nested across rate increases; still a
+    * scan-level filter — no shuffle, no per-stratum pass.
+    */
+  def stratifiedSample(df: DataFrame, keyCol: Column, strataCol: Column,
+                       permille: Map[String, Int], defaultPm: Int = 0,
+                       salt: String = ""): DataFrame = {
+    (permille.values ++ Seq(defaultPm)).foreach(p =>
+      require(p >= 0 && p <= Buckets, s"permille must be in [0, $Buckets], got $p"))
+    val rate = permille.foldLeft(lit(defaultPm)) { case (acc, (stratum, pm)) =>
+      when(strataCol === lit(stratum), lit(pm)).otherwise(acc)
+    }
+    df.where(bucket(keyCol, salt) < rate)
+  }
+
   /** Deterministic corpus shuffle: adds `shuffle_key` (md5 of key ++
     * salt) and `pos` (the row's 1-based position in shuffle_key order) —
     * a reproducible random training order. Any engine, any partitioning

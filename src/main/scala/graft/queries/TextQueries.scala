@@ -275,6 +275,50 @@ object TextQueries {
         Sampling.shuffleOrder(T(s, dir, "documents").select("doc_id"),
             col("doc_id"), salt = "e1")
           .select(col("doc_id"), col("shuffle_key"), col("pos"))
-          .orderBy("pos"))
+          .orderBy("pos")),
+
+    // Stratified deterministic sample: per-language keep rates over one
+    // shared hash bucket — still a scan-level filter, no shuffle.
+    Q("q59_stratified_sample", Q.sql(s"""
+        SELECT doc_id, lang, bucket FROM (
+          SELECT doc_id, lang,
+            ${PortableSql.hexToLong("md5(CAST(doc_id AS VARCHAR) || 's9')", 12)} % 1000 AS bucket
+          FROM documents) t
+        WHERE bucket < CASE lang WHEN 'en' THEN 600 WHEN 'es' THEN 300 ELSE 100 END
+        ORDER BY doc_id"""))(
+      (s, dir) => {
+        val d = T(s, dir, "documents")
+          .select(col("doc_id"), col("lang"))
+          .withColumn("bucket", Sampling.bucket(col("doc_id"), "s9"))
+        Sampling.stratifiedSample(d, col("doc_id"), col("lang"),
+            permille = Map("en" -> 600, "es" -> 300), defaultPm = 100,
+            salt = "s9")
+          .orderBy("doc_id")
+      }),
+
+    // Corpus vocabulary: top-50 tokens by occurrence (tie-break on the
+    // token) with document frequency — the vocab-extraction precursor to
+    // subword tokenizer training. Top-k via orderBy+limit
+    // (TakeOrderedAndProject): parallel partial top-k per partition, no
+    // global-window single-partition trap.
+    Q("q60_vocab_topk", Q.sql(s"""
+        WITH toks AS (
+          SELECT doc_id, unnest(string_split_regex($normSql, '\\s+')) AS tok
+          FROM documents),
+        v AS (
+          SELECT tok, count(*) AS n_occ, count(DISTINCT doc_id) AS n_docs
+          FROM toks GROUP BY 1)
+        SELECT tok, n_occ, n_docs FROM v
+        ORDER BY n_occ DESC, tok
+        LIMIT 50"""))(
+      (s, dir) =>
+        T(s, dir, "documents")
+          .repartition(s.sparkContext.defaultParallelism)
+          .select(col("doc_id"),
+            explode(TextAnalysis.tokens(TextAnalysis.normalizeText(col("text")))).as("tok"))
+          .groupBy("tok")
+          .agg(count(lit(1)).as("n_occ"), countDistinct(col("doc_id")).as("n_docs"))
+          .orderBy(col("n_occ").desc, col("tok").asc)
+          .limit(50))
   )
 }

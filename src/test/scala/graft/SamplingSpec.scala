@@ -59,6 +59,23 @@ class SamplingSpec extends SparkSpec {
     s80.subsetOf(s90) shouldBe true
   }
 
+  test("stratifiedSample applies per-stratum rates off one shared bucket") {
+    val strat = rows.withColumn("grp",
+      when($"id" % 2 === 0, lit("even")).otherwise(lit("odd")))
+    val s = Sampling.stratifiedSample(strat, $"id", $"grp",
+      permille = Map("even" -> 500), defaultPm = 100)
+    val byGrp = s.groupBy("grp").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    byGrp("even").toDouble shouldBe 500.0 +- 100.0 // ~50% of 1000
+    byGrp("odd").toDouble shouldBe 100.0 +- 50.0   // ~10% of 1000
+    // Strata draw from the same bucket assignment: the kept odd ids are a
+    // subset of what a uniform 500-permille sample keeps.
+    val uniform = Sampling.hashSample(rows, $"id", 500)
+      .select("id").collect().map(_.getLong(0)).toSet
+    s.where($"grp" === "odd").select("id").collect().map(_.getLong(0))
+      .toSet.subsetOf(uniform) shouldBe true
+  }
+
   test("sample predicate stays a scan-level filter (no shuffle)") {
     val plan = Sampling.hashSample(rows, $"id", 200)
       .queryExecution.executedPlan.toString
