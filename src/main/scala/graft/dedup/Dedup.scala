@@ -145,10 +145,9 @@ object Dedup {
   }
 
   /** MinHash signature: K independent min-hashes per id, computed in one
-    * aggregation pass. Hash k of shingle s = first 12 hex chars of
-    * md5("k|s") as a BIGINT (the 48-bit prefix preserves the min order of
-    * the full hash up to ~2^-48 tie probability, and both engines compute
-    * the identical value). BIGINT buffers keep the aggregation on the
+    * aggregation pass. Hash i of shingle s = (h1 + i·h2) mod 2^48 with
+    * h1/h2 the two 48-bit halves of ONE md5(s) (see
+    * [[perShingleHashes]]). BIGINT buffers keep the aggregation on the
     * HashAggregate fast path — `min` over strings forces SortAggregate
     * (sort-based, an order of magnitude slower here).
     * `min` is multiset-invariant, so the input may be raw
@@ -166,11 +165,23 @@ object Dedup {
     * occurrence. This is the last stage that touches the shingle STRING —
     * everything downstream (signature agg, distinct, pair joins) moves
     * only fixed-width longs.
+    *
+    * ONE md5 per occurrence: the 128-bit digest yields two independent
+    * 48-bit halves h1 (= shash, same derivation as [[hash48]]) and h2;
+    * signature hash i is (h1 + i·h2) mod 2^48 — double hashing (Kirsch &
+    * Mitzenmacher, "Less Hashing, Same Performance", ESA'06). K md5
+    * calls per occurrence collapse to one; i·h2 + h1 < 2^52 never
+    * overflows a BIGINT, so both engines compute identical values.
     */
-  private def perShingleHashes(sh: DataFrame, k: Int): DataFrame =
+  private def perShingleHashes(sh: DataFrame, k: Int): DataFrame = {
+    val hex = md5(col("shingle").cast("binary"))
+    val h1 = conv(substring(hex, 1, 12), 16, 10).cast("long")
+    val h2 = conv(substring(hex, 13, 12), 16, 10).cast("long")
     sh.select(
-      col("id") +: hash48(col("shingle")).as("shash") +:
-        (0 until k).map(i => hash48(concat(lit(s"$i|"), col("shingle"))).as(s"h$i")): _*)
+      col("id") +: h1.as("shash") +:
+        (0 until k).map(i =>
+          ((h1 + lit(i.toLong) * h2) % lit(1L << 48)).as(s"h$i")): _*)
+  }
 
   /** LSH banding: group the K signature columns into bands of `rowsPerBand`,
     * key each band by the concatenated min-hashes, and emit candidate

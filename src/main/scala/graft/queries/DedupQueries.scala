@@ -116,9 +116,13 @@ object DedupQueries {
     // HashAggregate fast path (string min would force SortAggregate).
     Q("q36_minhash_lsh", {
       // Signatures aggregate the RAW occurrences (min is multiset-
-      // invariant), mirroring the Spark side's single-pass form.
+      // invariant), mirroring the Spark side's single-pass form — and the
+      // same double-hashing derivation: hash i = (h1 + i*h2) mod 2^48
+      // from the two 48-bit halves of one md5 (Dedup.perShingleHashes).
+      val h1 = PortableSql.hexToLong("md5(shingle)", 12)
+      val h2 = PortableSql.hexToLong("substr(md5(shingle), 13, 12)", 12)
       val sigCols = (0 until MinhashK)
-        .map(i => s"min(${PortableSql.hexToLong(s"md5('$i|' || shingle)", 12)}) AS m$i")
+        .map(i => s"min((($h1) + $i * ($h2)) % ${1L << 48}) AS m$i")
         .mkString(", ")
       val nBands = MinhashK / RowsPerBand
       val bandArms = (0 until nBands).map { b =>
