@@ -32,26 +32,32 @@ object Prefix {
 
   /** `out` = running total of `valueCol` over the global `orderCols`
     * order (ROWS UNBOUNDED PRECEDING .. CURRENT ROW, current row
-    * included). Use integral/decimal value types for bit-deterministic
-    * sums; `orderCols` must be a unique key of `df`.
+    * included), independently per `strataCols` group when given (e.g. a
+    * running total within each train/val/test split, all strata in one
+    * pass). Use integral/decimal value types for bit-deterministic sums;
+    * `orderCols` must be a unique key of `df`. The only single-partition
+    * work is the per-stratum offsets window over ≤ P rows per stratum.
     */
   def runningTotal(df: DataFrame, orderCols: Seq[Column], valueCol: Column,
-                   out: String): DataFrame = {
+                   out: String, strataCols: Seq[String] = Nil): DataFrame = {
     val p = df.sparkSession.sparkContext.defaultParallelism
+    val strata = strataCols.map(col)
     val ranged = df.repartitionByRange(p, orderCols: _*)
       .withColumn("__pid", spark_partition_id())
-    val wLocal = Window.partitionBy(col("__pid")).orderBy(orderCols: _*)
+    val wLocal = Window.partitionBy(col("__pid") +: strata: _*)
+      .orderBy(orderCols: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val withLocal = ranged.withColumn("__local", sum(valueCol).over(wLocal))
-    // One row per partition; the exclusive prefix of partition totals is
-    // each partition's offset. P rows — safe in a single window partition.
-    val wOffsets = Window.orderBy(col("__pid"))
+    // One row per (partition, stratum); the exclusive prefix of partition
+    // totals within the stratum is that partition's offset. ≤ P rows per
+    // window partition — cluster-size-bounded, never data-bounded.
+    val wOffsets = Window.partitionBy(strata: _*).orderBy(col("__pid"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = withLocal.groupBy(col("__pid"))
+    val offsets = withLocal.groupBy(col("__pid") +: strata: _*)
       .agg(max(col("__local")).as("__ptotal"))
       .withColumn("__offset", coalesce(sum(col("__ptotal")).over(wOffsets), lit(0L)))
-      .select(col("__pid"), col("__offset"))
-    withLocal.join(broadcast(offsets), "__pid")
+      .select(col("__pid") +: (strata :+ col("__offset")): _*)
+    withLocal.join(broadcast(offsets), "__pid" +: strataCols)
       .withColumn(out, col("__local") + col("__offset"))
       .drop("__pid", "__local", "__offset")
   }
@@ -64,10 +70,11 @@ object Prefix {
     * computed with zero sequential execution.
     */
   def packShards(df: DataFrame, orderCols: Seq[Column], sizeCol: Column,
-                 budget: Long, cum: String = "cum", shard: String = "shard"): DataFrame = {
+                 budget: Long, cum: String = "cum", shard: String = "shard",
+                 strataCols: Seq[String] = Nil): DataFrame = {
     require(budget > 0, s"budget must be positive, got $budget")
     // `div` (not `/` + cast): exact integral division, no double rounding.
-    runningTotal(df, orderCols, sizeCol, cum)
+    runningTotal(df, orderCols, sizeCol, cum, strataCols)
       .withColumn("__excl", (col(cum) - sizeCol).cast("long"))
       .withColumn(shard, expr(s"__excl div ${budget}L"))
       .drop("__excl")

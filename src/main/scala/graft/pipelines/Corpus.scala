@@ -4,6 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 import graft.io.Writers
+import graft.ops.{Prefix, Sampling}
 import graft.text.TextAnalysis
 
 /** The north-star training-corpus pipeline as library API: exact dedup →
@@ -88,5 +89,29 @@ object Corpus {
     val out = serve(score(dedupSurvivors(withNorm(docs, cfg), cfg), cfg), cfg)
     cfg.outPath.foreach(p => Writers.parquetSingleFile(out, p))
     out
+  }
+
+  /** Training-data export: the curated corpus split train/val/test,
+    * shuffled into a reproducible random order, and packed into
+    * fixed-token-budget shards WITHIN each split — everything a trainer
+    * needs to map (split, shard) to files. All stages are deterministic
+    * functions of the data ([[graft.ops.Sampling]] md5 buckets,
+    * [[graft.ops.Prefix]] parallel prefix sums), so any engine, any
+    * partitioning, any retry produces the identical export.
+    *
+    * Output: (id, n_tokens, quality, split, cum_tokens, shard); shard
+    * numbering restarts per split.
+    */
+  def export(docs: DataFrame, cfg: Config = Config(), trainPm: Int = 800,
+             valPm: Int = 100, tokensPerShard: Long = 1 << 20,
+             salt: String = ""): DataFrame = {
+    val cur = Sampling.split(curate(docs, cfg), col(cfg.idCol), trainPm, valPm, salt)
+      .withColumn("__sk",
+        md5(concat(col(cfg.idCol).cast("string"), lit(salt))))
+    Prefix.packShards(cur,
+        orderCols = Seq(col("__sk"), col(cfg.idCol)),
+        sizeCol = col("n_tokens"), budget = tokensPerShard,
+        cum = "cum_tokens", shard = "shard", strataCols = Seq("split"))
+      .drop("__sk")
   }
 }

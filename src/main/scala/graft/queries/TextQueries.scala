@@ -32,6 +32,45 @@ object TextQueries {
       .map(m => PortableSql.countOccurrences(paddedSql, m))
       .mkString("(", " + ", ")")
 
+  /** CTE chain of the corpus-curation pipeline (q50 / `Corpus.curate`):
+    * exact dedup survivors → language + quality scoring → serving filter,
+    * ending in `curated(doc_id, n_tokens, quality)`. Shared by q50 and
+    * the q61 export capstone.
+    */
+  private val corpusCurateCtes: String = {
+    val maxExpr = TextAnalysis.LangMarkers
+      .map { case (l, _) => s"score_$l" }
+      .mkString("greatest(", ", ", ")")
+    val caseArms = TextAnalysis.LangMarkers.map { case (l, _) =>
+      s"WHEN mx > 0 AND score_$l = mx THEN '$l'"
+    }.mkString(" ")
+    val scores = TextAnalysis.LangMarkers.map { case (l, _) =>
+      s"${langScoreSql(l)} AS score_$l"
+    }.mkString(", ")
+    s"""keep AS (
+          SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5($normSql)),
+        surv AS (
+          SELECT * FROM documents WHERE doc_id IN (SELECT doc_id FROM keep)),
+        scored AS (
+          SELECT doc_id, $maxExpr AS mx,
+            CASE $caseArms ELSE 'und' END AS lang_pred,
+            n_tokens,
+            round(least(n_tokens / 100.0, 1.0) * 0.4
+              + (alpha / n_chr) * 0.4
+              + (1.0 - least(symbols * 5.0 / n_chr, 1.0)) * 0.2, 6) AS quality
+          FROM (
+            SELECT doc_id, $scores,
+              CAST(len(string_split_regex(trim(text), '\\s+')) AS INT) AS n_tokens,
+              CAST(length(text) AS DOUBLE) AS n_chr,
+              CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE) AS alpha,
+              CAST(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS DOUBLE) AS symbols
+            FROM surv) raw),
+        curated AS (
+          SELECT doc_id, n_tokens, quality
+          FROM scored
+          WHERE lang_pred = 'en' AND quality >= 0.5)"""
+  }
+
   def all: Seq[Q] = Seq(
 
     // Token counting: whitespace tokens + BPE-ish subword count.
@@ -147,40 +186,11 @@ object TextQueries {
     // language filter (en), quality floor, token stats out. Every stage
     // is the oracle-checked primitive from q31-q34, so the composition
     // is verified as a whole.
-    Q("q50_corpus_pipeline", {
-      val maxExpr = TextAnalysis.LangMarkers
-        .map { case (l, _) => s"score_$l" }
-        .mkString("greatest(", ", ", ")")
-      val caseArms = TextAnalysis.LangMarkers.map { case (l, _) =>
-        s"WHEN mx > 0 AND score_$l = mx THEN '$l'"
-      }.mkString(" ")
-      val scores = TextAnalysis.LangMarkers.map { case (l, _) =>
-        s"${langScoreSql(l)} AS score_$l"
-      }.mkString(", ")
-      Q.sql(s"""
-        WITH keep AS (
-          SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5($normSql)),
-        surv AS (
-          SELECT * FROM documents WHERE doc_id IN (SELECT doc_id FROM keep)),
-        scored AS (
-          SELECT doc_id, $maxExpr AS mx,
-            CASE $caseArms ELSE 'und' END AS lang_pred,
-            n_tokens,
-            round(least(n_tokens / 100.0, 1.0) * 0.4
-              + (alpha / n_chr) * 0.4
-              + (1.0 - least(symbols * 5.0 / n_chr, 1.0)) * 0.2, 6) AS quality
-          FROM (
-            SELECT doc_id, $scores,
-              CAST(len(string_split_regex(trim(text), '\\s+')) AS INT) AS n_tokens,
-              CAST(length(text) AS DOUBLE) AS n_chr,
-              CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE) AS alpha,
-              CAST(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS DOUBLE) AS symbols
-            FROM surv) raw)
+    Q("q50_corpus_pipeline", Q.sql(s"""
+        WITH $corpusCurateCtes
         SELECT doc_id, n_tokens, quality
-        FROM scored
-        WHERE lang_pred = 'en' AND quality >= 0.5
-        ORDER BY doc_id""")
-    })(
+        FROM curated
+        ORDER BY doc_id"""))(
       (s, dir) =>
         // The pipeline is library API — [[graft.pipelines.Corpus]] owns
         // the scale shape (spread scan, shared normalized-text column,
@@ -320,5 +330,38 @@ object TextQueries {
           .agg(count(lit(1)).as("n_occ"), countDistinct(col("doc_id")).as("n_docs"))
           .orderBy(col("n_occ").desc, col("tok").asc)
           .limit(50))
+          ,
+
+    // Capstone: the full training-data export — curate (q50) → split →
+    // deterministic shuffle → per-split token-budget shards. Every stage
+    // is a deterministic function of the data, so the oracle replays the
+    // pipeline as SQL: the split CASE off the md5 bucket, and the packing
+    // as a per-split ordered window cumsum (the Spark side computes the
+    // same thing with the parallel two-phase prefix sum).
+    Q("q61_corpus_export", Q.sql(s"""
+        WITH $corpusCurateCtes,
+        tagged AS (
+          SELECT doc_id, n_tokens, quality,
+            CASE WHEN ${PortableSql.hexToLong("md5(CAST(doc_id AS VARCHAR) || 'x1')", 12)} % 1000 < 800 THEN 'train'
+                 WHEN ${PortableSql.hexToLong("md5(CAST(doc_id AS VARCHAR) || 'x1')", 12)} % 1000 < 900 THEN 'val'
+                 ELSE 'test' END AS split,
+            md5(CAST(doc_id AS VARCHAR) || 'x1') AS sk
+          FROM curated),
+        packed AS (
+          SELECT doc_id, n_tokens, quality, split,
+            CAST(sum(n_tokens) OVER (
+              PARTITION BY split ORDER BY sk, doc_id
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+          FROM tagged)
+        SELECT doc_id, n_tokens, quality, split, cum_tokens,
+          CAST((cum_tokens - n_tokens) // 5000 AS BIGINT) AS shard
+        FROM packed
+        ORDER BY doc_id"""))(
+      (s, dir) =>
+        graft.pipelines.Corpus.export(T(s, dir, "documents"),
+            tokensPerShard = 5000L, salt = "x1")
+          .select(col("doc_id"), col("n_tokens"), col("quality"),
+            col("split"), col("cum_tokens"), col("shard"))
+          .orderBy("doc_id"))
   )
 }

@@ -126,4 +126,25 @@ class PipelinesSpec extends SparkSpec {
     // stage granularity: dedup alone keeps one of each content group
     Corpus.dedupSurvivors(Corpus.withNorm(docs)).count() shouldBe 3
   }
+
+  test("corpus export: split + shuffle + shards are consistent and deterministic") {
+    import graft.pipelines.Corpus
+    val text = "the quick brown fox jumps over the lazy dog and then " +
+      "the dog wakes up and chases the fox around the yard for a while"
+    val docs = (1L to 60L).map(i => (i, s"$text episode $i")).toDF("doc_id", "text")
+    val out = Corpus.export(docs, tokensPerShard = 100L, salt = "t")
+      .select("doc_id", "n_tokens", "split", "cum_tokens", "shard").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getLong(3), r.getLong(4)))
+    out.length shouldBe 60 // distinct texts, all English, all decent quality
+    // per-split: cum_tokens is a within-split prefix sum and shard math holds
+    out.groupBy(_._3).foreach { case (_, rows) =>
+      rows.map(_._2).sum shouldBe rows.map(_._4).max // split total = max cum
+      rows.foreach { case (_, n, _, cum, shard) => shard shouldBe (cum - n) / 100L }
+    }
+    // deterministic under re-partitioning
+    val again = Corpus.export(docs.repartition(7), tokensPerShard = 100L, salt = "t")
+      .select("doc_id", "n_tokens", "split", "cum_tokens", "shard").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getLong(3), r.getLong(4)))
+    again.toSet shouldBe out.toSet
+  }
 }

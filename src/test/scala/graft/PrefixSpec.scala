@@ -37,6 +37,20 @@ class PrefixSpec extends SparkSpec {
     plan should include("windowspecdefinition(__pid")
   }
 
+  test("runningTotal with strata equals the naive per-stratum window") {
+    val strat = rows.withColumn("grp",
+      when($"id" % 3 === 0, lit("a")).when($"id" % 3 === 1, lit("b"))
+        .otherwise(lit("c")))
+    val naive = strat.withColumn("cum",
+      sum($"size").over(Window.partitionBy($"grp").orderBy($"id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select("id", "cum").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val fast = Prefix.runningTotal(strat, Seq($"id"), $"size", "cum",
+        strataCols = Seq("grp"))
+      .select("id", "cum").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    fast shouldBe naive
+  }
+
   test("packShards: no shard's exclusive prefix spans a budget boundary") {
     val out = Prefix.packShards(rows, Seq($"id"), $"size", budget = 300L)
       .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3))) // id, cum, shard
