@@ -26,19 +26,7 @@ import graft.text.TextAnalysis
   */
 object Dedup {
 
-  /** Spread CPU-heavy per-row work across all cores: a small parquet input
-    * arrives as ONE scan partition (file < maxPartitionBytes), which would
-    * run the regex-heavy normalize→tokenize→explode stages single-threaded.
-    * One tiny round-robin shuffle parallelizes them.
-    */
-  private def spread(df: DataFrame): DataFrame =
-    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
-
-  /** Cache only if the caller has not already done so (double-caching logs
-    * "already cached" warnings and double-registers the plan).
-    */
-  private def cached(df: DataFrame): DataFrame =
-    if (df.storageLevel == StorageLevel.NONE) df.cache() else df
+  import graft.ops.Frames.{cached, spread}
 
   /** Exact dedup groups: one row per distinct content fingerprint with the
     * surviving (minimum) id and the duplicate count.

@@ -42,24 +42,45 @@ object Prefix {
                    out: String, strataCols: Seq[String] = Nil): DataFrame = {
     val p = df.sparkSession.sparkContext.defaultParallelism
     val strata = strataCols.map(col)
-    val ranged = df.repartitionByRange(p, orderCols: _*)
-      .withColumn("__pid", spark_partition_id())
-    val wLocal = Window.partitionBy(col("__pid") +: strata: _*)
-      .orderBy(orderCols: _*)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val withLocal = ranged.withColumn("__local", sum(valueCol).over(wLocal))
+    // MATERIALIZED (lineage truncated) before both consumers below:
+    // RangePartitioner samples its boundaries per-execution, so two plan
+    // branches each containing this exchange could pick DIFFERENT
+    // boundaries (column pruning keeps them from canonicalizing to one
+    // reusable exchange), making spark_partition_id disagree between the
+    // rows branch and the offsets branch — silently wrong totals. The
+    // checkpoint pins one boundary sample (and one upstream computation).
+    val withLocal = {
+      val ranged = df.repartitionByRange(p, orderCols: _*)
+        .withColumn("__pid", spark_partition_id())
+      val wLocal = Window.partitionBy(col("__pid") +: strata: _*)
+        .orderBy(orderCols: _*)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      ranged
+        .withColumn("__local", sum(valueCol).over(wLocal))
+        .withColumn("__v", valueCol)
+        .localCheckpoint(true)
+    }
     // One row per (partition, stratum); the exclusive prefix of partition
     // totals within the stratum is that partition's offset. ≤ P rows per
     // window partition — cluster-size-bounded, never data-bounded.
+    // Totals sum the raw values (NOT max of the running sum, which is
+    // wrong for negative values).
     val wOffsets = Window.partitionBy(strata: _*).orderBy(col("__pid"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val offsets = withLocal.groupBy(col("__pid") +: strata: _*)
-      .agg(max(col("__local")).as("__ptotal"))
+      .agg(sum(col("__v")).as("__ptotal"))
       .withColumn("__offset", coalesce(sum(col("__ptotal")).over(wOffsets), lit(0L)))
       .select(col("__pid") +: (strata :+ col("__offset")): _*)
-    withLocal.join(broadcast(offsets), "__pid" +: strataCols)
-      .withColumn(out, col("__local") + col("__offset"))
-      .drop("__pid", "__local", "__offset")
+    // Null-safe equality on the strata keys: a using-column join would
+    // silently DROP rows whose stratum is NULL.
+    val l = withLocal.as("l")
+    val r = broadcast(offsets.as("r"))
+    val cond = ((col("l.__pid") === col("r.__pid")) +:
+      strataCols.map(n => col(s"l.$n") <=> col(s"r.$n"))).reduce(_ && _)
+    l.join(r, cond)
+      .select(col("l.*") +: Seq(col("r.__offset").as("__off")): _*)
+      .withColumn(out, col("__local") + col("__off"))
+      .drop("__pid", "__local", "__off", "__v")
   }
 
   /** Pack rows into fixed-budget shards: rows in global `orderCols`

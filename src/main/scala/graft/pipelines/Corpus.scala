@@ -40,8 +40,7 @@ object Corpus {
     * (`__norm`), spread across all cores.
     */
   def withNorm(docs: DataFrame, cfg: Config = Config()): DataFrame =
-    docs
-      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+    graft.ops.Frames.spread(docs)
       .select(col(cfg.idCol), col(cfg.textCol),
         TextAnalysis.normalizeText(col(cfg.textCol)).as("__norm"))
 

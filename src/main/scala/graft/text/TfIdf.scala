@@ -21,12 +21,7 @@ import graft.ops.Relational
   */
 object TfIdf {
 
-  private def spread(df: DataFrame): DataFrame =
-    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
-
-  private def cached(df: DataFrame): DataFrame =
-    if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE) df.cache()
-    else df
+  import graft.ops.Frames.{cached, spread}
 
   /** (id, tok, tf) — term frequency per document over whitespace tokens
     * of the normalized text.

@@ -51,6 +51,33 @@ class PrefixSpec extends SparkSpec {
     fast shouldBe naive
   }
 
+  test("runningTotal handles negative values (totals are sums, not running-max)") {
+    val deltas = (1L to 300L).map(i => (i, if (i % 2 == 0) -3L else 5L))
+      .toDF("id", "delta")
+    val naive = deltas.withColumn("cum",
+      sum($"delta").over(Window.orderBy($"id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select("id", "cum").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val fast = Prefix.runningTotal(deltas, Seq($"id"), $"delta", "cum")
+      .select("id", "cum").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    fast shouldBe naive
+  }
+
+  test("runningTotal keeps rows whose stratum is NULL") {
+    val strat = rows.withColumn("grp",
+      when($"id" % 3 === 0, lit("a")).otherwise(lit(null: String)))
+    val out = Prefix.runningTotal(strat, Seq($"id"), $"size", "cum",
+      strataCols = Seq("grp"))
+    out.count() shouldBe 500
+    // NULL stratum accumulates independently of "a"
+    val naive = strat.withColumn("cum",
+      sum($"size").over(Window.partitionBy($"grp").orderBy($"id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select("id", "cum").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    out.select("id", "cum").collect().map(r => r.getLong(0) -> r.getLong(1))
+      .toMap shouldBe naive
+  }
+
   test("packShards: no shard's exclusive prefix spans a budget boundary") {
     val out = Prefix.packShards(rows, Seq($"id"), $"size", budget = 300L)
       .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3))) // id, cum, shard
