@@ -212,6 +212,53 @@ object PredicateQueries {
             (sum(col("o_totalprice").cast("decimal(27,4)")).over(w).cast("double")
               / count(lit(1)).over(w)).as("moving_avg"))
           .orderBy("o_custkey", "o_orderkey")
+      }),
+
+    // W-extension: distribution ranking — ntile deciles + percent_rank /
+    // cume_dist per market segment. All outputs are integral or exact
+    // rank ratios (rounded), so the oracle is hash-exact.
+    Q("q62_deciles", Q.sql("""
+        SELECT c_custkey, c_mktsegment,
+          CAST(ntile(10) OVER w AS INT) AS decile,
+          round(percent_rank() OVER w, 6) AS pct_rank,
+          round(cume_dist() OVER w, 6) AS cume
+        FROM customer
+        WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
+        ORDER BY c_custkey"""))(
+      (s, dir) => {
+        val w = Window.partitionBy(col("c_mktsegment"))
+          .orderBy(col("c_acctbal").desc, col("c_custkey"))
+        T(s, dir, "customer")
+          .select(col("c_custkey"), col("c_mktsegment"),
+            ntile(10).over(w).as("decile"),
+            round(percent_rank().over(w), 6).as("pct_rank"),
+            round(cume_dist().over(w), 6).as("cume"))
+          .orderBy("c_custkey")
+      }),
+
+    // W-extension: navigation functions — first/last/nth order price per
+    // customer over the full partition frame.
+    Q("q63_window_nav", Q.sql("""
+        SELECT o_custkey, o_orderkey,
+          first_value(o_totalprice) OVER w AS first_price,
+          last_value(o_totalprice) OVER w AS last_price,
+          nth_value(o_totalprice, 2) OVER w AS second_price
+        FROM orders
+        WHERE o_custkey < 100
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+          ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        ORDER BY o_custkey, o_orderkey"""))(
+      (s, dir) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        T(s, dir, "orders")
+          .where(col("o_custkey") < 100)
+          .select(col("o_custkey"), col("o_orderkey"),
+            first(col("o_totalprice")).over(w).as("first_price"),
+            last(col("o_totalprice")).over(w).as("last_price"),
+            nth_value(col("o_totalprice"), 2).over(w).as("second_price"))
+          .orderBy("o_custkey", "o_orderkey")
       })
   )
 }
