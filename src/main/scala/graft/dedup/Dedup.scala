@@ -26,7 +26,7 @@ import graft.text.TextAnalysis
   */
 object Dedup {
 
-  import graft.ops.Frames.{cached, spread}
+  import graft.ops.Frames.{cached, materialize, spread}
 
   /** Exact dedup groups: one row per distinct content fingerprint with the
     * surviving (minimum) id and the duplicate count.
@@ -291,19 +291,33 @@ object Dedup {
     * even path-shaped graphs converge in O(log n) rounds (the same
     * regime as the large-star/small-star method of Kiveris et al.,
     * "Connected Components in MapReduce and Beyond", SoCC'14). No
-    * driver-side graph state; `localCheckpoint` truncates lineage so
-    * round N's plan does not replay rounds 1..N-1.
+    * driver-side graph state; [[graft.ops.Frames.materialize]] truncates
+    * lineage between rounds so round N's plan does not replay rounds
+    * 1..N-1 (set `graft.checkpoint.reliable=true` for fault-tolerant
+    * barriers at cluster scale).
+    *
+    * Throws `IllegalStateException` if edges remain after `maxIters`
+    * rounds — an unconverged labeling must never masquerade as a valid
+    * clustering. Pointer jumping converges in O(log n) rounds, so the
+    * default 25 covers any graph this side of 2^25 chained merges; a
+    * throw means the input is adversarial, not that more rounds are a
+    * fix.
     */
   def components(pairs: DataFrame, maxIters: Int = 25): DataFrame = {
     require(maxIters > 0, s"maxIters must be positive, got $maxIters")
     // Undirected: keep each edge in both directions so one aggregation
-    // per round sees every neighbour. Generators emit unique id_a < id_b
-    // pairs, so the mirrored list needs no dedup; later rounds dedup
-    // their own contracted output.
-    var edges = pairs
-      .select(col("id_a").as("src"), col("id_b").as("dst"))
-      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .localCheckpoint(true)
+    // per round sees every neighbour. Mirrored with ONE pass over the
+    // input (explode of the forward+reverse structs) — a two-branch
+    // union would run the pair generator twice before this first
+    // materialization barrier, and pair generation (a banded self-join)
+    // dwarfs everything below. Generators emit unique id_a < id_b pairs,
+    // so the mirrored list needs no dedup; later rounds dedup their own
+    // contracted output.
+    var edges = materialize(pairs
+      .select(explode(array(
+        struct(col("id_a").as("src"), col("id_b").as("dst")),
+        struct(col("id_b").as("src"), col("id_a").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst")))
     // Cumulative node -> representative mapping; round 0's labels seed it
     // (every node of the graph is a `src` in the mirrored list).
     var mapping: DataFrame = null
@@ -313,9 +327,9 @@ object Dedup {
       // (1) Every current representative takes min(self, neighbours).
       // Checkpointed: several joins consume it, and without this each one
       // would re-run the aggregation over the full edge list.
-      val labRaw = edges.groupBy("src").agg(min(col("dst")).as("mn"))
-        .select(col("src").as("node"), least(col("src"), col("mn")).as("lab"))
-        .localCheckpoint(true)
+      val labRaw = materialize(
+        edges.groupBy("src").agg(min(col("dst")).as("mn"))
+          .select(col("src").as("node"), least(col("src"), col("mn")).as("lab")))
       // Pointer-jump the labels (lab := lab∘lab): two hops collapse per
       // round, so chain-shaped merge fronts shrink geometrically. Total
       // join — every lab value is itself a node with a labRaw row.
@@ -325,24 +339,28 @@ object Dedup {
       // (2) Contract: relabel endpoints, keep only cross-label edges —
       // dense near-dup clusters collapse here in the first round, so the
       // 2|pairs| edge list shrinks to almost nothing immediately.
-      edges = edges
+      edges = materialize(edges
         .join(lab.select(col("node").as("src"), col("lab").as("slab")), "src")
         .join(lab.select(col("node").as("dst"), col("lab").as("dlab")), "dst")
         .where(col("slab") =!= col("dlab"))
         .select(col("slab").as("src"), col("dlab").as("dst"))
-        .distinct()
-        .localCheckpoint(true)
+        .distinct())
       // (3) Compose the cumulative mapping with this round's labels;
       // representatives untouched this round (no edges left) keep theirs.
-      mapping =
-        (if (mapping == null) lab.select(col("node").as("id"), col("lab").as("rep"))
-         else mapping
-           .join(lab.select(col("node").as("rep"), col("lab")), Seq("rep"), "left")
-           .select(col("id"), coalesce(col("lab"), col("rep")).as("rep")))
-          .localCheckpoint(true)
+      mapping = materialize(
+        if (mapping == null) lab.select(col("node").as("id"), col("lab").as("rep"))
+        else mapping
+          .join(lab.select(col("node").as("rep"), col("lab")), Seq("rep"), "left")
+          .select(col("id"), coalesce(col("lab"), col("rep")).as("rep")))
       done = edges.isEmpty
       it += 1
     }
+    if (!done)
+      throw new IllegalStateException(
+        s"components did not converge after $maxIters rounds " +
+          s"(${edges.count()} cross-label edges remain); the labeling is " +
+          "incomplete — raise maxIters only if the merge-chain depth " +
+          s"genuinely exceeds 2^$maxIters")
     mapping.select(col("id"), col("rep").as("component"))
   }
 

@@ -40,6 +40,14 @@ object Prefix {
     */
   def runningTotal(df: DataFrame, orderCols: Seq[Column], valueCol: Column,
                    out: String, strataCols: Seq[String] = Nil): DataFrame = {
+    // withColumn silently REPLACES same-named caller columns and the
+    // final drop() would remove them — corrupt results with no error, so
+    // reject the collision loudly instead.
+    val reserved = Seq("__pid", "__local", "__v", "__off", "__offset", "__ptotal")
+    val clash = df.columns.intersect(reserved)
+    require(clash.isEmpty,
+      s"runningTotal reserves internal column names ${reserved.mkString(", ")}; " +
+        s"input already has ${clash.mkString(", ")} — rename before calling")
     val p = df.sparkSession.sparkContext.defaultParallelism
     val strata = strataCols.map(col)
     // MATERIALIZED (lineage truncated) before both consumers below:
@@ -48,17 +56,18 @@ object Prefix {
     // boundaries (column pruning keeps them from canonicalizing to one
     // reusable exchange), making spark_partition_id disagree between the
     // rows branch and the offsets branch — silently wrong totals. The
-    // checkpoint pins one boundary sample (and one upstream computation).
+    // barrier pins one boundary sample (and one upstream computation);
+    // see Frames.materialize for the local-vs-reliable checkpoint gate
+    // (`graft.checkpoint.reliable`) at cluster scale.
     val withLocal = {
       val ranged = df.repartitionByRange(p, orderCols: _*)
         .withColumn("__pid", spark_partition_id())
       val wLocal = Window.partitionBy(col("__pid") +: strata: _*)
         .orderBy(orderCols: _*)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      ranged
+      Frames.materialize(ranged
         .withColumn("__local", sum(valueCol).over(wLocal))
-        .withColumn("__v", valueCol)
-        .localCheckpoint(true)
+        .withColumn("__v", valueCol))
     }
     // One row per (partition, stratum); the exclusive prefix of partition
     // totals within the stratum is that partition's offset. ≤ P rows per

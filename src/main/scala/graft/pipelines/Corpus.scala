@@ -83,10 +83,22 @@ object Corpus {
 
   /** The whole pipeline: dedup → score → filter (q50's exact semantics),
     * optionally written as parquet.
+    *
+    * Cache lifecycle: [[score]] persists the scoring/serving boundary.
+    * When `outPath` is set, the write is the terminal action and the
+    * cached blocks are released here before returning. Otherwise the
+    * RETURNED FRAME READS THE CACHE — library callers own the release:
+    * run the action, then `spark.catalog.clearCache()` or keep a handle
+    * from [[score]] and `unpersist()` it (the harness mains clear the
+    * session cache after every query for exactly this reason).
     */
   def curate(docs: DataFrame, cfg: Config = Config()): DataFrame = {
-    val out = serve(score(dedupSurvivors(withNorm(docs, cfg), cfg), cfg), cfg)
-    cfg.outPath.foreach(p => Writers.parquetSingleFile(out, p))
+    val scored = score(dedupSurvivors(withNorm(docs, cfg), cfg), cfg)
+    val out = serve(scored, cfg)
+    cfg.outPath.foreach { p =>
+      Writers.parquetSingleFile(out, p)
+      scored.unpersist()
+    }
     out
   }
 
@@ -104,13 +116,19 @@ object Corpus {
   def export(docs: DataFrame, cfg: Config = Config(), trainPm: Int = 800,
              valPm: Int = 100, tokensPerShard: Long = 1 << 20,
              salt: String = ""): DataFrame = {
-    val cur = Sampling.split(curate(docs, cfg), col(cfg.idCol), trainPm, valPm, salt)
+    val scored = score(dedupSurvivors(withNorm(docs, cfg), cfg), cfg)
+    val cur = Sampling.split(serve(scored, cfg), col(cfg.idCol), trainPm, valPm, salt)
       .withColumn("__sk",
         md5(concat(col(cfg.idCol).cast("string"), lit(salt))))
-    Prefix.packShards(cur,
+    val packed = Prefix.packShards(cur,
         orderCols = Seq(col("__sk"), col(cfg.idCol)),
         sizeCol = col("n_tokens"), budget = tokensPerShard,
         cum = "cum_tokens", shard = "shard", strataCols = Seq("split"))
       .drop("__sk")
+    // packShards' eager materialization barrier has already consumed the
+    // scored stage by the time it returns, so the cache releases here and
+    // the returned frame reads the barrier, not the cache.
+    scored.unpersist()
+    packed
   }
 }
