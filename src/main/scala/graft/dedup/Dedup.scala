@@ -162,9 +162,11 @@ object Dedup {
     * overflows a BIGINT, so both engines compute identical values.
     */
   private def perShingleHashes(sh: DataFrame, k: Int): DataFrame = {
-    val hex = md5(col("shingle").cast("binary"))
-    val h1 = conv(substring(hex, 1, 12), 16, 10).cast("long")
-    val h2 = conv(substring(hex, 13, 12), 16, 10).cast("long")
+    // Digest-direct halves (one md5 per occurrence via Md5Long's memo);
+    // numerically identical to conv(substring(md5,...),16,10) — the
+    // oracle's derivation.
+    val h1 = graft.functions.Md5Long.md5PrefixLong(col("shingle"), 0, 6)
+    val h2 = graft.functions.Md5Long.md5PrefixLong(col("shingle"), 6, 6)
     sh.select(
       col("id") +: h1.as("shash") +:
         (0 until k).map(i =>
@@ -347,11 +349,16 @@ object Dedup {
         .distinct())
       // (3) Compose the cumulative mapping with this round's labels;
       // representatives untouched this round (no edges left) keep theirs.
-      mapping = materialize(
+      // Deliberately LAZY: each round's lab is a shallow join of
+      // checkpointed labRaw frames, so after R rounds the mapping plan is
+      // R small chained joins executed ONCE at the caller's action — an
+      // eager barrier here would add a full job per round for frames of
+      // at most |nodes| rows.
+      mapping =
         if (mapping == null) lab.select(col("node").as("id"), col("lab").as("rep"))
         else mapping
           .join(lab.select(col("node").as("rep"), col("lab")), Seq("rep"), "left")
-          .select(col("id"), coalesce(col("lab"), col("rep")).as("rep")))
+          .select(col("id"), coalesce(col("lab"), col("rep")).as("rep"))
       done = edges.isEmpty
       it += 1
     }
@@ -377,12 +384,16 @@ object Dedup {
     require(bits % 4 == 0 && bits <= 28, s"bits must be a multiple of 4 <= 28, got $bits")
     val toks = spread(df).select(idCol.as("id"),
       explode(TextAnalysis.tokens(TextAnalysis.normalizeText(textCol))).as("tok"))
-    // Native hex→long and bit ops here; the oracle uses PortableSql's
-    // instr-chain/floor-division forms (DuckDB has no conv()), which
-    // compute the identical values — h is a non-negative int < 2^28, so
+    // Digest-direct hash for byte-aligned widths (the common case), hex
+    // conv otherwise; the oracle uses PortableSql's instr-chain/floor-
+    // division forms (DuckDB has no conv()), which compute the identical
+    // values — h is a non-negative int < 2^28, so
     // floor(h / 2^b) % 2 == (h >> b) & 1 digit for digit.
-    val h = conv(substring(md5(col("tok").cast("binary")), 1, bits / 4), 16, 10)
-      .cast("long").as("h")
+    val h = (if (bits % 8 == 0)
+        graft.functions.Md5Long.md5PrefixLong(col("tok"), 0, bits / 8)
+      else
+        conv(substring(md5(col("tok").cast("binary")), 1, bits / 4), 16, 10)
+          .cast("long")).as("h")
     def bit(b: Int): Column = shiftright(col("h"), b).bitwiseAND(lit(1L))
     val withH = toks.select(col("id"), h)
     val bitSums = withH.groupBy("id")

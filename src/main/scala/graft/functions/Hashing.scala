@@ -12,8 +12,10 @@ object Hashing {
 
   /** 48-bit md5-prefix of a column as BIGINT: an 8-byte fixed-width key
     * that shuffles and compares far cheaper than the source string, with
-    * ~2^-48 collision probability per pair.
+    * ~2^-48 collision probability per pair. Digest-direct
+    * ([[Md5Long.md5PrefixLong]]) — same value as
+    * `conv(substring(md5(c), 1, 12), 16, 10)` without the per-row hex
+    * string round-trip.
     */
-  def hash48(c: Column): Column =
-    conv(substring(md5(c.cast("binary")), 1, 12), 16, 10).cast("long")
+  def hash48(c: Column): Column = Md5Long.md5PrefixLong(c, 0, 6)
 }

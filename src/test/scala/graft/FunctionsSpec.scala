@@ -45,4 +45,36 @@ class FunctionsSpec extends SparkSpec {
     // without error on a fresh extensions container
     noException should be thrownBy new GraftExtensions()(new SparkSessionExtensions)
   }
+
+  test("md5PrefixLong equals the hex/conv chain, codegen and interpreted") {
+    import graft.functions.Md5Long
+    // varied lengths incl. empty string and >64-byte (multi-block md5)
+    val df = Seq("", "a", "three word shingle", "x" * 200, "émoji ✓ utf8")
+      .toDF("s")
+    val out = df.select(
+        Md5Long.md5PrefixLong(col("s"), 0, 6).as("fast1"),
+        conv(substring(md5(col("s").cast("binary")), 1, 12), 16, 10)
+          .cast("long").as("ref1"),
+        Md5Long.md5PrefixLong(col("s"), 6, 6).as("fast2"),
+        conv(substring(md5(col("s").cast("binary")), 13, 12), 16, 10)
+          .cast("long").as("ref2"),
+        Md5Long.md5PrefixLong(col("s"), 0, 3).as("fast3"),
+        conv(substring(md5(col("s").cast("binary")), 1, 6), 16, 10)
+          .cast("long").as("ref3"))
+      .collect()
+    out.foreach { r =>
+      r.getLong(0) shouldBe r.getLong(1)
+      r.getLong(2) shouldBe r.getLong(3)
+      r.getLong(4) shouldBe r.getLong(5)
+    }
+    // interpreted path (nullSafeEval): evaluate off the codegen engine
+    val e = graft.functions.Md5PrefixLong(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        "three word shingle", org.apache.spark.sql.types.StringType), 0, 6)
+    e.eval(null) shouldBe out(2).getLong(0)
+    // null propagates
+    Md5Long.md5PrefixLong(lit(null).cast("string"), 0, 6)
+    df.select(Md5Long.md5PrefixLong(lit(null).cast("string"), 0, 6).as("n"))
+      .head().isNullAt(0) shouldBe true
+  }
 }
