@@ -1,0 +1,68 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.PortableSql
+import graft.similarity.Quantize
+import graft.sketch.Hll
+
+/** Sketch + quantization operators under the oracle gate: a
+  * deterministic HyperLogLog register table ([[graft.sketch.Hll]]) and
+  * symmetric int8 embedding quantization
+  * ([[graft.similarity.Quantize]]).
+  */
+object SketchQueries {
+
+  private def T(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  private val HllP = 6
+
+  def all: Seq[Q] = Seq(
+
+    // HLL registers (p=6 → 64 buckets) over lineitem part keys. The
+    // oracle replays the identical integer derivation: 48-bit md5 hash,
+    // low-p-bit bucket, trailing-zeros+1 rho via bit_count((w & -w) - 1)
+    // — no floating point anywhere.
+    Q("q66_hll_registers", Q.sql(s"""
+        WITH h AS (
+          SELECT ${PortableSql.hexToLong("md5(CAST(l_partkey AS VARCHAR))", 12)} AS h
+          FROM lineitem),
+        b AS (
+          SELECT h % ${1 << HllP} AS bucket,
+            CAST(floor(h / ${1 << HllP}) AS BIGINT) AS w
+          FROM h)
+        SELECT bucket,
+          max(CASE WHEN w = 0 THEN ${48 - HllP + 1}
+                   ELSE CAST(bit_count((w & (-w)) - 1) AS BIGINT) + 1 END) AS max_rho
+        FROM b
+        GROUP BY 1
+        ORDER BY bucket"""))(
+      (s, dir) =>
+        Hll.registers(T(s, dir, "lineitem"), col("l_partkey"), HllP)
+          .orderBy("bucket")),
+
+    // Symmetric int8 quantization of the embeddings table, flat
+    // (vec_id, pos, q, scale) layout. Scale is max|v|/127 (exact
+    // comparison math); codes are floor(v/scale + 0.5) in double on both
+    // engines.
+    Q("q67_embed_quantize", Q.sql("""
+        WITH e AS (
+          SELECT vec_id, pos - 1 AS pos, CAST(embedding[pos] AS DOUBLE) AS v
+          FROM embeddings,
+            LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS pos) t),
+        m AS (
+          SELECT vec_id, max(abs(v)) / 127.0 AS scale FROM e GROUP BY 1)
+        SELECT e.vec_id AS vec_id, e.pos AS pos,
+          CASE WHEN m.scale = 0 THEN 0
+               ELSE CAST(floor(e.v / m.scale + 0.5) AS BIGINT) END AS q,
+          m.scale AS scale
+        FROM e JOIN m ON e.vec_id = m.vec_id
+        ORDER BY e.vec_id, e.pos"""))(
+      (s, dir) =>
+        Quantize.int8(T(s, dir, "embeddings"), col("vec_id"), col("embedding"))
+          .orderBy("vec_id", "pos"))
+  )
+}

@@ -1,0 +1,63 @@
+package graft.sketch
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Hashing
+
+/** Deterministic HyperLogLog registers (Flajolet et al., AOFA'07) built
+  * from the shared 48-bit md5 hash — a cardinality sketch whose REGISTER
+  * TABLE is bit-reproducible across engines, so the sketch itself sits
+  * under the DuckDB hash gate (unlike `approx_count_distinct`, whose
+  * HLL++ registers are engine-private — that variant is spec-checked in
+  * ApproxSpec).
+  *
+  * 100 TB story: the register table is the whole point — `registers()`
+  * is a map-side-combinable aggregation producing at most `2^p` tiny
+  * rows per grouping, and register tables MERGE by per-bucket max, so
+  * per-partition / per-day sketches roll up without rescanning (the
+  * standard sketch-mergeability argument). The shuffle carries buckets,
+  * never keys.
+  *
+  * Rho variant: trailing-zeros+1 of the suffix (geometrically
+  * distributed, same estimator guarantees as leading-zeros) — chosen
+  * because `tz` is computable EXACTLY on both engines as
+  * `bit_count((w & -w) - 1)`, pure integer ops; leading-zeros needs
+  * `log2`, whose libm rounding differs between JVM and C.
+  */
+object Hll {
+
+  /** Per-bucket max-rho registers for the values of `key`: one row per
+    * OBSERVED bucket (bucket, max_rho); absent buckets are rho=0 to the
+    * estimator. `p` index bits → m=2^p buckets; the remaining 48-p hash
+    * bits feed rho.
+    */
+  def registers(df: DataFrame, key: Column, p: Int): DataFrame = {
+    require(p >= 4 && p <= 16, s"p must be in [4,16], got $p")
+    val m = (1 << p).toLong
+    val maxRho = (48 - p + 1).toLong
+    val h = Hashing.hash48(key.cast("string"))
+    val bucket = h.bitwiseAND(lit(m - 1))
+    val w = shiftright(h, p)
+    val rho = when(w === 0, lit(maxRho))
+      .otherwise((bit_count(w.bitwiseAND(-w) - 1) + 1).cast("long"))
+    df.select(bucket.as("bucket"), rho.as("rho"))
+      .groupBy("bucket").agg(max(col("rho")).as("max_rho"))
+  }
+
+  /** Driver-side estimate from a collected register table (≤ 2^p rows —
+    * model-sized, like IVF's centroids). Raw HLL estimator with the
+    * standard linear-counting small-range correction.
+    */
+  def estimate(registers: DataFrame, p: Int): Double = {
+    val m = 1 << p
+    val regs = new Array[Int](m)
+    registers.select(col("bucket").cast("int"), col("max_rho").cast("int"))
+      .collect().foreach(r => regs(r.getInt(0)) = r.getInt(1))
+    val alpha = 0.7213 / (1.0 + 1.079 / m)
+    val sum = regs.map(r => math.pow(2.0, -r)).sum
+    val raw = alpha * m * m / sum
+    val zeros = regs.count(_ == 0)
+    if (raw <= 2.5 * m && zeros > 0) m * math.log(m.toDouble / zeros) else raw
+  }
+}

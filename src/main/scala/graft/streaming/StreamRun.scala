@@ -1,0 +1,59 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+
+/** Finite execution of a Structured-Streaming pipeline so streaming
+  * operators can sit under the same DuckDB hash gate as batch queries:
+  * read the fixture as a STREAM, run it with `Trigger.AvailableNow` into
+  * a memory sink, and hand back the sink table as a plain DataFrame.
+  *
+  * `AvailableNow` processes everything available then stops — the
+  * batch-bounded replay mode a backfill job uses in production. At
+  * cluster scale the same pipeline runs unbounded with a real sink and a
+  * durable checkpoint; nothing in the transform changes, which is the
+  * point of proving it against the batch oracle here.
+  *
+  * Output-mode rules for finite replay:
+  *  - aggregations run in `Complete` mode — in `Append`, windows close
+  *    only when the WATERMARK passes them, and the watermark of the final
+  *    micro-batch never advances past the last window, which would hold
+  *    back the tail of the result forever;
+  *  - stateless/dedup pipelines run in `Append`.
+  */
+object StreamRun {
+
+  /** The events fixture as a STREAMING source, with the same
+    * TIMESTAMP(NANOS) → µs normalization as [[graft.Tables.load]]
+    * (streaming scans need an explicit schema, which is read from the
+    * parquet footer — a metadata-only operation).
+    */
+  def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val path = s"$dir/events.parquet"
+    val schema = spark.read.parquet(path).schema
+    // FileStreamSource requires a directory or a GLOB — a plain file path
+    // fails ("Option 'basePath' must be a directory"). The bracket glob
+    // matches exactly the one fixture file while keeping glob semantics.
+    spark.readStream.schema(schema).parquet(s"$dir/[e]vents.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Run `stream` to exhaustion into an in-memory sink named `name` and
+    * return the sink table. Re-runnable in one session (the previous
+    * sink view is dropped first).
+    */
+  def runToTable(name: String, stream: DataFrame, mode: OutputMode): DataFrame = {
+    val spark = stream.sparkSession
+    spark.catalog.dropTempView(name)
+    val q = stream.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(mode)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+}

@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.similarity.Quantize
+import graft.sketch.Hll
+
+/** Estimator/accuracy properties of the oracle-gated sketch operators
+  * (the register/code VALUES are hash-checked by the driver; these specs
+  * check the claims made about them).
+  */
+class SketchSpec extends SparkSpec {
+
+  private lazy val lineitem = spark.read
+    .parquet("/root/testdata/sf0.001/lineitem.parquet").cache()
+  private lazy val embeddings = spark.read
+    .parquet("/root/testdata/sf0.001/embeddings.parquet").cache()
+
+  test("HLL estimate from md5 registers lands near exact count distinct") {
+    val exact = lineitem.select(countDistinct(col("l_partkey"))).head().getLong(0)
+    val est = Hll.estimate(Hll.registers(lineitem, col("l_partkey"), p = 6), p = 6)
+    // m=64 → standard error 1.04/sqrt(64) ≈ 13%; allow 3 sigma
+    math.abs(est - exact) / exact should be < 0.4
+  }
+
+  test("HLL registers merge by per-bucket max (sketch mergeability)") {
+    val half1 = lineitem.where(col("l_orderkey") % 2 === 0)
+    val half2 = lineitem.where(col("l_orderkey") % 2 === 1)
+    val merged = Hll.registers(half1, col("l_partkey"), 6)
+      .unionByName(Hll.registers(half2, col("l_partkey"), 6))
+      .groupBy("bucket").agg(max("max_rho").as("max_rho"))
+    val whole = Hll.registers(lineitem, col("l_partkey"), 6)
+    merged.except(whole).count() shouldBe 0
+    whole.except(merged).count() shouldBe 0
+  }
+
+  test("int8 quantization reconstructs within half a step") {
+    val flat = Quantize.int8(embeddings, col("vec_id"), col("embedding"))
+    val orig = embeddings.select(col("vec_id"),
+      posexplode(col("embedding")).as(Seq("pos", "v")))
+    val err = flat.join(orig, Seq("vec_id", "pos"))
+      .select(max(abs(col("q") * col("scale") - col("v").cast("double"))
+        / when(col("scale") === 0, 1.0).otherwise(col("scale"))))
+      .head().getDouble(0)
+    err should be <= 0.5
+  }
+
+  test("int8 codes stay in [-127, 127] and pack to tinyint arrays") {
+    val flat = Quantize.int8(embeddings, col("vec_id"), col("embedding"))
+    flat.where(col("q") > 127 || col("q") < -127).count() shouldBe 0
+    val sz = org.apache.spark.sql.functions.size(_: org.apache.spark.sql.Column)
+    val packed = Quantize.toArrays(flat)
+    val r = packed.select(col("vec_id"), sz(col("qvec")).as("d")).head()
+    r.getInt(1) shouldBe
+      embeddings.select(sz(col("embedding"))).head().getInt(0)
+  }
+}
