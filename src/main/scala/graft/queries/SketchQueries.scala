@@ -63,6 +63,46 @@ object SketchQueries {
         ORDER BY e.vec_id, e.pos"""))(
       (s, dir) =>
         Quantize.int8(T(s, dir, "embeddings"), col("vec_id"), col("embedding"))
-          .orderBy("vec_id", "pos"))
+          .orderBy("vec_id", "pos")),
+
+    // End-to-end quantized search: top-3 cosine neighbours computed ON
+    // THE INT8 CODES (scales cancel in cosine). Every dot product is an
+    // exact integer (|q| <= 127, 64 dims → < 2^21), so the quantized
+    // scores hash-match the oracle bit-for-bit — the storage->search
+    // path a 100 TB vector store actually runs, at 4x less scan I/O.
+    Q("q68_quantized_knn", Q.sql(s"""
+        WITH e AS (
+          SELECT vec_id, pos - 1 AS pos, CAST(embedding[pos] AS DOUBLE) AS v
+          FROM embeddings,
+            LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS pos) t),
+        m AS (
+          SELECT vec_id, max(abs(v)) / 127.0 AS scale FROM e GROUP BY 1),
+        qf AS (
+          SELECT e.vec_id AS vec_id, e.pos AS pos,
+            CASE WHEN m.scale = 0 THEN 0
+                 ELSE CAST(floor(e.v / m.scale + 0.5) AS BIGINT) END AS q
+          FROM e JOIN m ON e.vec_id = m.vec_id),
+        v AS (SELECT vec_id, list(q ORDER BY pos) AS qv FROM qf GROUP BY 1)
+        SELECT query_id, neighbor_id, cos_sim, rank FROM (
+          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+            round(${PortableSql.cosine("q.qv", "c.qv", 64)}, 6) AS cos_sim,
+            row_number() OVER (
+              PARTITION BY q.vec_id
+              ORDER BY round(${PortableSql.cosine("q.qv", "c.qv", 64)}, 6) DESC,
+                c.vec_id) AS rank
+          FROM v q, v c
+          WHERE q.vec_id < 5 AND q.vec_id <> c.vec_id) t
+        WHERE rank <= 3
+        ORDER BY query_id, rank"""))(
+      (s, dir) => {
+        val packed = graft.ops.Frames.cached(
+          Quantize.toArrays(
+              Quantize.int8(T(s, dir, "embeddings"), col("vec_id"), col("embedding")))
+            .select(col("vec_id"),
+              transform(col("qvec"), x => x.cast("float")).as("embedding")))
+        graft.similarity.Similarity.knnBruteForce(
+            packed.where(col("vec_id") < 5), packed, k = 3)
+          .orderBy("query_id", "rank")
+      })
   )
 }
