@@ -208,6 +208,14 @@ object Dedup {
   /** Full MinHash-LSH near-dup pipeline: shingle -> sign -> band -> candidate
     * pairs -> exact-Jaccard verification at `threshold`.
     *
+    * Recall caveat when tuning (k, rowsPerBand, threshold): the K hash
+    * functions come from double hashing (h1 + i·h2 — see
+    * [[perShingleHashes]]), which is Kirsch-Mitzenmacher-sound but makes
+    * them pairwise dependent, so band collision probability deviates
+    * slightly from the classic independent-hash s-curve
+    * (1-(1-s^r)^b). Verification is exact, so precision is unaffected —
+    * only recall at the threshold boundary shifts marginally.
+    *
     * The verify stage is candidate-restricted: intersections are computed
     * FROM the candidate pairs (pair ⋈ shingles-of-a ⋈ shingles-of-b), never
     * over all shingle collisions — the whole point of LSH is that the

@@ -102,6 +102,34 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("foreachBatch streams micro-batches into a versioned table exactly once") {
+    import graft.versioned.VersionedTable
+    implicit val sqlCtx = spark.sqlContext
+    val root = tmpDir("stream-versioned")
+    val input = MemoryStream[(Long, String)]
+    // seed version 0 so each micro-batch is a manifest append (the
+    // streaming form of the reference's incremental year loads)
+    VersionedTable.create(spark, root,
+      Seq((0L, "seed")).toDF("id", "v"))
+    val q = input.toDF().toDF("id", "v").writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        VersionedTable.open(spark, root).append(batch): Unit
+      }
+      .start()
+    try {
+      input.addData((1L, "a"), (2L, "b"))
+      q.processAllAvailable()
+      input.addData((3L, "c"))
+      q.processAllAvailable()
+      val t = VersionedTable.open(spark, root)
+      t.toDF.count() shouldBe 4
+      t.version shouldBe 2 // seed + one commit per micro-batch
+      // time travel sees the pre-batch-2 state — replayable ingestion
+      t.asOf(1).count() shouldBe 3
+    } finally q.stop()
+  }
+
   test("decade UDF variant agrees with the native expression") {
     val years = Seq(1969, 1970, 2025).toDF("year")
     val both = years.select(
