@@ -85,6 +85,26 @@ object VersionedQueries {
         t.append(widened, mergeSchema = true)
         t.toDF.select((NationCols :+ "extrakey").map(col): _*)
           .orderBy("n_nationkey")
+      }),
+
+    // Change feed (Delta CDF analog): the v0→v1 changes of a copy-on-write
+    // update are the old matching rows as deletes plus their redacted
+    // forms as inserts — rows the rewrite carried over unchanged cancel
+    // in the file-diff exceptAll and must NOT appear.
+    Q("q69_version_changes", Q.sql("""
+        SELECT n_nationkey, 'REDACTED' AS n_name, n_regionkey,
+          'insert' AS _change_type
+        FROM nation WHERE n_regionkey = 0
+        UNION ALL
+        SELECT n_nationkey, n_name, n_regionkey, 'delete' AS _change_type
+        FROM nation WHERE n_regionkey = 0
+        ORDER BY _change_type, n_nationkey"""))(
+      (s, dir) => {
+        val t = VersionedTable.create(s, scratch(s, "changes", dir), nation(s, dir))
+        t.update(col("n_regionkey") === 0, Map("n_name" -> lit("REDACTED")))
+        t.changes(0, 1)
+          .select((NationCols :+ "_change_type").map(col): _*)
+          .orderBy("_change_type", "n_nationkey")
       })
   )
 }

@@ -135,4 +135,28 @@ class VersionedTableSpec extends SparkSpec {
   test("open on a non-table fails fast") {
     an[Exception] should be thrownBy VersionedTable.open(spark, tmpDir("empty"))
   }
+
+  test("changes: an append's feed is exactly the appended rows, reading only the new files") {
+    val t = VersionedTable.create(spark, tmpDir("vt-cdc"), base)
+    t.append(Seq(("AUDI", 2000, 2020)).toDF("Mh", "ec_cm3", "year"))
+    val feed = t.changes(0, 1)
+    feed.select("Mh", "_change_type").as[(String, String)].collect().toSeq shouldBe
+      Seq(("AUDI", "insert"))
+    // file-diff-bounded: only the appended files are scanned, not v0's
+    val v0Files = t.asOf(0).inputFiles.toSet
+    feed.inputFiles.toSet.intersect(v0Files) shouldBe empty
+  }
+
+  test("changes: an update's feed is the delete+insert pair; carried-over rows cancel") {
+    val t = VersionedTable.create(spark, tmpDir("vt-cdc2"), base)
+    t.update($"Mh" === "FERRARI", Map("ec_cm3" -> lit(4010)))
+    val feed = t.changes(0, 1)
+      .select("Mh", "ec_cm3", "_change_type")
+      .as[(String, Int, String)].collect().toSet
+    feed shouldBe Set(
+      ("FERRARI", 4000, "delete"),
+      ("FERRARI", 4010, "insert"))
+    // identity window: changes(v, v) is empty
+    t.changes(1, 1).count() shouldBe 0
+  }
 }
