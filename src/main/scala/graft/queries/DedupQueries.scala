@@ -222,6 +222,63 @@ object DedupQueries {
         Dedup.components(
             Dedup.simhashNearDups(T(s, dir, "documents"),
               col("doc_id"), col("text"), maxDist = 3, bits = 24))
+          .orderBy("id")),
+
+    // Benchmark decontamination report (the n-gram-overlap check every
+    // training corpus runs against eval sets): docs sharing any 3-gram
+    // shingle with the pseudo-benchmark slice (id % 97 = 0), with the
+    // overlap count and contamination ratio that drive the drop decision.
+    // Scale shape: the benchmark shingle set is tiny (eval suites are
+    // ~10^3 docs) → BROADCAST semi-join against it; the corpus never
+    // shuffles on content.
+    Q("q70_decontaminate", Q.sql(s"""
+        $shingleCtes,
+        bench AS (SELECT DISTINCT shash FROM sh WHERE id % 97 = 0),
+        ov AS (
+          SELECT id, count(*) AS n_overlap
+          FROM sh
+          WHERE id % 97 <> 0 AND shash IN (SELECT shash FROM bench)
+          GROUP BY 1)
+        SELECT ov.id AS id, n_overlap, n_sh,
+          round(n_overlap * 1.0 / n_sh, 6) AS contamination
+        FROM ov JOIN cnt ON cnt.id = ov.id
+        ORDER BY id"""))(
+      (s, dir) => {
+        import graft.ops.Frames.cached
+        val sh = cached(Dedup.shingleHashSet(
+          T(s, dir, "documents"), col("doc_id"), col("text"), 3))
+        val bench = broadcast(
+          sh.where(col("id") % 97 === 0).select("shash").distinct())
+        sh.where(col("id") % 97 =!= 0)
+          .join(bench, Seq("shash"), "left_semi")
+          .groupBy("id").agg(count(lit(1)).as("n_overlap"))
+          .join(Dedup.shingleCounts(sh), Seq("id"))
+          .withColumn("contamination",
+            round(col("n_overlap") * 1.0 / col("n_sh"), 6))
+          .select("id", "n_overlap", "n_sh", "contamination")
+          .orderBy("id")
+      }),
+
+    // Intra-document repetition ratio (Gopher-style quality rule): the
+    // most frequent 3-gram's share of all 3-gram occurrences. One narrow
+    // two-level aggregation over the hashed raw shingles — no joins, no
+    // per-doc state beyond the agg buffers.
+    Q("q71_repetition", Q.sql(s"""
+        $shingleCtes,
+        occ AS (
+          SELECT id, ${PortableSql.hexToLong("md5(shingle)", 12)} AS sh,
+            count(*) AS n
+          FROM shr GROUP BY 1, 2)
+        SELECT id, max(n) AS max_rep, sum(n) AS n_occ,
+          round(max(n) * 1.0 / sum(n), 6) AS rep_ratio
+        FROM occ GROUP BY id
+        ORDER BY id"""))(
+      (s, dir) =>
+        Dedup.shinglesRaw(T(s, dir, "documents"), col("doc_id"), col("text"), 3)
+          .select(col("id"), graft.functions.Hashing.hash48(col("shingle")).as("sh"))
+          .groupBy("id", "sh").agg(count(lit(1)).as("n"))
+          .groupBy("id").agg(max(col("n")).as("max_rep"), sum(col("n")).as("n_occ"))
+          .withColumn("rep_ratio", round(col("max_rep") * 1.0 / col("n_occ"), 6))
           .orderBy("id"))
   )
 }

@@ -152,6 +152,30 @@ object EventQueries {
           .groupBy(col("click_id").as("event_id"))
           .agg(count(lit(1)).as("n_neighbors"))
           .orderBy("event_id")
+      }),
+
+    // Semi-structured extraction: parse the JSON props column with an
+    // explicit schema (from_json — one typed parse, codegen'd; never a
+    // per-field string UDF) and aggregate the extracted value. Integer
+    // sums, so no decimal routing needed.
+    Q("q72_json_extract", Q.sql("""
+        SELECT event_type, count(*) AS n,
+          sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+          max(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
+        FROM events
+        GROUP BY 1
+        ORDER BY event_type"""))(
+      (s, dir) => {
+        val k = from_json(col("props"),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("k",
+              org.apache.spark.sql.types.LongType)))).getField("k")
+        T(s, dir, "events")
+          .select(col("event_type"), k.as("k"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+            max(col("k")).as("max_k"))
+          .orderBy("event_type")
       })
   )
 }
