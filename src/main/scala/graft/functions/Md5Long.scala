@@ -47,7 +47,12 @@ object Md5Long {
     val d = md.get()
     d.reset()
     val dig = d.digest(bytes)
-    memo(0) = bytes
+    // store a PRIVATE copy: callers may hand in reused/zero-copy buffers
+    // (UTF8String.getBytes returns its backing array when exactly sized),
+    // and a later mutation of a stored reference would make the memo
+    // return a stale digest for matching NEW content. The copy costs far
+    // less than the digest it saves on a hit.
+    memo(0) = bytes.clone()
     memo(1) = dig
     dig
   }

@@ -103,6 +103,10 @@ object Prefix {
                  budget: Long, cum: String = "cum", shard: String = "shard",
                  strataCols: Seq[String] = Nil): DataFrame = {
     require(budget > 0, s"budget must be positive, got $budget")
+    // same silent-clobber guard as runningTotal's: withColumn would
+    // replace a caller's __excl (and drop() then removes it)
+    require(!df.columns.contains("__excl"),
+      "packShards reserves the internal column name __excl; rename it before calling")
     // `div` (not `/` + cast): exact integral division, no double rounding.
     runningTotal(df, orderCols, sizeCol, cum, strataCols)
       .withColumn("__excl", (col(cum) - sizeCol).cast("long"))

@@ -117,7 +117,12 @@ object Corpus {
              valPm: Int = 100, tokensPerShard: Long = 1 << 20,
              salt: String = ""): DataFrame = {
     val scored = score(dedupSurvivors(withNorm(docs, cfg), cfg), cfg)
-    val cur = Sampling.split(serve(scored, cfg), col(cfg.idCol), trainPm, valPm, salt)
+    val served = serve(scored, cfg)
+    // curate()'s contract: cfg.outPath receives the curated (pre-split)
+    // corpus — preserved here where the pipeline is inlined for cache
+    // lifecycle control.
+    cfg.outPath.foreach(p => Writers.parquetSingleFile(served, p))
+    val cur = Sampling.split(served, col(cfg.idCol), trainPm, valPm, salt)
       .withColumn("__sk",
         md5(concat(col(cfg.idCol).cast("string"), lit(salt))))
     val packed = Prefix.packShards(cur,

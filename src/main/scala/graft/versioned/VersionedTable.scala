@@ -316,13 +316,17 @@ final class VersionedTable private (val spark: SparkSession, val root: String) {
     * changed row with `_change_type` ∈ {insert, delete}; an update is its
     * delete+insert pair. FILE-DIFF-BOUNDED: only files added or removed
     * between the two manifests are read — an append's change feed scans
-    * just the appended files, and a copy-on-write update scans the
-    * rewritten file pair, never the full snapshots. The `exceptAll` pair
-    * then cancels rows a rewrite carried over unchanged (multiset
-    * semantics, so duplicate rows keep correct counts).
+    * just the appended files. The `exceptAll` pair then cancels rows a
+    * rewrite carried over unchanged (multiset semantics, so duplicate
+    * rows keep correct counts).
     *
-    * At 100 TB the exceptAll shuffle covers only the touched files
-    * (bounded by write amplification, not table size). Requires
+    * At 100 TB the exceptAll shuffle is bounded by the WRITE
+    * AMPLIFICATION of the commits in the window, not by table size —
+    * with one caveat today: [[update]]/[[delete]] currently rewrite
+    * every file (their scaladoc notes the row-group-stats pruned rewrite
+    * as the scale path), so an update's feed still scans both snapshots
+    * until that pruning lands; append/compact/zorder feeds are already
+    * touched-files-only. Requires
     * `fromV <= toV` manifests with identical schemas; across an
     * evolution, align schemas first (read() null-pads).
     */

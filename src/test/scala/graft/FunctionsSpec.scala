@@ -73,7 +73,6 @@ class FunctionsSpec extends SparkSpec {
         "three word shingle", org.apache.spark.sql.types.StringType), 0, 6)
     e.eval(null) shouldBe out(2).getLong(0)
     // null propagates
-    Md5Long.md5PrefixLong(lit(null).cast("string"), 0, 6)
     df.select(Md5Long.md5PrefixLong(lit(null).cast("string"), 0, 6).as("n"))
       .head().isNullAt(0) shouldBe true
   }

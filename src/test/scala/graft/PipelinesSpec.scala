@@ -147,4 +147,17 @@ class PipelinesSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getLong(3), r.getLong(4)))
     again.toSet shouldBe out.toSet
   }
+
+  test("export honors cfg.outPath with the curated (pre-split) corpus") {
+    import graft.pipelines.Corpus
+    val docs = (1L to 10L)
+      .map(i => (i, s"the quick brown fox jumps over the lazy dog $i"))
+      .toDF("doc_id", "text")
+    val p = tmpDir("corpus-out") + "/curated"
+    val packed = Corpus.export(docs,
+      Corpus.Config(outPath = Some(p)), tokensPerShard = 100L)
+    val written = spark.read.parquet(p)
+    written.count() shouldBe packed.count()
+    written.columns should not contain "split" // pre-split corpus
+  }
 }

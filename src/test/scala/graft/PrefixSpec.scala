@@ -91,6 +91,15 @@ class PrefixSpec extends SparkSpec {
     sorted.map(_._3).max should be <= (totalMass / 300L)
   }
 
+  test("reserved internal names are rejected loudly, not silently clobbered") {
+    val df = Seq((1, 10)).toDF("k", "__local")
+    an[IllegalArgumentException] should be thrownBy
+      Prefix.runningTotal(df, Seq(col("k")), col("k"), "cum")
+    val df2 = Seq((1, 10)).toDF("k", "__excl")
+    an[IllegalArgumentException] should be thrownBy
+      Prefix.packShards(df2, Seq(col("k")), col("k"), budget = 5)
+  }
+
   test("shuffleOrder: a permutation, stable across runs, different by salt") {
     val df = rows.select("id")
     val p1 = Sampling.shuffleOrder(df, $"id", salt = "s").collect()

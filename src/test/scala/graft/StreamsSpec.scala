@@ -102,7 +102,11 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
-  test("foreachBatch streams micro-batches into a versioned table exactly once") {
+  // NOTE: blind append is at-least-once under retries — a batch whose
+  // append committed but whose offset commit failed would replay. The
+  // production form records the batchId in the commit (Delta txn-id
+  // pattern, SCALE.md §streaming); this spec covers the happy path.
+  test("foreachBatch streams each micro-batch into a versioned table as one commit") {
     import graft.versioned.VersionedTable
     implicit val sqlCtx = spark.sqlContext
     val root = tmpDir("stream-versioned")
