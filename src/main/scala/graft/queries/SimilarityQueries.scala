@@ -128,6 +128,73 @@ object SimilarityQueries {
         Ivf.knn(emb.where(col("vec_id") < 5), emb,
             Ivf.fixedCentroids(IvfK, Dim), nProbe = 3, k = 3)
           .orderBy("query_id", "rank")
+      }),
+
+    // IVF + int8 (the two scale paths COMPOSED, FAISS IVF-SQ shape):
+    // cell probing on full-precision embeddings, in-cell scoring on the
+    // quantized codes — quarter-width I/O on the hot candidate scan.
+    // Integer dots keep the quantized scores bit-exact vs the oracle.
+    Q("q73_ivf_quantized", {
+      val cents = Ivf.fixedCentroids(IvfK, Dim)
+      val cellList = cents.indices.mkString("[", ", ", "]")
+      val scoreList = cents.map(c => PortableSql.dotConst("embedding", c))
+        .mkString("[", ", ", "]")
+      Q.sql(s"""
+        WITH e AS (
+          SELECT vec_id, pos - 1 AS pos, CAST(embedding[pos] AS DOUBLE) AS v
+          FROM embeddings,
+            LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS pos) t),
+        mm AS (
+          SELECT vec_id, max(abs(v)) / 127.0 AS scale FROM e GROUP BY 1),
+        qf AS (
+          SELECT e.vec_id AS vec_id, e.pos AS pos,
+            CASE WHEN mm.scale = 0 THEN 0
+                 ELSE CAST(floor(e.v / mm.scale + 0.5) AS BIGINT) END AS q
+          FROM e JOIN mm ON e.vec_id = mm.vec_id),
+        v AS (SELECT vec_id, list(q ORDER BY pos) AS qv FROM qf GROUP BY 1),
+        sc AS (
+          SELECT vec_id, unnest($cellList) AS cell,
+            unnest($scoreList) AS score
+          FROM embeddings),
+        asg AS (
+          SELECT vec_id, cell FROM (
+            SELECT vec_id, cell, row_number() OVER (
+              PARTITION BY vec_id ORDER BY score DESC, cell DESC) AS rn
+            FROM sc) t
+          WHERE rn = 1),
+        probe AS (
+          SELECT vec_id, cell FROM (
+            SELECT vec_id, cell, row_number() OVER (
+              PARTITION BY vec_id ORDER BY score DESC, cell DESC) AS rn
+            FROM sc WHERE vec_id < 5) t
+          WHERE rn <= 3),
+        cand AS (
+          SELECT p.vec_id AS query_id, a.vec_id AS neighbor_id,
+            ${cosSql("vp.qv", "va.qv")} AS cos_sim
+          FROM probe p JOIN asg a USING (cell)
+          JOIN v vp ON vp.vec_id = p.vec_id
+          JOIN v va ON va.vec_id = a.vec_id
+          WHERE p.vec_id <> a.vec_id)
+        SELECT query_id, neighbor_id, cos_sim, rank FROM (
+          SELECT query_id, neighbor_id, cos_sim, row_number() OVER (
+            PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+          FROM cand) t
+        WHERE rank <= 3
+        ORDER BY query_id, rank""")
+    })(
+      (s, dir) => {
+        import graft.ops.Frames.cached
+        import graft.similarity.Quantize
+        val emb = T(s, dir, "embeddings")
+        val packed = Quantize.toArrays(
+            Quantize.int8(emb, col("vec_id"), col("embedding")))
+          .select(col("vec_id"),
+            transform(col("qvec"), x => x.cast("float")).as("qemb"))
+        val joined = cached(emb.join(packed, Seq("vec_id")))
+        Ivf.knn(joined.where(col("vec_id") < 5), joined,
+            Ivf.fixedCentroids(IvfK, Dim), nProbe = 3, k = 3,
+            scoreCol = "qemb")
+          .orderBy("query_id", "rank")
       })
   )
 }

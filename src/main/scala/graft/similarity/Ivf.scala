@@ -102,19 +102,26 @@ object Ivf {
   /** Approximate top-`k` cosine neighbours: per query, search only the
     * `nProbe` best cells. Equi-join on `cell`, then exact cosine within
     * candidates (norms hoisted per side).
+    *
+    * `scoreCol` (default: `embCol`) separates the ASSIGNMENT vectors from
+    * the SCORING vectors — the IVF-SQ shape (FAISS IVF+scalar-quantizer):
+    * cells are probed on full-precision embeddings while in-cell scoring
+    * reads the int8 codes ([[Quantize]]), so the hot candidate scan does
+    * quarter-width I/O and the coarse structure keeps full fidelity.
     */
   def knn(queries: DataFrame, corpus: DataFrame,
           centroids: Array[Array[Double]], nProbe: Int, k: Int,
           dim: Int = 64, idCol: String = "vec_id",
-          embCol: String = "embedding"): DataFrame = {
+          embCol: String = "embedding", scoreCol: String = null): DataFrame = {
+    val sCol = Option(scoreCol).getOrElse(embCol)
     val q = queries
-      .select(col(idCol).as("query_id"), col(embCol).as("q_emb"),
-        Similarity.norm(col(embCol), dim).as("q_norm"),
+      .select(col(idCol).as("query_id"), col(sCol).as("q_emb"),
+        Similarity.norm(col(sCol), dim).as("q_norm"),
         explode(probeCells(col(embCol), centroids, nProbe)).as("cell"))
     val c = assign(corpus, centroids, embCol)
       .select(col("cell"), col(idCol).as("neighbor_id"),
-        col(embCol).as("c_emb"),
-        Similarity.norm(col(embCol), dim).as("c_norm"))
+        col(sCol).as("c_emb"),
+        Similarity.norm(col(sCol), dim).as("c_norm"))
     val scored = q.join(c, Seq("cell"))
       .where(col("query_id") =!= col("neighbor_id"))
       .withColumn("cos_sim",

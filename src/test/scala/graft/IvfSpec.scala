@@ -38,6 +38,27 @@ class IvfSpec extends SparkSpec {
     ivfAll shouldBe brute
   }
 
+  test("quantized scoring with probe-all equals brute force over the codes") {
+    import graft.similarity.Quantize
+    val packed = Quantize.toArrays(
+        Quantize.int8(emb, col("vec_id"), col("embedding")))
+      .select(col("vec_id"),
+        transform(col("qvec"), x => x.cast("float")).as("qemb"))
+    val joined = emb.join(packed, Seq("vec_id")).cache()
+    val centroids = Ivf.train(emb, k = 4, iters = 1)
+    val ivfQ = Ivf.knn(joined.where($"vec_id" < 5), joined, centroids,
+        nProbe = 4, k = 3, scoreCol = "qemb")
+      .select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Int)].collect().toSet
+    // brute force over the SAME quantized vectors (rename to the expected col)
+    val qOnly = joined.select(col("vec_id"), col("qemb").as("embedding"))
+    val bruteQ = Similarity.knnBruteForce(qOnly.where($"vec_id" < 5), qOnly, k = 3)
+      .select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Int)].collect().toSet
+    ivfQ shouldBe bruteQ
+    joined.unpersist(): Unit
+  }
+
   test("nProbe < k trades recall for a fraction of the candidate volume") {
     val centroids = Ivf.train(emb, k = 8, iters = 2)
     val queries = emb.where($"vec_id" < 20)
