@@ -48,6 +48,44 @@ object StreamingQueries {
           .dropDuplicates("user_id", "event_type")
         StreamRun.runToTable("q65_sink", dd, OutputMode.Append())
           .orderBy("user_id", "event_type")
+      }),
+
+    // Streaming session_window (30-min gap merge, per user) in APPEND
+    // mode — the only mode session windows support — which emits a
+    // session only once the watermark passes it: the source is staged
+    // with a far-future sentinel event (StreamRun.eventsStreamFlushed)
+    // so the closing watermark flushes every real session, the
+    // end-of-stream marker pattern for replaying a finite log. The
+    // oracle derives the same sessions with a lag-gap scan — all
+    // arithmetic in exact integer MICROseconds (fixture timestamps are
+    // µs-precision, checked: epoch_ns % 1000 = 0), session_end = last
+    // event + gap, like session_window's window.end.
+    Q("q74_stream_sessions", Q.sql("""
+        WITH seq AS (
+          SELECT user_id, ts,
+            CASE WHEN lag(ts) OVER w IS NULL
+                 OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                 THEN 1 ELSE 0 END AS is_new
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        sess AS (
+          SELECT user_id, ts,
+            sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+          FROM seq)
+        SELECT make_timestamp(epoch_us(min(ts))) AS sess_start,
+          make_timestamp(epoch_us(max(ts)) + 1800000000) AS sess_end,
+          user_id, count(*) AS n_events
+        FROM sess
+        GROUP BY user_id, session_seq
+        ORDER BY user_id, sess_start"""))(
+      (s, dir) => {
+        val sess = Streams.sessions(
+          StreamRun.eventsStreamFlushed(s, dir), "ts", "30 minutes",
+          keys = Seq(col("user_id")))
+        StreamRun.runToTable("q74_sink", sess, OutputMode.Append())
+          .where(col("user_id") =!= -1)
+          .orderBy("user_id", "sess_start")
       })
   )
 }

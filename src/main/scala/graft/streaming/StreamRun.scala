@@ -40,6 +40,35 @@ object StreamRun {
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
+  /** The events fixture as a stream PLUS a far-future sentinel event
+    * (user_id = -1, year 2100): staged into a fresh temp dir so that in
+    * Append mode the closing watermark advances past every REAL window —
+    * without it, a bounded source's final windows sit in state forever
+    * (the watermark only moves on observed event times). The sentinel's
+    * own window stays unflushed; callers filter `user_id = -1` out of the
+    * sink. This is the standard end-of-stream flush marker pattern for
+    * replaying a finite log through append-mode event-time state.
+    */
+  def eventsStreamFlushed(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val src = s"$dir/events.parquet"
+    val schema = spark.read.parquet(src).schema
+    val tmp = java.nio.file.Files.createTempDirectory("graft-stream-flush").toString
+    val conf = spark.sparkContext.hadoopConfiguration
+    org.apache.hadoop.fs.FileUtil.copy(
+      new org.apache.hadoop.fs.Path(src).getFileSystem(conf), new org.apache.hadoop.fs.Path(src),
+      new org.apache.hadoop.fs.Path(tmp).getFileSystem(conf), new org.apache.hadoop.fs.Path(tmp, "events.parquet"),
+      false, conf)
+    // sentinel: ts in raw fixture units (ns since epoch; 2100-01-01 UTC)
+    val sentinel = spark.createDataFrame(
+      java.util.Arrays.asList(
+        org.apache.spark.sql.Row(-1L, 4102444800000000000L, -1L, "sentinel", 0.0, "{}")),
+      schema)
+    sentinel.write.mode("append").parquet(tmp)
+    spark.readStream.schema(schema).parquet(tmp)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
   /** Run `stream` to exhaustion into an in-memory sink named `name` and
     * return the sink table. Re-runnable in one session (the previous
     * sink view is dropped first).
