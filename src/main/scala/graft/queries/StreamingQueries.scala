@@ -3,6 +3,8 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.OutputMode
 
+import graft.Tables
+import graft.ops.Relational.dsum
 import graft.streaming.{StreamRun, Streams}
 
 /** Structured-Streaming operators under the driver's DuckDB hash gate
@@ -86,6 +88,62 @@ object StreamingQueries {
         StreamRun.runToTable("q74_sink", sess, OutputMode.Append())
           .where(col("user_id") =!= -1)
           .orderBy("user_id", "sess_start")
+      }),
+
+    // Stream-static enrichment: the event stream joins the (static,
+    // broadcast) customer dimension per micro-batch — the canonical
+    // streaming dimension join; no state, no watermark needed. Aggregated
+    // in Complete mode and hash-checked against the batch join.
+    Q("q75_stream_enrich", Q.sql("""
+        SELECT event_type, c_mktsegment, count(*) AS n,
+          CAST(sum(CAST(value AS DECIMAL(27,4))) AS DOUBLE) AS total_value
+        FROM events JOIN customer ON user_id = c_custkey
+        GROUP BY 1, 2
+        ORDER BY event_type, c_mktsegment"""))(
+      (s, dir) => {
+        val dim = broadcast(Tables.load(s, dir, "customer")
+          .select(col("c_custkey"), col("c_mktsegment")))
+        val joined = StreamRun.eventsStream(s, dir)
+          .join(dim, col("user_id") === col("c_custkey"))
+          .groupBy("event_type", "c_mktsegment")
+          .agg(count(lit(1)).as("n"), dsum(col("value"), 4).as("total_value"))
+        StreamRun.runToTable("q75_sink", joined, OutputMode.Complete())
+          .orderBy("event_type", "c_mktsegment")
+      }),
+
+    // STREAM-STREAM self range join: events within ±60s of each click,
+    // via the same banded equi-join RangeJoin uses in batch (floor-bucket
+    // the time axis, explode intervals to covered bands, equi-join on
+    // band + exact residual) — the shape that makes a streaming interval
+    // join a hash join on band keys instead of an unbounded cross
+    // product. Inner join output emits as matches arrive (no watermark
+    // holdback), so the finite replay is exactly the batch pair set.
+    // Production adds an event-time interval condition for state GC; on
+    // a bounded replay state is bounded by the input.
+    Q("q76_stream_range_join", Q.sql("""
+        SELECT c.event_id AS click_id, e.event_id AS event_id
+        FROM (SELECT event_id, epoch_us(ts) // 1000000 AS sec
+              FROM events WHERE event_type = 'click') c
+        JOIN (SELECT event_id, epoch_us(ts) // 1000000 AS sec FROM events) e
+          ON e.sec BETWEEN c.sec - 60 AND c.sec + 60
+            AND e.event_id <> c.event_id
+        ORDER BY click_id, event_id"""))(
+      (s, dir) => {
+        val src = StreamRun.eventsStream(s, dir)
+        val pts = src.withWatermark("ts", "1 hour")
+          .select(col("event_id"), unix_timestamp(col("ts")).as("sec"))
+        val iv = src.withWatermark("ts", "1 hour")
+          .where(col("event_type") === "click")
+          .select(col("event_id").as("click_id"),
+            (unix_timestamp(col("ts")) - 60).as("win_start"),
+            (unix_timestamp(col("ts")) + 60).as("win_end"))
+        val pairs = graft.ops.RangeJoin.pointInInterval(pts, iv,
+            pointCol = "sec", startCol = "win_start", endCol = "win_end",
+            bandWidth = 60)
+          .where(col("event_id") =!= col("click_id"))
+          .select(col("click_id"), col("event_id"))
+        StreamRun.runToTable("q76_sink", pairs, OutputMode.Append())
+          .orderBy("click_id", "event_id")
       })
   )
 }
