@@ -105,6 +105,24 @@ object VersionedQueries {
         t.changes(0, 1)
           .select((NationCols :+ "_change_type").map(col): _*)
           .orderBy("_change_type", "n_nationkey")
+      }),
+
+    // Stats-pruned scan over a range-clustered table: same rows as the
+    // plain filter (the oracle), strictly fewer files opened
+    // (VersionedTableSpec asserts the skipping; compact's range-sort is
+    // what makes per-file key ranges narrow enough to skip).
+    Q("q77_pruned_scan", Q.sql("""
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM orders
+        WHERE o_orderkey BETWEEN 1000 AND 2000
+        ORDER BY o_orderkey"""))(
+      (s, dir) => {
+        val t = VersionedTable.create(s, scratch(s, "prune", dir),
+          Tables.load(s, dir, "orders")
+            .select("o_orderkey", "o_custkey", "o_totalprice"))
+        t.compact(numFiles = 8, clusterBy = Seq("o_orderkey"))
+        t.scanPruned("o_orderkey", 1000L, 2000L)
+          .orderBy("o_orderkey")
       })
   )
 }

@@ -2,6 +2,8 @@ package graft.versioned
 
 import java.nio.charset.StandardCharsets
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
@@ -307,6 +309,54 @@ final class VersionedTable private (val spark: SparkSession, val root: String) {
   /** Current snapshot. */
   def toDF: DataFrame = read(latest())
 
+  /** Stats-pruned range scan: `toDF.where(lower <= col <= upper)` that
+    * OPENS only the data files whose parquet footer min/max for `colName`
+    * intersect `[lower, upper]` — the file-skipping half of clustering
+    * ([[compact]] range-sort / [[zorder]] Morton curve exist to make
+    * these ranges narrow per file). Equivalent rows, strictly fewer
+    * files; files without stats for the column (e.g. pre-evolution) are
+    * kept conservatively.
+    *
+    * Footers are metadata-only reads, O(#files) on the driver per query.
+    * At 200k-file scale the upgrade path is memoizing these (min, max)
+    * pairs into the manifest at commit time (Delta's stats-in-log
+    * design) — the pruning logic below is unchanged, only its input
+    * moves from footers to the log.
+    */
+  def scanPruned(colName: String, lower: Any, upper: Any): DataFrame = {
+    val m = latest()
+    require(m.schema.fieldNames.contains(colName),
+      s"scanPruned: no column $colName in ${m.schema.fieldNames.mkString(", ")}")
+    val conf = spark.sparkContext.hadoopConfiguration
+    def overlaps(file: String): Boolean = {
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new Path(rootPath, file), conf))
+      try {
+        val groups = reader.getFooter.getBlocks
+        if (groups.isEmpty) return false // zero-row file: nothing to read
+        groups.asScala.exists { g =>
+          g.getColumns.asScala.find(_.getPath.toDotString == colName) match {
+            case None => true // column absent in this file: cannot prune
+            case Some(cc) =>
+              val st = cc.getStatistics
+              if (st == null) true // no stats written: cannot prune
+              else if (!st.hasNonNullValue) false // all-null chunk: range can't match
+              else rangeOverlaps(st.genericGetMin.asInstanceOf[AnyRef],
+                st.genericGetMax.asInstanceOf[AnyRef], lower, upper)
+          }
+        }
+      } finally reader.close()
+    }
+    val kept = m.files.filter(overlaps)
+    val pruned =
+      if (kept.isEmpty)
+        spark.createDataFrame(spark.sparkContext.emptyRDD[Row], m.schema)
+      else spark.read.schema(m.schema)
+        .parquet(kept.map(f => new Path(rootPath, f).toString): _*)
+    pruned.where(col(colName) >= lit(lower) && col(colName) <= lit(upper))
+  }
+
   /** V5: time travel — snapshot as of version `v`
     * (`update_versioning.py:58-67`, `FROM table@v4`).
     */
@@ -410,6 +460,29 @@ object VersionedTable {
         node.get("operation").asText(),
         DataType.fromJson(node.get("schemaJson").asText()).asInstanceOf[StructType],
         files)
+    }
+  }
+
+  /** [min,max] of a parquet column-chunk vs a user [lower,upper]: overlap
+    * test across the stats' runtime types (numbers via BigDecimal, strings
+    * via Binary UTF-8). Unknown type combinations keep the file
+    * (pruning must never drop data it can't reason about).
+    */
+  private def rangeOverlaps(mn: AnyRef, mx: AnyRef, lower: Any, upper: Any): Boolean = {
+    def num(x: Any): Option[BigDecimal] = x match {
+      case n: java.lang.Number => Some(BigDecimal(n.toString))
+      case _ => None
+    }
+    (mn, mx) match {
+      case (b1: org.apache.parquet.io.api.Binary, b2: org.apache.parquet.io.api.Binary) =>
+        (lower, upper) match {
+          case (lo: String, hi: String) =>
+            b1.toStringUsingUTF8 <= hi && b2.toStringUsingUTF8 >= lo
+          case _ => true
+        }
+      case _ =>
+        (for { a <- num(mn); b <- num(mx); lo <- num(lower); hi <- num(upper) }
+          yield a <= hi && b >= lo).getOrElse(true)
     }
   }
 

@@ -147,6 +147,35 @@ class VersionedTableSpec extends SparkSpec {
     feed.inputFiles.toSet.intersect(v0Files) shouldBe empty
   }
 
+  test("scanPruned reads only the files whose stats overlap the range") {
+    val wide = (1 to 1000).map(i => (i.toLong, s"r$i")).toDF("k", "v")
+    val t = VersionedTable.create(spark, tmpDir("vt-prune"), wide)
+    t.compact(numFiles = 10, clusterBy = Seq("k")) // range-clustered files
+    val full = t.toDF.where($"k" >= 101 && $"k" <= 150)
+    val pruned = t.scanPruned("k", 101L, 150L)
+    pruned.collect().map(_.getLong(0)).sorted shouldBe
+      full.collect().map(_.getLong(0)).sorted
+    // 50 of 1000 range-sorted rows live in at most 2 of the 10 files
+    pruned.inputFiles.length should be <= 2
+    t.toDF.inputFiles.length shouldBe 10
+    // string stats prune too
+    t.scanPruned("v", "r101", "r101").collect().map(_.getString(1)) shouldBe
+      Array("r101")
+  }
+
+  test("scanPruned after zorder skips files on EVERY clustered column") {
+    val grid = (for { x <- 0 until 32; y <- 0 until 32 }
+      yield (x.toLong, y.toLong)).toDF("x", "y")
+    val t = VersionedTable.create(spark, tmpDir("vt-zprune"), grid)
+    t.zorder(numFiles = 16, cols = Seq("x", "y"), bits = 5)
+    Seq("x", "y").foreach { c =>
+      val pruned = t.scanPruned(c, 0L, 3L)
+      pruned.count() shouldBe 32 * 4
+      // Morton clustering keeps a 4-row slab of either axis out of most files
+      pruned.inputFiles.length should be < 16
+    }
+  }
+
   test("changes: an update's feed is the delete+insert pair; carried-over rows cancel") {
     val t = VersionedTable.create(spark, tmpDir("vt-cdc2"), base)
     t.update($"Mh" === "FERRARI", Map("ec_cm3" -> lit(4010)))
