@@ -165,9 +165,14 @@ final class VersionedTable private (val spark: SparkSession, val root: String) {
     * (`update_versioning.py:40-44`). Rows matching `cond` get each
     * (column -> expression) applied; all rows are preserved.
     *
-    * Scale path: prune the rewrite to files whose row-group min/max
-    * intersect `cond` and carry the untouched files forward unchanged —
-    * the manifest design already supports it (mixed old + new file list).
+    * PRUNED copy-on-write: one probe job finds the files that actually
+    * contain matching rows (predicate-pushdown scan collecting
+    * `input_file_name` — parquet footer stats skip untouched row groups,
+    * so a clustered table's probe is near-metadata-cost), ONLY those are
+    * rewritten, and every untouched file is carried forward unchanged in
+    * the manifest (mixed old + new file list). Write amplification scales
+    * with the matched-file count, not the table — and [[changes]] feeds
+    * become touched-files-only for free.
     */
   def update(cond: Column, set: Map[String, Column]): VersionedTable = {
     val cur = latest()
@@ -175,10 +180,11 @@ final class VersionedTable private (val spark: SparkSession, val root: String) {
     val unknown = set.keySet -- df.columns.toSet
     require(unknown.isEmpty,
       s"UPDATE on $root sets non-existent column(s): ${unknown.mkString(", ")}")
+    val (touched, carried) = partitionByPredicate(cur, cond)
     // single projection: every SET expression reads the OLD row (SQL
     // UPDATE semantics) — a sequential withColumn fold would let later
     // assignments observe earlier ones
-    val updated = df.select(df.columns.map { c =>
+    val updated = readFiles(cur, touched).select(df.columns.map { c =>
       set.get(c)
         .map(e => when(cond, e).otherwise(col(s"`$c`")).as(c))
         .getOrElse(col(s"`$c`"))
@@ -193,21 +199,47 @@ final class VersionedTable private (val spark: SparkSession, val root: String) {
     require(changed.isEmpty,
       s"UPDATE on $root would change column type(s): ${changed.mkString(", ")}" +
         " — cast the SET expression to the column's type explicitly")
-    val files = writeBatch(updated, cur.version + 1)
-    commit(Manifest(cur.version + 1, "UPDATE", cur.schema, files))
+    val files =
+      if (touched.isEmpty) Nil else writeBatch(updated, cur.version + 1)
+    commit(Manifest(cur.version + 1, "UPDATE", cur.schema, carried ++ files))
     this
   }
 
   /** DELETE — companion to V4 (Delta's `DELETE FROM t WHERE cond`):
-    * copy-on-write rewrite keeping only rows NOT matching `cond`.
+    * copy-on-write rewrite keeping only rows NOT matching `cond`, pruned
+    * to the files that contain matches (see [[update]]'s probe note).
     */
   def delete(cond: Column): VersionedTable = {
     val cur = latest()
-    val kept = read(cur).where(!cond || cond.isNull)
-    val files = writeBatch(kept, cur.version + 1)
-    commit(Manifest(cur.version + 1, "DELETE", cur.schema, files))
+    val (touched, carried) = partitionByPredicate(cur, cond)
+    val kept = readFiles(cur, touched).where(!cond || cond.isNull)
+    val files =
+      if (touched.isEmpty) Nil else writeBatch(kept, cur.version + 1)
+    commit(Manifest(cur.version + 1, "DELETE", cur.schema, carried ++ files))
     this
   }
+
+  /** Split the manifest's file list into (files with rows matching
+    * `cond`, files without): one distinct-`input_file_name` probe job
+    * with the predicate pushed to the scan. `where(cond)` drops
+    * NULL-cond rows — correct for both callers (update leaves them
+    * unchanged, delete keeps them).
+    */
+  private def partitionByPredicate(m: Manifest, cond: Column): (Seq[String], Seq[String]) = {
+    if (m.files.isEmpty) return (Nil, Nil)
+    val touchedUris = read(m).where(cond)
+      .select(input_file_name()).distinct()
+      .collect().map(r => new Path(new java.net.URI(r.getString(0))).toUri.getPath).toSet
+    m.files.partition(f =>
+      touchedUris.contains(new Path(rootPath, f).toUri.getPath))
+  }
+
+  /** Read a subset of a manifest's files under its schema. */
+  private def readFiles(m: Manifest, files: Seq[String]): DataFrame =
+    if (files.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], m.schema)
+    else spark.read.schema(m.schema)
+      .parquet(files.map(f => new Path(rootPath, f).toString): _*)
 
   /** VACUUM — delete data files no manifest version references (the
     * garbage a crashed writer can leave; see the commit-protocol note).
@@ -371,11 +403,9 @@ final class VersionedTable private (val spark: SparkSession, val root: String) {
     * rows keep correct counts).
     *
     * At 100 TB the exceptAll shuffle is bounded by the WRITE
-    * AMPLIFICATION of the commits in the window, not by table size —
-    * with one caveat today: [[update]]/[[delete]] currently rewrite
-    * every file (their scaladoc notes the row-group-stats pruned rewrite
-    * as the scale path), so an update's feed still scans both snapshots
-    * until that pruning lands; append/compact/zorder feeds are already
+    * AMPLIFICATION of the commits in the window, not by table size:
+    * [[update]]/[[delete]] rewrite only the files their probe finds
+    * matches in, and append/compact/zorder feeds are likewise
     * touched-files-only. Requires
     * `fromV <= toV` manifests with identical schemas; across an
     * evolution, align schemas first (read() null-pads).
@@ -386,11 +416,6 @@ final class VersionedTable private (val spark: SparkSession, val root: String) {
     val b = readManifest(toV)
     val removed = a.files.filterNot(b.files.toSet)
     val added = b.files.filterNot(a.files.toSet)
-    def readFiles(m: Manifest, fs: Seq[String]): DataFrame =
-      if (fs.isEmpty)
-        spark.createDataFrame(spark.sparkContext.emptyRDD[Row], m.schema)
-      else spark.read.schema(m.schema)
-        .parquet(fs.map(f => new Path(rootPath, f).toString): _*)
     val oldRows = readFiles(a, removed)
     val newRows = readFiles(b, added)
     newRows.exceptAll(oldRows).withColumn("_change_type", lit("insert"))

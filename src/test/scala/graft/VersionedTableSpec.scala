@@ -147,6 +147,38 @@ class VersionedTableSpec extends SparkSpec {
     feed.inputFiles.toSet.intersect(v0Files) shouldBe empty
   }
 
+  test("update rewrites only files containing matches; others carry forward") {
+    val wide = (1 to 1000).map(i => (i.toLong, s"r$i")).toDF("k", "v")
+    val t = VersionedTable.create(spark, tmpDir("vt-pcow"), wide)
+    t.compact(numFiles = 10, clusterBy = Seq("k"))
+    val before = t.toDF.inputFiles.toSet
+    t.update($"k" === 500L, Map("v" -> lit("HIT")))
+    val after = t.toDF.inputFiles.toSet
+    // exactly one clustered file held k=500: 9 carried forward unchanged
+    (before intersect after).size shouldBe 9
+    (after diff before).size should be <= 2 // the single rewritten batch
+    t.toDF.where($"v" === "HIT").count() shouldBe 1
+    t.toDF.count() shouldBe 1000
+    // the change feed touches only the rewritten pair, not the snapshots
+    val feed = t.changes(t.version - 1, t.version)
+    feed.inputFiles.toSet.subsetOf((before diff after) ++ (after diff before)) shouldBe true
+    feed.count() shouldBe 2
+    // a no-match update commits a version without rewriting anything
+    t.update($"k" === -1L, Map("v" -> lit("X")))
+    t.toDF.inputFiles.toSet shouldBe after
+    t.changes(t.version - 1, t.version).count() shouldBe 0
+  }
+
+  test("delete rewrites only matching files") {
+    val wide = (1 to 1000).map(i => (i.toLong, s"r$i")).toDF("k", "v")
+    val t = VersionedTable.create(spark, tmpDir("vt-pdel"), wide)
+    t.compact(numFiles = 10, clusterBy = Seq("k"))
+    val before = t.toDF.inputFiles.toSet
+    t.delete($"k" >= 901L)
+    t.toDF.count() shouldBe 900
+    (before intersect t.toDF.inputFiles.toSet).size should be >= 8
+  }
+
   test("scanPruned reads only the files whose stats overlap the range") {
     val wide = (1 to 1000).map(i => (i.toLong, s"r$i")).toDF("k", "v")
     val t = VersionedTable.create(spark, tmpDir("vt-prune"), wide)
