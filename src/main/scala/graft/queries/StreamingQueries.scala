@@ -64,7 +64,7 @@ object StreamingQueries {
     // event + gap, like session_window's window.end.
     Q("q74_stream_sessions", Q.sql("""
         WITH seq AS (
-          SELECT user_id, ts,
+          SELECT user_id, ts, event_id,
             CASE WHEN lag(ts) OVER w IS NULL
                  OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
                  THEN 1 ELSE 0 END AS is_new
@@ -72,7 +72,7 @@ object StreamingQueries {
           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
         sess AS (
           SELECT user_id, ts,
-            sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+            sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
           FROM seq)
         SELECT make_timestamp(epoch_us(min(ts))) AS sess_start,

@@ -30,13 +30,20 @@ object StreamRun {
     * parquet footer — a metadata-only operation).
     */
   def eventsStream(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val path = s"$dir/events.parquet"
-    val schema = spark.read.parquet(path).schema
     // FileStreamSource requires a directory or a GLOB — a plain file path
     // fails ("Option 'basePath' must be a directory"). The bracket glob
     // matches exactly the one fixture file while keeping glob semantics.
-    spark.readStream.schema(schema).parquet(s"$dir/[e]vents.parquet")
+    streamFrom(spark, s"$dir/events.parquet", s"$dir/[e]vents.parquet")
+  }
+
+  /** readStream over `globPath` with the schema of `schemaFrom` and the
+    * TIMESTAMP(NANOS) → µs normalization shared by every events stream.
+    */
+  private def streamFrom(spark: SparkSession, schemaFrom: String,
+                         globPath: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(schemaFrom).schema
+    spark.readStream.schema(schema).parquet(globPath)
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
@@ -53,11 +60,18 @@ object StreamRun {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val src = s"$dir/events.parquet"
     val schema = spark.read.parquet(src).schema
-    val tmp = java.nio.file.Files.createTempDirectory("graft-stream-flush").toString
+    // deterministic staging dir per fixture, rebuilt rm-first (the
+    // scratch() convention) — repeated runs re-stage in place instead of
+    // leaking a fixture-sized temp copy per invocation
+    val tmp = s"${sys.props("java.io.tmpdir")}/graft-stream-flush/" +
+      dir.replaceAll("[^A-Za-z0-9.]", "_")
     val conf = spark.sparkContext.hadoopConfiguration
+    val tmpPath = new org.apache.hadoop.fs.Path(tmp)
+    val tfs = tmpPath.getFileSystem(conf)
+    tfs.delete(tmpPath, true)
     org.apache.hadoop.fs.FileUtil.copy(
       new org.apache.hadoop.fs.Path(src).getFileSystem(conf), new org.apache.hadoop.fs.Path(src),
-      new org.apache.hadoop.fs.Path(tmp).getFileSystem(conf), new org.apache.hadoop.fs.Path(tmp, "events.parquet"),
+      tfs, new org.apache.hadoop.fs.Path(tmp, "events.parquet"),
       false, conf)
     // sentinel: ts in raw fixture units (ns since epoch; 2100-01-01 UTC)
     val sentinel = spark.createDataFrame(
@@ -65,8 +79,7 @@ object StreamRun {
         org.apache.spark.sql.Row(-1L, 4102444800000000000L, -1L, "sentinel", 0.0, "{}")),
       schema)
     sentinel.write.mode("append").parquet(tmp)
-    spark.readStream.schema(schema).parquet(tmp)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    streamFrom(spark, src, tmp)
   }
 
   /** Run `stream` to exhaustion into an in-memory sink named `name` and

@@ -176,15 +176,15 @@ final class VersionedTable private (val spark: SparkSession, val root: String) {
     */
   def update(cond: Column, set: Map[String, Column]): VersionedTable = {
     val cur = latest()
-    val df = read(cur)
-    val unknown = set.keySet -- df.columns.toSet
+    val cols = cur.schema.fieldNames
+    val unknown = set.keySet -- cols.toSet
     require(unknown.isEmpty,
       s"UPDATE on $root sets non-existent column(s): ${unknown.mkString(", ")}")
     val (touched, carried) = partitionByPredicate(cur, cond)
     // single projection: every SET expression reads the OLD row (SQL
     // UPDATE semantics) — a sequential withColumn fold would let later
     // assignments observe earlier ones
-    val updated = readFiles(cur, touched).select(df.columns.map { c =>
+    val updated = readFiles(cur, touched).select(cols.map { c =>
       set.get(c)
         .map(e => when(cond, e).otherwise(col(s"`$c`")).as(c))
         .getOrElse(col(s"`$c`"))
@@ -230,8 +230,12 @@ final class VersionedTable private (val spark: SparkSession, val root: String) {
     val touchedUris = read(m).where(cond)
       .select(input_file_name()).distinct()
       .collect().map(r => new Path(new java.net.URI(r.getString(0))).toUri.getPath).toSet
+    // makeQualified: a RELATIVE table root would otherwise never match the
+    // absolute input_file_name paths and silently turn the rewrite into a
+    // carry-everything no-op
+    val f0 = fs
     m.files.partition(f =>
-      touchedUris.contains(new Path(rootPath, f).toUri.getPath))
+      touchedUris.contains(f0.makeQualified(new Path(rootPath, f)).toUri.getPath))
   }
 
   /** Read a subset of a manifest's files under its schema. */
@@ -372,8 +376,13 @@ final class VersionedTable private (val spark: SparkSession, val root: String) {
             case None => true // column absent in this file: cannot prune
             case Some(cc) =>
               val st = cc.getStatistics
-              if (st == null) true // no stats written: cannot prune
-              else if (!st.hasNonNullValue) false // all-null chunk: range can't match
+              // parquet-mr returns an EMPTY Statistics object (never null)
+              // when a writer recorded no stats — that must KEEP the file;
+              // prune on missing min/max only for the provably-all-null
+              // chunk (stats recorded, zero non-null values).
+              if (st == null || st.isEmpty) true
+              else if (!st.hasNonNullValue)
+                !(st.isNumNullsSet && st.getNumNulls > 0)
               else rangeOverlaps(st.genericGetMin.asInstanceOf[AnyRef],
                 st.genericGetMax.asInstanceOf[AnyRef], lower, upper)
           }
@@ -498,11 +507,26 @@ object VersionedTable {
       case n: java.lang.Number => Some(BigDecimal(n.toString))
       case _ => None
     }
+    // UNSIGNED UTF-8 byte order — the order parquet binary stats are
+    // written in and the order Spark's UTF8String filter compares with;
+    // Java String (UTF-16 code-unit) order disagrees for U+E000..U+FFFF
+    // vs supplementary-plane bounds and would wrongly prune.
+    def bytesLE(a: Array[Byte], b: Array[Byte]): Boolean = {
+      var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) {
+        val cmp = (a(i) & 0xff) - (b(i) & 0xff)
+        if (cmp != 0) return cmp < 0
+        i += 1
+      }
+      a.length <= b.length
+    }
     (mn, mx) match {
       case (b1: org.apache.parquet.io.api.Binary, b2: org.apache.parquet.io.api.Binary) =>
         (lower, upper) match {
           case (lo: String, hi: String) =>
-            b1.toStringUsingUTF8 <= hi && b2.toStringUsingUTF8 >= lo
+            bytesLE(b1.getBytes, hi.getBytes(StandardCharsets.UTF_8)) &&
+              bytesLE(lo.getBytes(StandardCharsets.UTF_8), b2.getBytes)
           case _ => true
         }
       case _ =>

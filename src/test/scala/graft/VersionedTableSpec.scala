@@ -169,6 +169,18 @@ class VersionedTableSpec extends SparkSpec {
     t.changes(t.version - 1, t.version).count() shouldBe 0
   }
 
+  test("update applies under a RELATIVE table root (path qualification)") {
+    val rel = s"target/vt-rel-${java.util.UUID.randomUUID().toString.take(8)}"
+    try {
+      val t = VersionedTable.create(spark, rel, base)
+      t.update($"Mh" === "FERRARI", Map("ec_cm3" -> lit(9999)))
+      t.toDF.where($"ec_cm3" === 9999).count() shouldBe 1
+    } finally {
+      val p = new org.apache.hadoop.fs.Path(rel)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    }
+  }
+
   test("delete rewrites only matching files") {
     val wide = (1 to 1000).map(i => (i.toLong, s"r$i")).toDF("k", "v")
     val t = VersionedTable.create(spark, tmpDir("vt-pdel"), wide)
