@@ -123,6 +123,35 @@ object VersionedQueries {
         t.compact(numFiles = 8, clusterBy = Seq("o_orderkey"))
         t.scanPruned("o_orderkey", 1000L, 2000L)
           .orderBy("o_orderkey")
+      }),
+
+    // MERGE/upsert (Delta's MERGE INTO): source rows replace matched
+    // keys (region-0 nations, renamed) and insert unmatched ones (a new
+    // key 99). Oracle = anti-join union of the same source.
+    Q("q78_merge_upsert", Q.sql("""
+        WITH source AS (
+          SELECT n_nationkey, 'MERGED_' || n_name AS n_name, n_regionkey
+          FROM nation WHERE n_regionkey = 0
+          UNION ALL
+          SELECT 99, 'NEWLAND', 4)
+        SELECT n_nationkey, n_name, n_regionkey FROM (
+          SELECT n_nationkey, n_name, n_regionkey FROM nation
+          WHERE n_nationkey NOT IN (SELECT n_nationkey FROM source)
+          UNION ALL
+          SELECT * FROM source) t
+        ORDER BY n_nationkey"""))(
+      (s, dir) => {
+        import s.implicits._
+        val base = nation(s, dir)
+        val t = VersionedTable.create(s, scratch(s, "merge", dir), base)
+        val source = base.where(col("n_regionkey") === 0)
+          .select(col("n_nationkey"),
+            concat(lit("MERGED_"), col("n_name")).as("n_name"),
+            col("n_regionkey"))
+          .unionByName(Seq((99, "NEWLAND", 4))
+            .toDF("n_nationkey", "n_name", "n_regionkey"))
+        t.upsert(source, keys = Seq("n_nationkey"))
+        ordered(t.toDF)
       })
   )
 }

@@ -205,6 +205,47 @@ final class VersionedTable private (val spark: SparkSession, val root: String) {
     this
   }
 
+  /** MERGE/upsert by key (Delta's `MERGE INTO t USING s ON keys WHEN
+    * MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *`): target
+    * rows whose key appears in `source` are REPLACED by the source row,
+    * source rows with no target match INSERT. Pruned copy-on-write like
+    * [[update]]: a semi-join probe finds the files holding matched keys,
+    * only those rewrite (their unmatched rows carried via anti-join),
+    * and the whole source lands in the new batch.
+    *
+    * `source` must have the table schema and UNIQUE keys (two source
+    * rows with one key would both survive the anti-join union — the
+    * ambiguity Delta rejects at runtime; checked here with one tiny
+    * aggregation over the source, which a 100 TB caller can skip by
+    * construction via `dropDuplicates(keys)`).
+    */
+  def upsert(source: DataFrame, keys: Seq[String]): VersionedTable = {
+    val cur = latest()
+    require(keys.nonEmpty, "upsert needs at least one key column")
+    require(sameSchema(cur.schema, source.schema),
+      s"""schema mismatch upserting into $root:
+         |  table:  ${cur.schema.simpleString}
+         |  source: ${source.schema.simpleString}""".stripMargin)
+    val dupKeys = source.groupBy(keys.map(col): _*)
+      .count().where(col("count") > 1).limit(1).count()
+    require(dupKeys == 0,
+      s"upsert source has duplicate keys on (${keys.mkString(", ")}) — " +
+        "multiple source rows would match one target row")
+    val srcKeys = source.select(keys.map(col): _*)
+    val (touched, carried) = partitionByTouched(cur,
+      read(cur).withColumn("__file", input_file_name())
+        .join(broadcast(srcKeys), keys, "left_semi")
+        .select("__file"))
+    val kept = readFiles(cur, touched).join(source.select(keys.map(col): _*),
+      keys, "left_anti")
+    val newData = kept.select(cur.schema.fieldNames.map(c => col(s"`$c`")).toSeq: _*)
+      .unionByName(source.select(cur.schema.fieldNames.map(c => col(s"`$c`")).toSeq: _*))
+    val files = writeBatch(newData, cur.version + 1)
+    commit(Manifest(cur.version + 1, "MERGE", cur.schema, carried ++ files))
+    this
+  }
+
+
   /** DELETE — companion to V4 (Delta's `DELETE FROM t WHERE cond`):
     * copy-on-write rewrite keeping only rows NOT matching `cond`, pruned
     * to the files that contain matches (see [[update]]'s probe note).
@@ -225,10 +266,17 @@ final class VersionedTable private (val spark: SparkSession, val root: String) {
     * NULL-cond rows — correct for both callers (update leaves them
     * unchanged, delete keeps them).
     */
-  private def partitionByPredicate(m: Manifest, cond: Column): (Seq[String], Seq[String]) = {
+  private def partitionByPredicate(m: Manifest, cond: Column): (Seq[String], Seq[String]) =
+    partitionByTouched(m, read(m).where(cond).select(input_file_name().as("__file")))
+
+  /** Same split, from a single-column frame of TOUCHED FILE PATHS.
+    * Callers must capture `input_file_name()` below any join — Spark
+    * rejects it above multi-source plans ([[upsert]] projects it before
+    * its semi-join probe for exactly that reason).
+    */
+  private def partitionByTouched(m: Manifest, touchedFiles: DataFrame): (Seq[String], Seq[String]) = {
     if (m.files.isEmpty) return (Nil, Nil)
-    val touchedUris = read(m).where(cond)
-      .select(input_file_name()).distinct()
+    val touchedUris = touchedFiles.distinct()
       .collect().map(r => new Path(new java.net.URI(r.getString(0))).toUri.getPath).toSet
     // makeQualified: a RELATIVE table root would otherwise never match the
     // absolute input_file_name paths and silently turn the rewrite into a

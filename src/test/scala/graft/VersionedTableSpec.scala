@@ -181,6 +181,24 @@ class VersionedTableSpec extends SparkSpec {
     }
   }
 
+  test("upsert replaces matched keys, inserts new ones, prunes untouched files") {
+    val wide = (1 to 1000).map(i => (i.toLong, s"r$i")).toDF("k", "v")
+    val t = VersionedTable.create(spark, tmpDir("vt-merge"), wide)
+    t.compact(numFiles = 10, clusterBy = Seq("k"))
+    val before = t.toDF.inputFiles.toSet
+    val source = Seq((500L, "UPDATED"), (2000L, "INSERTED")).toDF("k", "v")
+    t.upsert(source, keys = Seq("k"))
+    t.toDF.count() shouldBe 1001
+    t.toDF.where($"k" === 500L).select("v").as[String].head() shouldBe "UPDATED"
+    t.toDF.where($"k" === 2000L).count() shouldBe 1
+    // only the file holding k=500 was rewritten; 9 carried forward
+    (before intersect t.toDF.inputFiles.toSet).size shouldBe 9
+    t.history.head().getString(1) shouldBe "MERGE"
+    // duplicate source keys are rejected (the Delta MERGE ambiguity)
+    an[IllegalArgumentException] should be thrownBy
+      t.upsert(Seq((1L, "a"), (1L, "b")).toDF("k", "v"), keys = Seq("k"))
+  }
+
   test("delete rewrites only matching files") {
     val wide = (1 to 1000).map(i => (i.toLong, s"r$i")).toDF("k", "v")
     val t = VersionedTable.create(spark, tmpDir("vt-pdel"), wide)
