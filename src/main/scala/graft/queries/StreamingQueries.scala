@@ -144,6 +144,51 @@ object StreamingQueries {
           .select(col("click_id"), col("event_id"))
         StreamRun.runToTable("q76_sink", pairs, OutputMode.Append())
           .orderBy("click_id", "event_id")
+      }),
+
+    // Streaming CDC materialized view: foreachBatch reduces each
+    // micro-batch to its latest row per user (max_by on (ts, event_id))
+    // and MERGE-upserts it into a versioned table — the
+    // change-data-apply pattern that keeps a keyed serving table current
+    // from an event stream. Correct because the file source processes
+    // batches in order, so the last upsert per key is the stream's
+    // latest (an out-of-order source would add a ts guard to the merge).
+    // Final state = latest event per user, oracled via QUALIFY.
+    Q("q79_stream_cdc_view", Q.sql("""
+        SELECT user_id, event_id, event_type,
+          make_timestamp(epoch_us(ts)) AS ts, value
+        FROM events
+        QUALIFY row_number() OVER (
+          PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+        ORDER BY user_id"""))(
+      (s, dir) => {
+        import graft.versioned.VersionedTable
+        val viewSchema = Seq("user_id", "event_id", "event_type", "ts", "value")
+        val root = s"${sys.props("java.io.tmpdir")}/graft_vt/cdcview-" +
+          dir.replaceAll("[^A-Za-z0-9.]", "_")
+        graft.io.Lake.rm(graft.io.Lake.conf(s), root)
+        // seed with an empty keyed table so every micro-batch is an upsert
+        // (schema read from the stream projection — no execution)
+        val viewSchemaStruct = StreamRun.eventsStream(s, dir)
+          .select(viewSchema.map(col): _*).schema
+        val seed = s.createDataFrame(
+          s.sparkContext.emptyRDD[org.apache.spark.sql.Row], viewSchemaStruct)
+        val t = VersionedTable.create(s, root, seed)
+        val q = StreamRun.eventsStream(s, dir).writeStream
+          .outputMode("append")
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+            val latest = batch.groupBy("user_id").agg(
+              max_by(struct(batch.columns.map(col): _*),
+                struct(col("ts"), col("event_id"))).as("r"))
+              .select(col("user_id") +: viewSchema.tail.map(c => col(s"r.$c")): _*)
+            VersionedTable.open(s, root).upsert(latest, keys = Seq("user_id")): Unit
+          }
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        VersionedTable.open(s, root).toDF
+          .select(viewSchema.map(col): _*)
+          .orderBy("user_id")
       })
   )
 }
