@@ -164,29 +164,27 @@ object StreamingQueries {
       (s, dir) => {
         import graft.versioned.VersionedTable
         val viewSchema = Seq("user_id", "event_id", "event_type", "ts", "value")
-        val root = s"${sys.props("java.io.tmpdir")}/graft_vt/cdcview-" +
-          dir.replaceAll("[^A-Za-z0-9.]", "_")
-        graft.io.Lake.rm(graft.io.Lake.conf(s), root)
-        // seed with an empty keyed table so every micro-batch is an upsert
-        // (schema read from the stream projection — no execution)
-        val viewSchemaStruct = StreamRun.eventsStream(s, dir)
-          .select(viewSchema.map(col): _*).schema
+        val root = VersionedQueries.scratch(s, "cdcview", dir)
+        // seed with an empty keyed table so every micro-batch is an upsert;
+        // ONE stream construction serves both the schema probe and the run
+        val stream = StreamRun.eventsStream(s, dir).select(viewSchema.map(col): _*)
         val seed = s.createDataFrame(
-          s.sparkContext.emptyRDD[org.apache.spark.sql.Row], viewSchemaStruct)
+          s.sparkContext.emptyRDD[org.apache.spark.sql.Row], stream.schema)
         val t = VersionedTable.create(s, root, seed)
-        val q = StreamRun.eventsStream(s, dir).writeStream
+        val q = stream.writeStream
           .outputMode("append")
           .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+            // foreachBatch runs on the driver: the table handle is shared
             val latest = batch.groupBy("user_id").agg(
               max_by(struct(batch.columns.map(col): _*),
                 struct(col("ts"), col("event_id"))).as("r"))
               .select(col("user_id") +: viewSchema.tail.map(c => col(s"r.$c")): _*)
-            VersionedTable.open(s, root).upsert(latest, keys = Seq("user_id")): Unit
+            t.upsert(latest, keys = Seq("user_id")): Unit
           }
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
         q.awaitTermination()
-        VersionedTable.open(s, root).toDF
+        t.toDF
           .select(viewSchema.map(col): _*)
           .orderBy("user_id")
       })

@@ -27,7 +27,7 @@ object VersionedQueries {
 
   private val NationCols = Seq("n_nationkey", "n_name", "n_regionkey")
 
-  private def scratch(s: SparkSession, name: String, dir: String): String = {
+  private[queries] def scratch(s: SparkSession, name: String, dir: String): String = {
     val root = s"${sys.props("java.io.tmpdir")}/graft_vt/$name-${dir.replaceAll("[^A-Za-z0-9.]", "_")}"
     Lake.rm(Lake.conf(s), root)
     root

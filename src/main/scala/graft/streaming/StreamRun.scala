@@ -36,13 +36,15 @@ object StreamRun {
     streamFrom(spark, s"$dir/events.parquet", s"$dir/[e]vents.parquet")
   }
 
-  /** readStream over `globPath` with the schema of `schemaFrom` and the
-    * TIMESTAMP(NANOS) → µs normalization shared by every events stream.
+  /** readStream over `globPath` with the schema of `schemaFrom` (or the
+    * one already in hand) and the TIMESTAMP(NANOS) → µs normalization
+    * shared by every events stream.
     */
   private def streamFrom(spark: SparkSession, schemaFrom: String,
-                         globPath: String): DataFrame = {
+                         globPath: String,
+                         known: Option[org.apache.spark.sql.types.StructType] = None): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = spark.read.parquet(schemaFrom).schema
+    val schema = known.getOrElse(spark.read.parquet(schemaFrom).schema)
     spark.readStream.schema(schema).parquet(globPath)
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
@@ -56,15 +58,22 @@ object StreamRun {
     * sink. This is the standard end-of-stream flush marker pattern for
     * replaying a finite log through append-mode event-time state.
     */
+  /** Per-JVM staging namespace: unique so CONCURRENT processes sharing
+    * java.io.tmpdir never clobber each other's staged files mid-stream,
+    * stable within the JVM so repeated runs re-stage in place (rm-first)
+    * instead of leaking a fixture copy per invocation.
+    */
+  private lazy val stageNs =
+    s"${sys.props("java.io.tmpdir")}/graft-stream-flush-" +
+      java.util.UUID.randomUUID().toString.take(8)
+
   def eventsStreamFlushed(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val src = s"$dir/events.parquet"
     val schema = spark.read.parquet(src).schema
-    // deterministic staging dir per fixture, rebuilt rm-first (the
-    // scratch() convention) — repeated runs re-stage in place instead of
-    // leaking a fixture-sized temp copy per invocation
-    val tmp = s"${sys.props("java.io.tmpdir")}/graft-stream-flush/" +
-      dir.replaceAll("[^A-Za-z0-9.]", "_")
+    // md5 suffix disambiguates fixture paths the sanitizer would collide
+    val tmp = s"$stageNs/${dir.replaceAll("[^A-Za-z0-9.]", "_")}-" +
+      org.apache.commons.codec.digest.DigestUtils.md5Hex(dir).take(8)
     val conf = spark.sparkContext.hadoopConfiguration
     val tmpPath = new org.apache.hadoop.fs.Path(tmp)
     val tfs = tmpPath.getFileSystem(conf)
@@ -79,7 +88,7 @@ object StreamRun {
         org.apache.spark.sql.Row(-1L, 4102444800000000000L, -1L, "sentinel", 0.0, "{}")),
       schema)
     sentinel.write.mode("append").parquet(tmp)
-    streamFrom(spark, src, tmp)
+    streamFrom(spark, tmp, tmp, Some(schema))
   }
 
   /** Run `stream` to exhaustion into an in-memory sink named `name` and

@@ -205,19 +205,26 @@ final class VersionedTable private (val spark: SparkSession, val root: String) {
     this
   }
 
-  /** MERGE/upsert by key (Delta's `MERGE INTO t USING s ON keys WHEN
-    * MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *`): target
-    * rows whose key appears in `source` are REPLACED by the source row,
-    * source rows with no target match INSERT. Pruned copy-on-write like
-    * [[update]]: a semi-join probe finds the files holding matched keys,
-    * only those rewrite (their unmatched rows carried via anti-join),
-    * and the whole source lands in the new batch.
+  /** MERGE/upsert by key — REPLACE-BY-KEY semantics for a keyed serving
+    * table: every target row whose key appears in `source` is replaced
+    * (ALL of them, if the target holds duplicate keys — stricter than
+    * Delta's row-preserving `WHEN MATCHED UPDATE`, by design: the result
+    * is guaranteed to hold at most one row per source key), and source
+    * rows with no target match insert. Pruned copy-on-write like
+    * [[update]]: only files holding matched keys rewrite (their
+    * unmatched rows carried via anti-join), and the whole source lands
+    * in the new batch.
     *
-    * `source` must have the table schema and UNIQUE keys (two source
-    * rows with one key would both survive the anti-join union — the
-    * ambiguity Delta rejects at runtime; checked here with one tiny
-    * aggregation over the source, which a 100 TB caller can skip by
-    * construction via `dropDuplicates(keys)`).
+    * The source plan is PERSISTED for the duration: it is consumed by
+    * the dup-check, the probe, and the final write, and a
+    * non-deterministic source evaluated afresh per consumer could
+    * diverge between probe and write — committing a key twice with no
+    * error.
+    *
+    * `source` must have the table schema and UNIQUE non-null keys (two
+    * source rows with one key would both survive the anti-join union —
+    * the ambiguity Delta rejects at runtime; NULL keys are exempt, as
+    * NULL never equals a target key and both rows simply insert).
     */
   def upsert(source: DataFrame, keys: Seq[String]): VersionedTable = {
     val cur = latest()
@@ -226,22 +233,35 @@ final class VersionedTable private (val spark: SparkSession, val root: String) {
       s"""schema mismatch upserting into $root:
          |  table:  ${cur.schema.simpleString}
          |  source: ${source.schema.simpleString}""".stripMargin)
-    val dupKeys = source.groupBy(keys.map(col): _*)
-      .count().where(col("count") > 1).limit(1).count()
-    require(dupKeys == 0,
-      s"upsert source has duplicate keys on (${keys.mkString(", ")}) — " +
-        "multiple source rows would match one target row")
-    val srcKeys = source.select(keys.map(col): _*)
-    val (touched, carried) = partitionByTouched(cur,
-      read(cur).withColumn("__file", input_file_name())
-        .join(broadcast(srcKeys), keys, "left_semi")
-        .select("__file"))
-    val kept = readFiles(cur, touched).join(source.select(keys.map(col): _*),
-      keys, "left_anti")
-    val newData = kept.select(cur.schema.fieldNames.map(c => col(s"`$c`")).toSeq: _*)
-      .unionByName(source.select(cur.schema.fieldNames.map(c => col(s"`$c`")).toSeq: _*))
-    val files = writeBatch(newData, cur.version + 1)
-    commit(Manifest(cur.version + 1, "MERGE", cur.schema, carried ++ files))
+    val src = source.persist()
+    try {
+      val dupKeys = src
+        .where(keys.map(col(_).isNotNull).reduce(_ && _))
+        .groupBy(keys.map(col): _*)
+        .count().where(col("count") > 1).limit(1).count()
+      require(dupKeys == 0,
+        s"upsert source has duplicate keys on (${keys.mkString(", ")}) — " +
+          "multiple source rows would match one target row")
+      val srcKeys = src.select(keys.map(col): _*)
+      // single-key probe goes through the PREDICATE path (isin pushes to
+      // the parquet scan → footer/row-group skipping, near-metadata cost
+      // on a clustered table); compound keys fall back to the semi-join
+      // probe, which scans the table once. Key collect is bounded by the
+      // source, the assumed-small side of a merge.
+      val (touched, carried) =
+        if (keys.size == 1) {
+          val ks = srcKeys.distinct().collect().map(_.get(0)).toIndexedSeq
+          partitionByPredicate(cur, col(keys.head).isin(ks: _*))
+        } else partitionByTouched(cur,
+          read(cur).withColumn("__file", input_file_name())
+            .join(broadcast(srcKeys), keys, "left_semi")
+            .select("__file"))
+      val kept = readFiles(cur, touched).join(srcKeys, keys, "left_anti")
+      val newData = kept.select(cur.schema.fieldNames.map(c => col(s"`$c`")).toSeq: _*)
+        .unionByName(src.select(cur.schema.fieldNames.map(c => col(s"`$c`")).toSeq: _*))
+      val files = writeBatch(newData, cur.version + 1)
+      commit(Manifest(cur.version + 1, "MERGE", cur.schema, carried ++ files))
+    } finally { src.unpersist(); () }
     this
   }
 
