@@ -69,6 +69,36 @@ object Sampling {
       df.withColumn("shuffle_key", md5(concat(keyCol.cast("string"), lit(salt)))),
       orderCols = Seq(col("shuffle_key"), keyCol), valueCol = lit(1L), out = "pos")
 
+  /** Deterministic weighted corpus interleave (training-mix schedule):
+    * each group (language, source, domain) is shuffled into its own
+    * reproducible order, then groups merge by `mix_pos = rank / weight`
+    * — a weight-w group contributes w rows per unit of schedule, the
+    * standard deterministic upsampling interleave. `mix_rank` is the
+    * global training order.
+    *
+    * Determinism notes: the per-group rank comes from md5 ordering (as
+    * [[shuffleOrder]]); weights should be CHOSEN as powers of two
+    * (1.0, 0.5, 0.25 …) so `rank / weight` is exact in IEEE double on
+    * every engine — arbitrary weights would round. The global rank
+    * window orders by (mix_pos, key) — a total order, so ties across
+    * groups resolve identically everywhere.
+    *
+    * Scale: one hash-partitioned window per group for the rank, then the
+    * global schedule rank via [[Prefix.runningTotal]]'s two-phase prefix
+    * sum — never a single-partition global window; no driver state.
+    */
+  def mixOrder(df: DataFrame, groupCol: Column, weight: Column,
+               keyCol: Column, salt: String = ""): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCol)
+      .orderBy(md5(concat(keyCol.cast("string"), lit(salt))), keyCol)
+    Prefix.runningTotal(
+      df.withColumn("mix_pos",
+        round(row_number().over(w).cast("double") / weight.cast("double"), 6)),
+      orderCols = Seq(col("mix_pos"), keyCol), valueCol = lit(1L),
+      out = "mix_rank")
+  }
+
   /** Disjoint train/validation/test split by bucket range: (0, trainPm)
     * → "train", [trainPm, trainPm+valPm) → "val", rest → "test". One
     * pass, no shuffle, rows never move between splits when the ratios

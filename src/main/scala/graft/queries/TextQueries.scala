@@ -362,6 +362,35 @@ object TextQueries {
             tokensPerShard = 5000L, salt = "x1")
           .select(col("doc_id"), col("n_tokens"), col("quality"),
             col("split"), col("cum_tokens"), col("shard"))
-          .orderBy("doc_id"))
+          .orderBy("doc_id")),
+
+    // Deterministic weighted corpus mix (training-mix schedule): each
+    // language is md5-shuffled in place, then interleaved by
+    // mix_pos = rank / weight — English at weight 1.0, the rest 0.5, so
+    // the schedule upsamples English 2:1. Weights are powers of two →
+    // rank/weight is EXACT in double on both engines.
+    Q("q80_corpus_mix", Q.sql("""
+        WITH r AS (
+          SELECT doc_id, lang,
+            row_number() OVER (
+              PARTITION BY lang
+              ORDER BY md5(CAST(doc_id AS VARCHAR) || 'm1'), doc_id) AS rn
+          FROM documents)
+        SELECT doc_id, lang,
+          round(CAST(rn AS DOUBLE) /
+            (CASE WHEN lang = 'en' THEN 1.0 ELSE 0.5 END), 6) AS mix_pos,
+          CAST(row_number() OVER (
+            ORDER BY round(CAST(rn AS DOUBLE) /
+              (CASE WHEN lang = 'en' THEN 1.0 ELSE 0.5 END), 6), doc_id)
+            AS BIGINT) AS mix_rank
+        FROM r
+        ORDER BY mix_rank"""))(
+      (s, dir) =>
+        Sampling.mixOrder(T(s, dir, "documents").select("doc_id", "lang"),
+            groupCol = col("lang"),
+            weight = when(col("lang") === "en", 1.0).otherwise(0.5),
+            keyCol = col("doc_id"), salt = "m1")
+          .select("doc_id", "lang", "mix_pos", "mix_rank")
+          .orderBy("mix_rank"))
   )
 }

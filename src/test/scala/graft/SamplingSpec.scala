@@ -76,6 +76,26 @@ class SamplingSpec extends SparkSpec {
       .toSet.subsetOf(uniform) shouldBe true
   }
 
+  test("mixOrder interleaves by weight: a weight-1 group runs at 2x the density of weight-0.5") {
+    val docs = ((1L to 100L).map(i => (i, "en")) ++ (101L to 200L).map(i => (i, "de")))
+      .toDF("id", "g")
+    val mix = Sampling.mixOrder(docs, groupCol = $"g",
+        weight = when($"g" === "en", 1.0).otherwise(0.5), keyCol = $"id")
+      .collect().map(r => (r.getString(1), r.getDouble(2), r.getLong(3)))
+    // mix_rank is a permutation of 1..200
+    mix.map(_._3).sorted.toSeq shouldBe (1L to 200L)
+    // schedule prefix up to pos P holds P en rows and P/2 de rows:
+    // within the first 30 schedule slots, en outnumbers de 2:1
+    val first30 = mix.sortBy(_._3).take(30)
+    first30.count(_._1 == "en") shouldBe 20
+    first30.count(_._1 == "de") shouldBe 10
+    // deterministic across partitionings
+    val again = Sampling.mixOrder(docs.repartition(7), groupCol = $"g",
+        weight = when($"g" === "en", 1.0).otherwise(0.5), keyCol = $"id")
+      .collect().map(r => (r.getString(1), r.getDouble(2), r.getLong(3)))
+    again.sortBy(_._3).toSeq shouldBe mix.sortBy(_._3).toSeq
+  }
+
   test("sample predicate stays a scan-level filter (no shuffle)") {
     val plan = Sampling.hashSample(rows, $"id", 200)
       .queryExecution.executedPlan.toString
