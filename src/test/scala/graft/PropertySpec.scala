@@ -54,6 +54,43 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("upsert is idempotent: applying the same source twice equals once") {
+    import graft.versioned.VersionedTable
+    samples(Gen.chooseNum(1, 8), 3).foreach { n =>
+      val t = VersionedTable.create(spark, tmpDir("vt-idem"),
+        (1L to 20L).map(i => (i, s"v$i")).toDF("k", "v"))
+      val source = (1L to n.toLong).map(i => (i * 3, s"u$i")).toDF("k", "v")
+      t.upsert(source, keys = Seq("k"))
+      val once = t.toDF.orderBy("k").collect().toSeq
+      t.upsert(source, keys = Seq("k"))
+      t.toDF.orderBy("k").collect().toSeq shouldBe once
+    }
+  }
+
+  test("HLL registers agree with a driver-side reference implementation") {
+    import graft.sketch.Hll
+    val keys = samples(Gen.chooseNum(0L, 100000L), 300).distinct
+    val df = keys.toDF("k")
+    val got = Hll.registers(df, $"k", p = 6)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // reference: same md5-derivation computed in plain Scala
+    val expected = keys
+      .map { k =>
+        val hex = org.apache.commons.codec.digest.DigestUtils
+          .md5Hex(String.valueOf(k).getBytes("UTF-8")).take(12)
+        java.lang.Long.parseLong(hex, 16)
+      }
+      .map { h =>
+        val bucket = h & 63L
+        val w = h >> 6
+        val rho = if (w == 0) 43L
+          else java.lang.Long.numberOfTrailingZeros(w) + 1L
+        bucket -> rho
+      }
+      .groupBy(_._1).map { case (b, rs) => b -> rs.map(_._2).max }
+    got shouldBe expected
+  }
+
   test("unpivot then pivot round-trips a wide frame") {
     val wide = Gen.nonEmptyListOf(Gen.zip(
       Gen.identifier.map("k" + _.take(3)), Gen.chooseNum(0, 99), Gen.chooseNum(0, 99)))
