@@ -42,11 +42,25 @@ object Bench {
       spark.catalog.clearCache()
       name -> sec
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val nFailed = results.count(_._2 < 0)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$nFailed,"queries":$qs,"sf":"$sfDir"}""")
+    // The driver captures only the LAST ~2000 chars of stdout and parses the
+    // JSON line out of that tail; with 80 queries the full-name/full-precision
+    // map exceeds the window and the line truncates into unparseable garbage
+    // (BENCH_r01..r04 all recorded `parsed: null`). Keep the printed line
+    // compact — short `qNN` keys, 2-decimal seconds — and write the
+    // full-fidelity map to bench_details.json for BASELINE bookkeeping.
+    def fmt(v: Double): String = if (v < 0) "-1" else f"$v%.2f"
+    val qsShort = results.map { case (k, v) =>
+      "\"" + k.takeWhile(_ != '_') + "\":" + fmt(v)
+    }.mkString("{", ",", "}")
+    val qsFull = results.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val head = s""""metric":"total","value":${fmt(total)},"unit":"sec","failed":$nFailed"""
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get("bench_details.json"),
+      s"""{$head,"queries":$qsFull,"sf":"$sfDir"}""".getBytes("UTF-8"))
+    println(s"""{$head,"queries":$qsShort,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

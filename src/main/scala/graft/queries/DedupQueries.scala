@@ -269,7 +269,7 @@ object DedupQueries {
           SELECT id, ${PortableSql.hexToLong("md5(shingle)", 12)} AS sh,
             count(*) AS n
           FROM shr GROUP BY 1, 2)
-        SELECT id, max(n) AS max_rep, sum(n) AS n_occ,
+        SELECT id, max(n) AS max_rep, CAST(sum(n) AS BIGINT) AS n_occ,
           round(max(n) * 1.0 / sum(n), 6) AS rep_ratio
         FROM occ GROUP BY id
         ORDER BY id"""))(

@@ -160,7 +160,7 @@ object EventQueries {
     // sums, so no decimal routing needed.
     Q("q72_json_extract", Q.sql("""
         SELECT event_type, count(*) AS n,
-          sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+          CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
           max(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
         FROM events
         GROUP BY 1

@@ -56,6 +56,15 @@ def main():
         bad_cols = []
         for c in got.columns:
             a, b = got[c], want[c]
+            # The driver's hash stringifies values, so an int64-vs-float64
+            # column pair ("123" vs "123.0") is a driver FAIL even when the
+            # numbers are equal. DuckDB sum(BIGINT) returns HUGEINT (-> float64
+            # in pandas) — oracles must CAST such sums. Mirror that strictness.
+            if pd.api.types.is_float_dtype(a) != pd.api.types.is_float_dtype(b):
+                bad_cols.append(
+                    f"{c} (dtype kind mismatch: spark {a.dtype} vs oracle {b.dtype}"
+                    f" — driver hash stringifies; CAST the oracle column)")
+                continue
             if pd.api.types.is_float_dtype(a) or pd.api.types.is_float_dtype(b):
                 av = a.astype(float).to_numpy(); bv = b.astype(float).to_numpy()
                 both_nan = np.isnan(av) & np.isnan(bv)
