@@ -5,7 +5,13 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    // optional third arg: only run queries whose name starts with it
+    // (dev iteration shortcut; the driver always calls with two args)
+    val (sfDir, outDir, nameFilter) = args match {
+      case Array(s, o)    => (s, o, None)
+      case Array(s, o, f) => (s, o, Some(f))
+      case _ => sys.error("usage: Verify <sfDir> <outDir> [namePrefix]")
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -16,7 +22,9 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    SparkEntry.queries
+      .filter { case (name, _) => nameFilter.forall(name.startsWith) }
+      .foreach { case (name, fn) =>
       // driver contract: result lands at outDir/<name>.parquet (a parquet
       // directory with that literal name — readable by pyarrow/duckdb
       // either as a dir or via <name>.parquet/*.parquet)

@@ -379,6 +379,29 @@ object Dedup {
     mapping.select(col("id"), col("rep").as("component"))
   }
 
+  /** Keep-one-per-cluster corpus dedup: collapse the near-dup pair graph
+    * to connected components ([[components]]) and keep only each
+    * cluster's representative (the min id) plus every unpaired document.
+    * Output: (id, cluster_size) for the SURVIVING documents — the frame a
+    * training pipeline feeds downstream after near-dedup.
+    *
+    * Scale: `comp`/`sizes` hold one row per document that appears in any
+    * near-dup pair — a small fraction of the corpus (near-dup rate), so
+    * both joins against the full corpus broadcast in practice; the corpus
+    * itself never shuffles on content. The expensive part is the pair
+    * generation the caller already did.
+    */
+  def dedupByComponents(docs: DataFrame, idCol: Column,
+                        pairs: DataFrame): DataFrame = {
+    val comp = components(pairs)
+    val sizes = comp.groupBy("component").agg(count(lit(1)).as("cluster_size"))
+    docs.select(idCol.as("id"))
+      .join(comp, Seq("id"), "left")
+      .join(sizes, Seq("component"), "left")
+      .where(col("component").isNull || col("component") === col("id"))
+      .select(col("id"), coalesce(col("cluster_size"), lit(1L)).as("cluster_size"))
+  }
+
   /** SimHash fingerprint (2^bits-space, default 16 bits so the portable
     * hex-to-int stays in safe integer range): per token, take the first 4
     * hex chars of md5 as a 16-bit hash; per bit, sum +1/-1 over tokens;

@@ -1,0 +1,91 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Exact distributed percentiles (reference A5 profiling companion —
+  * `data_profiling.py` summarizes with approx quantiles; this is the
+  * exact form under the oracle gate).
+  *
+  * Standard (n-1)*q rank interpolation over the sorted group, computed
+  * with conditional aggregates instead of `percentile()` so the
+  * arithmetic — `lo + (hi - lo) * f` — is written identically in the
+  * DuckDB oracle and the result is bit-exact (built-in `percentile` /
+  * `quantile_cont` interpolate with engine-specific expression shapes
+  * whose last ulp can differ).
+  *
+  * Scale: one hash shuffle on the group keys, one within-group sort
+  * (the unavoidable cost of EXACT percentiles — switch to a sketch when
+  * bounded error is acceptable), one partial+final aggregation. No
+  * driver-side data, no per-row UDFs.
+  */
+object Percentiles {
+
+  /** One row per group: `keys..., <name> double` for each (name, q) in
+    * `qs` (0 <= q <= 1). Percentile of `valueCol` (must be numeric;
+    * compared/emitted as double).
+    */
+  def exact(df: DataFrame, keys: Seq[String], valueCol: Column,
+            qs: Seq[(String, Double)]): DataFrame = {
+    require(qs.nonEmpty, "qs must be non-empty")
+    require(qs.forall { case (_, q) => q >= 0 && q <= 1 },
+      s"quantiles must be in [0,1], got ${qs.map(_._2)}")
+    val keyCols = keys.map(col)
+    val sortW = Window.partitionBy(keyCols: _*).orderBy(col("v"))
+    val cntW = Window.partitionBy(keyCols: _*)
+    // r is the 0-based rank; ties keep arbitrary order, which is safe
+    // because tied rows carry the identical value.
+    val base = df
+      .select(keyCols :+ valueCol.cast("double").as("v"): _*)
+      .withColumn("r", row_number().over(sortW) - 1)
+      .withColumn("n", count(lit(1)).over(cntW))
+    val aggs = qs.flatMap { case (name, q) =>
+      val pos = (col("n") - 1) * lit(q)
+      val lo = floor(pos).cast("long")
+      // hi clamps to the last row so q = 1 (and f = 0 groups) stay in range
+      val hi = least(lo + 1, col("n") - 1)
+      Seq(
+        min(when(col("r") === lo, col("v"))).as(s"__lo_$name"),
+        min(when(col("r") === hi, col("v"))).as(s"__hi_$name"),
+        // f is constant within a group; min() just surfaces it
+        min(pos - floor(pos)).as(s"__f_$name"))
+    }
+    val g = base.groupBy(keyCols: _*).agg(aggs.head, aggs.tail: _*)
+    qs.foldLeft(g) { case (d, (name, _)) =>
+        d.withColumn(name,
+          col(s"__lo_$name") +
+            (col(s"__hi_$name") - col(s"__lo_$name")) * col(s"__f_$name"))
+      }
+      .select(keyCols ++ qs.map { case (name, _) => col(name) }: _*)
+  }
+
+  /** The identical computation as DuckDB SQL (for oracle generation):
+    * same window, same conditional aggregates, same interpolation
+    * expression — bit-identical output.
+    */
+  def oracleSql(table: String, keys: Seq[String], valueExpr: String,
+                qs: Seq[(String, Double)]): String = {
+    val keyList = keys.mkString(", ")
+    val aggExprs = qs.map { case (name, q) =>
+      // CAST: a bare 0.9 literal is DECIMAL in DuckDB, making (n-1)*q
+      // exact decimal arithmetic while Spark multiplies doubles — the
+      // resulting f differs in the last ulp and so does the percentile.
+      val pos = s"(n - 1) * CAST($q AS DOUBLE)"
+      val lo = s"CAST(floor($pos) AS BIGINT)"
+      s"""min(CASE WHEN r = $lo THEN v END) AS __lo_$name,
+         min(CASE WHEN r = least($lo + 1, n - 1) THEN v END) AS __hi_$name,
+         min($pos - floor($pos)) AS __f_$name"""
+    }.mkString(", ")
+    val finalExprs = qs.map { case (name, _) =>
+      s"__lo_$name + (__hi_$name - __lo_$name) * __f_$name AS $name"
+    }.mkString(", ")
+    s"""WITH s AS (
+          SELECT $keyList, CAST($valueExpr AS DOUBLE) AS v,
+            row_number() OVER (PARTITION BY $keyList ORDER BY CAST($valueExpr AS DOUBLE)) - 1 AS r,
+            count(*) OVER (PARTITION BY $keyList) AS n
+          FROM $table),
+        g AS (SELECT $keyList, $aggExprs FROM s GROUP BY $keyList)
+        SELECT $keyList, $finalExprs FROM g"""
+  }
+}

@@ -279,6 +279,38 @@ object DedupQueries {
           .groupBy("id", "sh").agg(count(lit(1)).as("n"))
           .groupBy("id").agg(max(col("n")).as("max_rep"), sum(col("n")).as("n_occ"))
           .withColumn("rep_ratio", round(col("max_rep") * 1.0 / col("n_occ"), 6))
+          .orderBy("id")),
+
+    // End-to-end near-dup corpus dedup: q52's simhash pair graph collapsed
+    // to connected components (q54), keep one representative per cluster
+    // plus all unpaired docs — the surviving corpus with its cluster
+    // sizes. This is the frame a 100 TB training pipeline actually feeds
+    // downstream after near-dedup (see Dedup.dedupByComponents for the
+    // broadcast-shaped scale story).
+    Q("q84_cluster_dedup", Q.sql(s"""
+        WITH RECURSIVE $simhashPairCtes,
+        pairs AS (SELECT id_a, id_b FROM cand WHERE hamming <= 3),
+        edges AS (
+          SELECT id_a AS src, id_b AS dst FROM pairs
+          UNION
+          SELECT id_b AS src, id_a AS dst FROM pairs),
+        reach(id, lab) AS (
+          SELECT src, src FROM edges
+          UNION
+          SELECT e.src, r.lab FROM edges e JOIN reach r ON e.dst = r.id),
+        comp AS (SELECT id, min(lab) AS component FROM reach GROUP BY id),
+        csize AS (SELECT component, count(*) AS cluster_size FROM comp GROUP BY 1)
+        SELECT d.doc_id AS id, coalesce(cluster_size, 1) AS cluster_size
+        FROM documents d
+        LEFT JOIN comp c ON c.id = d.doc_id
+        LEFT JOIN csize s ON s.component = c.component
+        WHERE c.id IS NULL OR c.component = d.doc_id
+        ORDER BY id"""))(
+      (s, dir) =>
+        Dedup.dedupByComponents(
+            T(s, dir, "documents"), col("doc_id"),
+            Dedup.simhashNearDups(T(s, dir, "documents"),
+              col("doc_id"), col("text"), maxDist = 3, bits = 24))
           .orderBy("id"))
   )
 }
