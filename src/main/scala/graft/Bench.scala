@@ -50,17 +50,27 @@ object Bench {
     // (BENCH_r01..r04 all recorded `parsed: null`). Keep the printed line
     // compact — short `qNN` keys, 2-decimal seconds — and write the
     // full-fidelity map to bench_details.json for BASELINE bookkeeping.
-    def fmt(v: Double): String = if (v < 0) "-1" else f"$v%.2f"
-    val qsShort = results.map { case (k, v) =>
-      "\"" + k.takeWhile(_ != '_') + "\":" + fmt(v)
+    // Locale.ROOT: a comma-decimal default locale would print 12,34 and
+    // break the JSON. -1 marker preserved exactly (no "-1.00" ambiguity).
+    def fmt(v: Double): String =
+      if (v < 0) "-1"
+      else String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+    val shortKeys = results.map(_._1.takeWhile(_ != '_'))
+    require(shortKeys.distinct.size == results.size,
+      s"duplicate short bench keys: ${shortKeys.diff(shortKeys.distinct).distinct}")
+    val qsShort = shortKeys.zip(results).map { case (sk, (_, v)) =>
+      "\"" + sk + "\":" + fmt(v)
     }.mkString("{", ",", "}")
     val qsFull = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val head = s""""metric":"total","value":${fmt(total)},"unit":"sec","failed":$nFailed"""
-    java.nio.file.Files.write(
+    // the contract line prints FIRST — a failed details-file write (bad
+    // cwd, full disk) must never cost the driver its bench JSON
+    println(s"""{$head,"queries":$qsShort,"sf":"$sfDir"}""")
+    try java.nio.file.Files.write(
       java.nio.file.Paths.get("bench_details.json"),
       s"""{$head,"queries":$qsFull,"sf":"$sfDir"}""".getBytes("UTF-8"))
-    println(s"""{$head,"queries":$qsShort,"sf":"$sfDir"}""")
+    catch { case _: Throwable => () }
     spark.stop()
   }
 }

@@ -17,17 +17,18 @@ import graft.Tables
 object Bucketed {
 
   private val staged =
-    scala.collection.concurrent.TrieMap[(Int, String), (String, String)]()
+    scala.collection.concurrent.TrieMap[(Int, String, Int), (String, String)]()
 
   /** Stage `orders` + `lineitem` co-bucketed by order key (once per
-    * session+dir); returns the catalog table names.
+    * session+dir+bucket-count); returns the catalog table names.
     */
   def ordersLineitem(spark: SparkSession, dir: String,
                      nBuckets: Int = 8): (String, String) =
-    staged.getOrElseUpdate((System.identityHashCode(spark), dir), {
-      // content-addressed tag: same dir -> same names/paths, distinct
-      // sf dirs never collide in the warehouse or catalog
-      val tag = java.util.UUID.nameUUIDFromBytes(dir.getBytes("UTF-8"))
+    staged.getOrElseUpdate((System.identityHashCode(spark), dir, nBuckets), {
+      // content-addressed tag: same (dir, nBuckets) -> same names/paths,
+      // distinct sf dirs / bucket counts never collide in the warehouse
+      // or catalog
+      val tag = java.util.UUID.nameUUIDFromBytes(s"$dir#$nBuckets".getBytes("UTF-8"))
         .toString.replace("-", "").take(8)
       val base = s"${System.getProperty("java.io.tmpdir")}/graft_bucketed_$tag"
       val ot = s"bkt_orders_$tag"

@@ -24,7 +24,10 @@ object Percentiles {
 
   /** One row per group: `keys..., <name> double` for each (name, q) in
     * `qs` (0 <= q <= 1). Percentile of `valueCol` (must be numeric;
-    * compared/emitted as double).
+    * compared/emitted as double). NULL values are excluded — the
+    * standard percentile semantics, and the one point where engine
+    * defaults diverge (Spark ranks NULLS FIRST, DuckDB NULLS LAST), so
+    * both sides filter them before ranking.
     */
   def exact(df: DataFrame, keys: Seq[String], valueCol: Column,
             qs: Seq[(String, Double)]): DataFrame = {
@@ -37,6 +40,7 @@ object Percentiles {
     // r is the 0-based rank; ties keep arbitrary order, which is safe
     // because tied rows carry the identical value.
     val base = df
+      .where(valueCol.isNotNull)
       .select(keyCols :+ valueCol.cast("double").as("v"): _*)
       .withColumn("r", row_number().over(sortW) - 1)
       .withColumn("n", count(lit(1)).over(cntW))
@@ -84,7 +88,8 @@ object Percentiles {
           SELECT $keyList, CAST($valueExpr AS DOUBLE) AS v,
             row_number() OVER (PARTITION BY $keyList ORDER BY CAST($valueExpr AS DOUBLE)) - 1 AS r,
             count(*) OVER (PARTITION BY $keyList) AS n
-          FROM $table),
+          FROM $table
+          WHERE $valueExpr IS NOT NULL),
         g AS (SELECT $keyList, $aggExprs FROM s GROUP BY $keyList)
         SELECT $keyList, $finalExprs FROM g"""
   }

@@ -16,8 +16,6 @@ import graft.ops.Relational.dsum
   */
 object AnalyticsQueries {
 
-  private val Dim = 64
-
   private def T(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
@@ -29,12 +27,12 @@ object AnalyticsQueries {
     // division by count — identical on both engines.
     // Scale: posexplode fans 64x, then ONE partial+final hash agg on
     // (label, pos) — ~#labels*64 result rows, no sort, no driver data.
-    Q("q81_label_centroids", Q.sql(s"""
+    Q("q81_label_centroids", Q.sql("""
         SELECT label, pos - 1 AS pos,
           CAST(sum(CAST(CAST(embedding[pos] AS DOUBLE) AS DECIMAL(27,8))) AS DOUBLE)
             / count(*) AS centroid
         FROM embeddings,
-          LATERAL (SELECT unnest(generate_series(1, $Dim)) AS pos) t
+          LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS pos) t
         GROUP BY 1, 2
         ORDER BY 1, 2"""))(
       (s, dir) =>
@@ -63,7 +61,7 @@ object AnalyticsQueries {
     // (deterministic regardless of aggregation order).
     Q("q83_source_profile", Q.sql("""
         SELECT source, count(*) AS n_docs,
-          string_agg(DISTINCT lang, ',' ORDER BY lang) AS langs,
+          coalesce(string_agg(DISTINCT lang, ',' ORDER BY lang), '') AS langs,
           CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en,
           CAST(CAST(sum(n_chars) AS BIGINT) AS DOUBLE) / count(*) AS avg_chars
         FROM documents

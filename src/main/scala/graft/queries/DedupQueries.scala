@@ -77,6 +77,24 @@ object DedupQueries {
               AND x.id < y.id)"""
   }
 
+  /** Recursive transitive-closure CTE chain over the simhash pair graph
+    * (the hamming<=3 slice of [[simhashPairCtes]]'s `cand`): produces
+    * `comp(id, component)` with min-reachable-id representatives. Shared
+    * by q54 and q84 so the closure logic can never drift between them;
+    * callers must open with `WITH RECURSIVE`.
+    */
+  private val componentCtes: String = s"""$simhashPairCtes,
+        pairs AS (SELECT id_a, id_b FROM cand WHERE hamming <= 3),
+        edges AS (
+          SELECT id_a AS src, id_b AS dst FROM pairs
+          UNION
+          SELECT id_b AS src, id_a AS dst FROM pairs),
+        reach(id, lab) AS (
+          SELECT src, src FROM edges
+          UNION
+          SELECT e.src, r.lab FROM edges e JOIN reach r ON e.dst = r.id),
+        comp AS (SELECT id, min(lab) AS component FROM reach GROUP BY id)"""
+
   def all: Seq[Q] = Seq(
 
     // Exact dedup: one row per content hash with survivor id + copy count.
@@ -204,19 +222,9 @@ object DedupQueries {
     // (diameter-bounded joins); oracle is the equivalent transitive
     // closure via a recursive CTE.
     Q("q54_components", Q.sql(s"""
-        WITH RECURSIVE $simhashPairCtes,
-        pairs AS (SELECT id_a, id_b FROM cand WHERE hamming <= 3),
-        edges AS (
-          SELECT id_a AS src, id_b AS dst FROM pairs
-          UNION
-          SELECT id_b AS src, id_a AS dst FROM pairs),
-        reach(id, lab) AS (
-          SELECT src, src FROM edges
-          UNION
-          SELECT e.src, r.lab FROM edges e JOIN reach r ON e.dst = r.id)
-        SELECT id, min(lab) AS component
-        FROM reach
-        GROUP BY id
+        WITH RECURSIVE $componentCtes
+        SELECT id, component
+        FROM comp
         ORDER BY id"""))(
       (s, dir) =>
         Dedup.components(
@@ -288,17 +296,7 @@ object DedupQueries {
     // downstream after near-dedup (see Dedup.dedupByComponents for the
     // broadcast-shaped scale story).
     Q("q84_cluster_dedup", Q.sql(s"""
-        WITH RECURSIVE $simhashPairCtes,
-        pairs AS (SELECT id_a, id_b FROM cand WHERE hamming <= 3),
-        edges AS (
-          SELECT id_a AS src, id_b AS dst FROM pairs
-          UNION
-          SELECT id_b AS src, id_a AS dst FROM pairs),
-        reach(id, lab) AS (
-          SELECT src, src FROM edges
-          UNION
-          SELECT e.src, r.lab FROM edges e JOIN reach r ON e.dst = r.id),
-        comp AS (SELECT id, min(lab) AS component FROM reach GROUP BY id),
+        WITH RECURSIVE $componentCtes,
         csize AS (SELECT component, count(*) AS cluster_size FROM comp GROUP BY 1)
         SELECT d.doc_id AS id, coalesce(cluster_size, 1) AS cluster_size
         FROM documents d

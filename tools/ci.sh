@@ -47,9 +47,12 @@ echo "== bench JSON contract (sf0.001)"
 bench=$(SPARK_GRAFT_SF_DIR=/root/testdata/sf0.001 tools/run.sh graft.Bench 2>/dev/null | tail -1)
 echo "$bench" | python3 -c "
 import json, sys
-d = json.load(sys.stdin)
+line = sys.stdin.read().strip()
+d = json.loads(line)
 bad = [k for k, v in d['queries'].items() if v < 0]
-print('total', round(d['value'], 1), 'sec,', len(d['queries']), 'queries,', len(bad), 'failed')
-sys.exit(1 if bad else 0)" || { echo "FAIL: bench contract"; fail=1; }
+print('total', round(d['value'], 1), 'sec,', len(d['queries']), 'queries,', len(bad), 'failed,', len(line), 'chars')
+# the driver parses the JSON out of the LAST ~2000 chars of stdout; leave
+# headroom for sbt's trailing '[success] ...' line
+sys.exit(1 if (bad or len(line) > 1800) else 0)" || { echo "FAIL: bench contract"; fail=1; }
 
 exit $fail
