@@ -178,6 +178,15 @@ object Dedup {
     * pairs sharing any band key. Equi-join on (band_idx, band_key) — no
     * cross product. (The band key is plain string concatenation of the
     * BIGINT minhashes — hashing it again buys nothing for an equi-join.)
+    *
+    * First-matching-band dedup: a pair colliding in several bands would
+    * be emitted once per band and need a full `distinct()` shuffle over
+    * the candidate multiset (the largest intermediate in the pipeline —
+    * near-dup-dense corpora collide in MOST bands). Instead each exploded
+    * row carries the whole band-key array and the join keeps a pair only
+    * at its LOWEST matching band ("no earlier band also matched", a cheap
+    * string-compare filter evaluated inside the join), so every pair
+    * surfaces exactly once and the distinct disappears.
     */
   def minhashCandidates(sig: DataFrame, k: Int, rowsPerBand: Int): DataFrame = {
     val nBands = k / rowsPerBand
@@ -190,19 +199,29 @@ object Dedup {
         }: _*)
     // Cache before the self-join: both sides reference this frame, and
     // without materialization Spark recomputes the whole signature
-    // pipeline per side. n_docs × nBands rows of three scalars — tiny.
+    // pipeline per side. n_docs × nBands rows of (id, 4-string array,
+    // band scalars) — tiny.
     val long = cached(bands.select(col("id"),
+      array((0 until nBands).map(b => col(s"band$b")): _*).as("bands"),
       explode(array((0 until nBands).map { b =>
         struct(lit(b).as("band_idx"), col(s"band$b").as("band_key"))
       }: _*)).as("bk"))
-      .select(col("id"), col("bk.band_idx").as("band_idx"),
+      .select(col("id"), col("bands"), col("bk.band_idx").as("band_idx"),
         col("bk.band_key").as("band_key")))
+    // true iff no band BEFORE this row's band_idx also matches — the
+    // CASE arm for band b compares the b earlier array slots.
+    val firstMatch = (1 until nBands).foldLeft(
+        when(col("x.band_idx") === 0, lit(true))) { (acc, b) =>
+      acc.when(col("x.band_idx") === b,
+        (0 until b).map(p =>
+          element_at(col("x.bands"), p + 1) =!= element_at(col("y.bands"), p + 1))
+          .reduce(_ && _))
+    }
     long.as("x").join(long.as("y"),
         col("x.band_idx") === col("y.band_idx") &&
           col("x.band_key") === col("y.band_key") &&
-          col("x.id") < col("y.id"))
+          col("x.id") < col("y.id") && firstMatch)
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
-      .distinct()
   }
 
   /** Full MinHash-LSH near-dup pipeline: shingle -> sign -> band -> candidate
@@ -274,13 +293,28 @@ object Dedup {
       }: _*)).as("bk"))
       .select(col("id"), col("simhash"),
         col("bk.band_idx").as("band_idx"), col("bk.band_val").as("band_val")))
+    // First-matching-band dedup (same trick as [[minhashCandidates]]): a
+    // near-identical pair agrees on MOST bands, so the plain banded join
+    // emits it up to nBands times and a full `distinct()` over that
+    // multiset is the pipeline's largest shuffle. Keeping a pair only at
+    // its lowest matching band is a bit-math filter evaluated inside the
+    // join (both fingerprints are in the row) — same unique pair set, no
+    // distinct stage.
+    def bandOf(sim: Column, b: Int): Column =
+      shiftright(sim, b * bandBits).bitwiseAND(lit((1L << bandBits) - 1))
+    val firstMatch = (1 until nBands).foldLeft(
+        when(col("x.band_idx") === 0, lit(true))) { (acc, b) =>
+      acc.when(col("x.band_idx") === b,
+        (0 until b).map(p =>
+          bandOf(col("x.simhash"), p) =!= bandOf(col("y.simhash"), p))
+          .reduce(_ && _))
+    }
     banded.as("x").join(banded.as("y"),
         col("x.band_idx") === col("y.band_idx") &&
           col("x.band_val") === col("y.band_val") &&
-          col("x.id") < col("y.id"))
+          col("x.id") < col("y.id") && firstMatch)
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
         bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming"))
-      .distinct()
       .where(col("hamming") <= maxDist)
   }
 
