@@ -270,6 +270,49 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Intra-document repetition ratio (the Gopher-style quality rule): the
+    * most frequent n-gram's share of all n-gram occurrences per document.
+    * Output: (id, max_rep, n_occ, rep_ratio). Two narrow hash
+    * aggregations over the hashed raw shingles — no joins, no per-doc
+    * state beyond the agg buffers. Documents with fewer than `n` words
+    * have no n-grams and produce NO row (callers gating on repetition
+    * left-join and coalesce).
+    */
+  def repetitionRatios(df: DataFrame, idCol: Column, textCol: Column,
+                       n: Int): DataFrame =
+    shinglesRaw(df, idCol, textCol, n)
+      .select(col("id"), hash48(col("shingle")).as("sh"))
+      .groupBy("id", "sh").agg(count(lit(1)).as("n"))
+      .groupBy("id").agg(max(col("n")).as("max_rep"), sum(col("n")).as("n_occ"))
+      .withColumn("rep_ratio", round(col("max_rep") * 1.0 / col("n_occ"), 6))
+
+  /** Sketch-only near-dup scoring: estimated Jaccard from MinHash
+    * signature agreement over the LSH candidates — matches/k, never an
+    * exact-shingle verify join. This is the pass a 100 TB pipeline runs
+    * when the shingle sets are too large to re-join: candidate volume is
+    * collision-bounded and verification touches only the k-long
+    * signatures already in hand (E[matches/k] = Jaccard; k bounds the
+    * estimator variance). Output: (id_a, id_b, est_jaccard) for
+    * candidates with est_jaccard >= `minEstimate`.
+    */
+  def minhashEstimates(df: DataFrame, idCol: Column, textCol: Column,
+                       n: Int, k: Int, rowsPerBand: Int,
+                       minEstimate: Double): DataFrame = {
+    // Referenced by the banding AND both sides of the estimate join.
+    val sig = cached(minhashSignatures(shinglesRaw(df, idCol, textCol, n), k))
+    val cands = minhashCandidates(sig, k, rowsPerBand)
+    val a = sig.select(col("id").as("id_a") +:
+      (0 until k).map(i => col(s"m$i").as(s"am$i")): _*)
+    val b = sig.select(col("id").as("id_b") +:
+      (0 until k).map(i => col(s"m$i").as(s"bm$i")): _*)
+    cands.join(a, "id_a").join(b, "id_b")
+      .select(col("id_a"), col("id_b"),
+        round((0 until k).map(i =>
+            when(col(s"am$i") === col(s"bm$i"), 1).otherwise(0))
+          .reduce(_ + _) / lit(k.toDouble), 6).as("est_jaccard"))
+      .where(col("est_jaccard") >= minEstimate)
+  }
+
   /** SimHash near-duplicate pairs: hamming(simhash_a, simhash_b) <=
     * `maxDist`. Pigeonhole banding makes it an equi-join: split the
     * fingerprint into `maxDist + 1` bands — any pair within

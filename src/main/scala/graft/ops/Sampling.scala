@@ -99,6 +99,23 @@ object Sampling {
       out = "mix_rank")
   }
 
+  /** Per-group row cap (the C4-style per-domain cap that stops one
+    * domain/source from flooding the training mix): keep at most `cap`
+    * rows per group, chosen by deterministic md5 order of the key, with
+    * `grp_rn` the row's 1-based rank within its group. One
+    * hash-partitioned window — groups rank in parallel, no global
+    * ordering, no driver state; at 100 TB the window partitions by the
+    * group key exactly like the aggregation it replaces.
+    */
+  def capPerGroup(df: DataFrame, groupCol: Column, keyCol: Column, cap: Int,
+                  salt: String = ""): DataFrame = {
+    require(cap > 0, s"cap must be positive, got $cap")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCol)
+      .orderBy(md5(concat(keyCol.cast("string"), lit(salt))), keyCol)
+    df.withColumn("grp_rn", row_number().over(w)).where(col("grp_rn") <= cap)
+  }
+
   /** Disjoint train/validation/test split by bucket range: (0, trainPm)
     * → "train", [trainPm, trainPm+valPm) → "val", rest → "test". One
     * pass, no shuffle, rows never move between splits when the ratios

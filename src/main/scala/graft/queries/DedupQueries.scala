@@ -25,9 +25,9 @@ object DedupQueries {
     * hash, exactly as the Spark side does (so even a 48-bit collision
     * affects both engines identically).
     */
-  private val shingleCtes = s"""
+  private[queries] def shingleCtesFor(idExpr: String) = s"""
     WITH w AS (
-      SELECT doc_id AS id,
+      SELECT $idExpr AS id,
         string_split(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')), ' ') AS ws
       FROM documents),
     shr AS (
@@ -38,8 +38,40 @@ object DedupQueries {
       FROM shr),
     cnt AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY 1)"""
 
+  private val shingleCtes = shingleCtesFor("doc_id")
+
   private val MinhashK = 8
   private val RowsPerBand = 2
+
+  /** MinHash signature + LSH banding CTE chain shared by q36 and q90:
+    * `sig(id, m0..m{K-1})` (raw-occurrence double-hashed minima — the
+    * identical derivation to [[Dedup.minhashSignatures]]) and
+    * `cand(id_a, id_b)` (distinct banded-collision pairs). Appended after
+    * [[shingleCtes]], which provides `shr`.
+    */
+  private val minhashCandCtes: String = {
+    val h1 = PortableSql.hexToLong("md5(shingle)", 12)
+    val h2 = PortableSql.hexToLong("substr(md5(shingle), 13, 12)", 12)
+    val sigCols = (0 until MinhashK)
+      .map(i => s"min((($h1) + $i * ($h2)) % ${1L << 48}) AS m$i")
+      .mkString(", ")
+    val nBands = MinhashK / RowsPerBand
+    val bandArms = (0 until nBands).map { b =>
+      val ms = (b * RowsPerBand until (b + 1) * RowsPerBand)
+        .map(i => s"CAST(m$i AS VARCHAR)").mkString(" || '|' || ")
+      s"WHEN $b THEN $ms"
+    }.mkString(" ")
+    val bandIdxList = (0 until nBands).mkString("[", ", ", "]")
+    s"""sig AS (SELECT id, $sigCols FROM shr GROUP BY 1),
+        bands AS (
+          SELECT id, band_idx, CASE band_idx $bandArms END AS band_key
+          FROM sig, (SELECT unnest($bandIdxList) AS band_idx) bi),
+        cand AS (
+          SELECT DISTINCT x.id AS id_a, y.id AS id_b
+          FROM bands x JOIN bands y
+            ON x.band_idx = y.band_idx AND x.band_key = y.band_key
+              AND x.id < y.id)"""
+  }
 
   /** Simhash near-dup pair CTE chain (24-bit fingerprints, pigeonhole
     * bands, hamming verify) — the body of q52's oracle, shared with q54's
@@ -137,29 +169,9 @@ object DedupQueries {
       // invariant), mirroring the Spark side's single-pass form — and the
       // same double-hashing derivation: hash i = (h1 + i*h2) mod 2^48
       // from the two 48-bit halves of one md5 (Dedup.perShingleHashes).
-      val h1 = PortableSql.hexToLong("md5(shingle)", 12)
-      val h2 = PortableSql.hexToLong("substr(md5(shingle), 13, 12)", 12)
-      val sigCols = (0 until MinhashK)
-        .map(i => s"min((($h1) + $i * ($h2)) % ${1L << 48}) AS m$i")
-        .mkString(", ")
-      val nBands = MinhashK / RowsPerBand
-      val bandArms = (0 until nBands).map { b =>
-        val ms = (b * RowsPerBand until (b + 1) * RowsPerBand)
-          .map(i => s"CAST(m$i AS VARCHAR)").mkString(" || '|' || ")
-        s"WHEN $b THEN $ms"
-      }.mkString(" ")
-      val bandIdxList = (0 until nBands).mkString("[", ", ", "]")
       Q.sql(s"""
         $shingleCtes,
-        sig AS (SELECT id, $sigCols FROM shr GROUP BY 1),
-        bands AS (
-          SELECT id, band_idx, CASE band_idx $bandArms END AS band_key
-          FROM sig, (SELECT unnest($bandIdxList) AS band_idx) bi),
-        cand AS (
-          SELECT DISTINCT x.id AS id_a, y.id AS id_b
-          FROM bands x JOIN bands y
-            ON x.band_idx = y.band_idx AND x.band_key = y.band_key
-              AND x.id < y.id),
+        $minhashCandCtes,
         inter AS (
           SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_inter
           FROM sh a JOIN sh b ON a.shash = b.shash AND a.id < b.id
@@ -178,6 +190,60 @@ object DedupQueries {
             col("doc_id"), col("text"),
             n = 3, k = MinhashK, rowsPerBand = RowsPerBand, threshold = 0.8)
           .orderBy("id_a", "id_b")),
+
+    // Sketch-only estimated Jaccard over the LSH candidates: signature
+    // agreement (matches/K) with NO exact verify join — the pure-sketch
+    // pass a 100 TB dedup runs when shingle sets are too large to rejoin
+    // (see Dedup.minhashEstimates). K=8 bounds the estimate to eighths;
+    // threshold 0.5 keeps the plausible near-dups.
+    Q("q90_minhash_estimate", {
+      val matches = (0 until MinhashK)
+        .map(i => s"CASE WHEN a.m$i = b.m$i THEN 1 ELSE 0 END")
+        .mkString(" + ")
+      Q.sql(s"""
+        $shingleCtes,
+        $minhashCandCtes
+        SELECT id_a, id_b, est_jaccard FROM (
+          SELECT c.id_a, c.id_b,
+            round(($matches) / ${MinhashK}.0, 6) AS est_jaccard
+          FROM cand c
+          JOIN sig a ON a.id = c.id_a
+          JOIN sig b ON b.id = c.id_b) t
+        WHERE est_jaccard >= 0.5
+        ORDER BY id_a, id_b""")
+    })(
+      (s, dir) =>
+        Dedup.minhashEstimates(T(s, dir, "documents"),
+            col("doc_id"), col("text"),
+            n = 3, k = MinhashK, rowsPerBand = RowsPerBand, minEstimate = 0.5)
+          .orderBy("id_a", "id_b")),
+
+    // Cross-source contamination matrix: shingle-set Jaccard between
+    // SOURCES (the corpus-governance report that catches mirrored/scraped
+    // feeds before they skew the training mix). Same string-free
+    // (id, shash) machinery as q35 keyed by source — posting lists are
+    // bounded by the source count, so the pair join is never quadratic in
+    // documents.
+    Q("q93_source_overlap", Q.sql(s"""
+        ${shingleCtesFor("source")},
+        inter AS (
+          SELECT a.id AS source_a, b.id AS source_b, count(*) AS n_inter
+          FROM sh a JOIN sh b ON a.shash = b.shash AND a.id < b.id
+          GROUP BY 1, 2)
+        SELECT source_a, source_b, n_inter, ca.n_sh AS n_a, cb.n_sh AS n_b,
+          round(n_inter * 1.0 / (ca.n_sh + cb.n_sh - n_inter), 6) AS jaccard
+        FROM inter
+        JOIN cnt ca ON ca.id = source_a
+        JOIN cnt cb ON cb.id = source_b
+        ORDER BY source_a, source_b"""))(
+      (s, dir) =>
+        Dedup.jaccardPairs(
+            Dedup.shingleHashSet(T(s, dir, "documents"),
+              col("source"), col("text"), 3),
+            threshold = 0.0)
+          .withColumnRenamed("id_a", "source_a")
+          .withColumnRenamed("id_b", "source_b")
+          .orderBy("source_a", "source_b")),
 
     // SimHash hamming-near pairs: pigeonhole banding (maxDist+1 = 4 bands
     // of 6 bits over a 24-bit fingerprint) + exact bit_count(xor)
@@ -282,11 +348,8 @@ object DedupQueries {
         FROM occ GROUP BY id
         ORDER BY id"""))(
       (s, dir) =>
-        Dedup.shinglesRaw(T(s, dir, "documents"), col("doc_id"), col("text"), 3)
-          .select(col("id"), graft.functions.Hashing.hash48(col("shingle")).as("sh"))
-          .groupBy("id", "sh").agg(count(lit(1)).as("n"))
-          .groupBy("id").agg(max(col("n")).as("max_rep"), sum(col("n")).as("n_occ"))
-          .withColumn("rep_ratio", round(col("max_rep") * 1.0 / col("n_occ"), 6))
+        Dedup.repetitionRatios(T(s, dir, "documents"),
+            col("doc_id"), col("text"), 3)
           .orderBy("id")),
 
     // End-to-end near-dup corpus dedup: q52's simhash pair graph collapsed

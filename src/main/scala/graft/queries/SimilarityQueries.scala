@@ -195,6 +195,30 @@ object SimilarityQueries {
             Ivf.fixedCentroids(IvfK, Dim), nProbe = 3, k = 3,
             scoreCol = "qemb")
           .orderBy("query_id", "rank")
-      })
+      }),
+
+    // Embedding outlier scoring: Euclidean distance from the global
+    // centroid per vector — the out-of-distribution filter a training
+    // pipeline applies to embedded data before sampling. Centroid is a
+    // dim-row distributed aggregate (q81's derivation, unlabeled);
+    // deviations decimal-sum before one final sqrt.
+    Q("q92_embed_outliers", Q.sql("""
+        WITH pts AS (
+          SELECT vec_id AS id, pos - 1 AS pos, CAST(embedding[pos] AS DOUBLE) AS x
+          FROM embeddings,
+            LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS pos) t),
+        cent AS (
+          SELECT pos, CAST(sum(CAST(x AS DECIMAL(27,8))) AS DOUBLE) / count(*) AS c
+          FROM pts GROUP BY 1)
+        SELECT id,
+          round(sqrt(CAST(sum(CAST((x - c) * (x - c) AS DECIMAL(27,8))) AS DOUBLE)), 6)
+            AS centroid_dist
+        FROM pts JOIN cent USING (pos)
+        GROUP BY id
+        ORDER BY id"""))(
+      (s, dir) =>
+        Similarity.centroidDistances(T(s, dir, "embeddings"),
+            col("vec_id"), col("embedding"))
+          .orderBy("id"))
   )
 }

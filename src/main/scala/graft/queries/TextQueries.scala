@@ -391,6 +391,189 @@ object TextQueries {
             weight = when(col("lang") === "en", 1.0).otherwise(0.5),
             keyCol = col("doc_id"), salt = "m1")
           .select("doc_id", "lang", "mix_pos", "mix_rank")
-          .orderBy("mix_rank"))
+          .orderBy("mix_rank")),
+
+    // Sparse TF-IDF cosine top-5 similar documents for the query slice
+    // (doc_id % 97 = 0) — the inverted-index similarity join (weights
+    // matched on the token, broadcast query side; see
+    // TfIdf.sparseCosineTopK for the 100 TB shape). Dots/norms are
+    // decimal-routed sums of pre-rounded weights: bit-identical on both
+    // engines.
+    Q("q89_sparse_cosine", Q.sql(s"""
+        WITH toks AS (
+          SELECT doc_id AS id, unnest(string_split_regex($normSql, '\\s+')) AS tok
+          FROM documents),
+        tfq AS (SELECT id, tok, count(*) AS tf FROM toks GROUP BY 1, 2),
+        dfq AS (SELECT tok, count(*) AS df_docs FROM tfq GROUP BY 1),
+        nq AS (SELECT count(*) AS n_docs FROM documents),
+        w AS (
+          SELECT id, tfq.tok AS tok,
+            round(tf * ln(CAST(n_docs AS DOUBLE) / df_docs), 6) AS tfidf
+          FROM tfq JOIN dfq ON tfq.tok = dfq.tok CROSS JOIN nq),
+        norms AS (
+          SELECT id,
+            sqrt(CAST(sum(CAST(tfidf * tfidf AS DECIMAL(27,8))) AS DOUBLE)) AS norm
+          FROM w GROUP BY 1),
+        dots AS (
+          SELECT a.id AS id_q, b.id AS id_d,
+            CAST(sum(CAST(a.tfidf * b.tfidf AS DECIMAL(27,8))) AS DOUBLE) AS dot
+          FROM w a JOIN w b ON a.tok = b.tok AND a.id <> b.id
+          WHERE a.id % 97 = 0
+          GROUP BY 1, 2),
+        cos AS (
+          SELECT id_q, id_d, round(dot / (nq.norm * nd.norm), 6) AS cosine
+          FROM dots
+          JOIN norms nq ON nq.id = id_q
+          JOIN norms nd ON nd.id = id_d)
+        SELECT id_q, id_d, cosine, rank FROM (
+          SELECT cos.*, CAST(row_number() OVER (
+            PARTITION BY id_q ORDER BY cosine DESC, id_d) AS INT) AS rank
+          FROM cos) r
+        WHERE rank <= 5
+        ORDER BY id_q, rank"""))(
+      (s, dir) =>
+        graft.text.TfIdf.sparseCosineTopK(
+            T(s, dir, "documents"), col("doc_id"), col("text"),
+            queryPred = _ % 97 === 0, k = 5)
+          .orderBy("id_q", "rank")),
+
+    // Out-of-vocabulary rate against the corpus top-30 vocabulary — the
+    // tokenizer-coverage report a training pipeline runs before switching
+    // vocab/tokenizer. The vocab is a 30-row frame (broadcast side); the
+    // corpus aggregates per doc and never shuffles on content.
+    Q("q94_oov_rate", Q.sql(s"""
+        WITH toks AS (
+          SELECT doc_id AS id, unnest(string_split_regex($normSql, '\\s+')) AS tok
+          FROM documents),
+        cnts AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY 1),
+        vocab AS (
+          SELECT tok FROM (
+            SELECT tok, row_number() OVER (ORDER BY cnt DESC, tok) AS rn
+            FROM cnts) r
+          WHERE rn <= 30)
+        SELECT id, count(*) AS n_tokens,
+          CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+          round(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) * 1.0 / count(*), 6)
+            AS oov_rate
+        FROM toks t LEFT JOIN vocab v ON t.tok = v.tok
+        GROUP BY id
+        ORDER BY id"""))(
+      (s, dir) => {
+        import graft.ops.Frames.{cached, spread}
+        val toks = cached(spread(T(s, dir, "documents"))
+          .select(col("doc_id").as("id"),
+            explode(TextAnalysis.tokens(TextAnalysis.normalizeText(col("text"))))
+              .as("tok")))
+        val vocab = graft.ops.Relational.topKPerGroup(
+            toks.groupBy("tok").agg(count(lit(1)).as("cnt")),
+            partitionCols = Seq(lit(1)),
+            order = Seq(col("cnt").desc, col("tok").asc), k = 30)
+          .select(col("tok"), lit(1).as("in_vocab"))
+        toks.join(broadcast(vocab), Seq("tok"), "left")
+          .groupBy("id")
+          .agg(count(lit(1)).as("n_tokens"),
+            sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+          .withColumn("oov_rate",
+            round(col("n_oov") * 1.0 / col("n_tokens"), 6))
+          .orderBy("id")
+      }),
+
+    // Composite quality gate with reasons: the keep/drop decision a
+    // curation pipeline materializes per document — token-length,
+    // unigram-LM score (q91), and n-gram repetition (q71) checks folded
+    // into one report. Docs too short to have 3-grams pass the
+    // repetition check by construction (LEFT JOIN + coalesce).
+    Q("q95_quality_gate", Q.sql(s"""
+        ${DedupQueries.shingleCtesFor("doc_id")},
+        occ AS (
+          SELECT id, ${PortableSql.hexToLong("md5(shingle)", 12)} AS sh2,
+            count(*) AS n
+          FROM shr GROUP BY 1, 2),
+        rep AS (SELECT id, round(max(n) * 1.0 / sum(n), 6) AS rep_ratio
+          FROM occ GROUP BY id),
+        toks AS (SELECT id, unnest(ws) AS tok FROM w),
+        cnts AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY 1),
+        tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_total FROM cnts),
+        lp AS (
+          SELECT tok, round(ln(CAST(cnt AS DOUBLE) / n_total), 6) AS logp
+          FROM cnts CROSS JOIN tot),
+        lm AS (
+          SELECT id, count(*) AS n_tokens,
+            round(CAST(sum(CAST(logp AS DECIMAL(27,6))) AS DOUBLE) / count(*), 6)
+              AS avg_logp
+          FROM toks JOIN lp USING (tok)
+          GROUP BY id)
+        SELECT lm.id AS id, n_tokens, coalesce(rep_ratio, 0.0) AS rep_ratio,
+          avg_logp,
+          (n_tokens >= 20 AND avg_logp >= -3.5
+            AND coalesce(rep_ratio, 0.0) <= 0.05) AS keep,
+          concat_ws(',',
+            CASE WHEN n_tokens < 20 THEN 'short' END,
+            CASE WHEN avg_logp < -3.5 THEN 'perplexity' END,
+            CASE WHEN coalesce(rep_ratio, 0.0) > 0.05 THEN 'repeat' END)
+            AS reasons
+        FROM lm LEFT JOIN rep ON rep.id = lm.id
+        ORDER BY id"""))(
+      (s, dir) => {
+        val docs = T(s, dir, "documents")
+        val lm = graft.text.UnigramLm.score(docs, col("doc_id"), col("text"))
+        val rep = graft.dedup.Dedup.repetitionRatios(
+            docs, col("doc_id"), col("text"), 3)
+          .select("id", "rep_ratio")
+        lm.join(rep, Seq("id"), "left")
+          .withColumn("rep_ratio", coalesce(col("rep_ratio"), lit(0.0)))
+          .withColumn("keep",
+            col("n_tokens") >= 20 && col("avg_logp") >= -3.5 &&
+              col("rep_ratio") <= 0.05)
+          .withColumn("reasons", concat_ws(",",
+            when(col("n_tokens") < 20, lit("short")),
+            when(col("avg_logp") < -3.5, lit("perplexity")),
+            when(col("rep_ratio") > 0.05, lit("repeat"))))
+          .select("id", "n_tokens", "rep_ratio", "avg_logp", "keep", "reasons")
+          .orderBy("id")
+      }),
+
+    // Per-source document cap (the C4-style anti-dominance rule): keep at
+    // most 15 docs per source, selected by deterministic md5 order —
+    // reproducible on any engine/partitioning (see Sampling.capPerGroup).
+    Q("q96_domain_cap", Q.sql(s"""
+        SELECT doc_id, source, grp_rn FROM (
+          SELECT doc_id, source, CAST(row_number() OVER (
+            PARTITION BY source
+            ORDER BY md5(CAST(doc_id AS VARCHAR) || 'cap'), doc_id) AS INT)
+            AS grp_rn
+          FROM documents) t
+        WHERE grp_rn <= 15
+        ORDER BY doc_id"""))(
+      (s, dir) =>
+        Sampling.capPerGroup(T(s, dir, "documents"),
+            groupCol = col("source"), keyCol = col("doc_id"),
+            cap = 15, salt = "cap")
+          .select("doc_id", "source", "grp_rn")
+          .orderBy("doc_id")),
+
+    // Unigram LM quality scoring (CCNet-style): per-document mean token
+    // log-probability under the corpus's own unigram model. The model fit
+    // is a vocab-bounded aggregation; scoring joins the corpus to the
+    // broadcast vocab (see text.UnigramLm).
+    Q("q91_unigram_lm", Q.sql(s"""
+        WITH toks AS (
+          SELECT doc_id AS id, unnest(string_split_regex($normSql, '\\s+')) AS tok
+          FROM documents),
+        cnts AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY 1),
+        tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_total FROM cnts),
+        lp AS (
+          SELECT tok, round(ln(CAST(cnt AS DOUBLE) / n_total), 6) AS logp
+          FROM cnts CROSS JOIN tot)
+        SELECT id, count(*) AS n_tokens,
+          round(CAST(sum(CAST(logp AS DECIMAL(27,6))) AS DOUBLE) / count(*), 6)
+            AS avg_logp
+        FROM toks JOIN lp USING (tok)
+        GROUP BY id
+        ORDER BY id"""))(
+      (s, dir) =>
+        graft.text.UnigramLm.score(
+            T(s, dir, "documents"), col("doc_id"), col("text"))
+          .orderBy("id"))
   )
 }

@@ -146,4 +146,32 @@ object Similarity {
       .where(col("cos_sim") >= threshold)
       .select("id_a", "id_b", "bucket", "cos_sim")
   }
+
+  /** Distance-from-centroid outlier scoring: each vector's Euclidean
+    * distance to the global mean vector — the embedding-space quality
+    * filter that flags out-of-distribution rows before training.
+    * Output: (id, centroid_dist), one row per vector.
+    *
+    * Scale shape: posexplode fans dim×, the centroid is a dim-row
+    * aggregate (never driver-side), and scoring re-joins on the dimension
+    * index against the BROADCAST centroid — the corpus shuffles once for
+    * its own per-id aggregation and never on content.
+    *
+    * Determinism: per-dimension sums are decimal-routed (mirror of
+    * q81's centroid derivation); squared deviations are decimal-summed
+    * before one final sqrt, so the result is aggregation-order-free.
+    */
+  def centroidDistances(emb: DataFrame, idCol: Column, vecCol: Column): DataFrame = {
+    import graft.ops.Relational.dsum
+    // Referenced twice (centroid fit + scoring join).
+    val pts = graft.ops.Frames.cached(spread(emb)
+      .select(idCol.as("id"), posexplode(vecCol.cast("array<double>"))))
+    val centroid = pts.groupBy("pos")
+      .agg((dsum(col("col"), 8) / count(lit(1))).as("c"))
+    pts.join(broadcast(centroid), "pos")
+      .groupBy("id")
+      .agg(sqrt(dsum((col("col") - col("c")) * (col("col") - col("c")), 8))
+        .as("raw"))
+      .select(col("id"), round(col("raw"), 6).as("centroid_dist"))
+  }
 }

@@ -55,4 +55,41 @@ object TfIdf {
     Relational.topKPerGroup(tfidf(df, idCol, textCol),
       partitionCols = Seq(col("id")),
       order = Seq(col("tfidf").desc, col("tok").asc), k = k)
+
+  /** Sparse TF-IDF cosine top-`k`: for each document satisfying
+    * `queryPred` (on the id), the k most similar OTHER documents by
+    * cosine over tf-idf term weights — the sparse counterpart of the
+    * dense-embedding kNN ([[graft.similarity.Similarity.knnBruteForce]]).
+    *
+    * Scale shape: an inverted-index join — the query side's (id, tok,
+    * weight) rows are broadcast and matched on the token, so similarity
+    * cost is proportional to posting-list overlap, never n². (For
+    * all-pairs workloads cap high-document-frequency terms first, as in
+    * [[graft.dedup.Dedup.jaccardPairs]] `maxDf` — boilerplate terms are
+    * the quadratic keys.)
+    *
+    * Determinism: tf-idf weights are pre-rounded (6 dp), dot products and
+    * norms are decimal-routed sums, the final cosine is rounded to 6 dp,
+    * rank ties break on the neighbour id.
+    */
+  def sparseCosineTopK(df: DataFrame, idCol: Column, textCol: Column,
+                       queryPred: Column => Column, k: Int): DataFrame = {
+    import Relational.dsum
+    // Referenced three times (norms + both join sides).
+    val w = cached(tfidf(df, idCol, textCol).select("id", "tok", "tfidf"))
+    val norms = w.groupBy("id")
+      .agg(sqrt(dsum(col("tfidf") * col("tfidf"), 8)).as("norm"))
+    val dots = broadcast(w.where(queryPred(col("id"))).as("a"))
+      .join(w.as("b"),
+        col("a.tok") === col("b.tok") && col("a.id") =!= col("b.id"))
+      .groupBy(col("a.id").as("id_q"), col("b.id").as("id_d"))
+      .agg(dsum(col("a.tfidf") * col("b.tfidf"), 8).as("dot"))
+    val cos = dots
+      .join(norms.select(col("id").as("id_q"), col("norm").as("norm_q")), "id_q")
+      .join(norms.select(col("id").as("id_d"), col("norm").as("norm_d")), "id_d")
+      .select(col("id_q"), col("id_d"),
+        round(col("dot") / (col("norm_q") * col("norm_d")), 6).as("cosine"))
+    Relational.topKPerGroup(cos, partitionCols = Seq(col("id_q")),
+      order = Seq(col("cosine").desc, col("id_d").asc), k = k)
+  }
 }

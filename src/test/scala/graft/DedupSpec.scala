@@ -110,6 +110,48 @@ class DedupSpec extends SparkSpec {
     fp(1L) should not be fp(4L)
   }
 
+  test("simhashNearDups equals brute-force hamming pairs, each pair exactly once") {
+    // Pigeonhole banding is exhaustive (any pair within maxDist agrees on
+    // a whole band), and the first-matching-band filter must emit each
+    // pair exactly once — so the output equals the n² reference set with
+    // no duplicate rows.
+    val fp = Dedup.simhash(docs, $"doc_id", $"text", bits = 24)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val brute = for {
+      a <- fp.keys.toSeq; b <- fp.keys.toSeq
+      if a < b && java.lang.Long.bitCount(fp(a) ^ fp(b)) <= 3
+    } yield (a, b)
+    val out = Dedup.simhashNearDups(docs, $"doc_id", $"text", maxDist = 3, bits = 24)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    out.length shouldBe out.toSet.size
+    out.toSet shouldBe brute.toSet
+  }
+
+  test("minhashCandidates emits each any-band-colliding pair exactly once") {
+    val sh = Dedup.shingles(docs, $"doc_id", $"text", 3)
+    val sig = Dedup.minhashSignatures(sh, 8)
+    val sigMap = sig.collect()
+      .map(r => r.getLong(0) -> (1 to 8).map(r.getLong).toVector).toMap
+    val bandsOf = sigMap.view.mapValues(
+      _.grouped(2).map(_.mkString("|")).toVector).toMap
+    val naive = for {
+      a <- sigMap.keys.toSeq; b <- sigMap.keys.toSeq
+      if a < b && (0 until 4).exists(i => bandsOf(a)(i) == bandsOf(b)(i))
+    } yield (a, b)
+    val out = Dedup.minhashCandidates(sig, 8, rowsPerBand = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    out.length shouldBe out.toSet.size
+    out.toSet shouldBe naive.toSet
+  }
+
+  test("minhashEstimates: identical docs estimate 1.0, scores stay in [0,1]") {
+    val est = Dedup.minhashEstimates(docs, $"doc_id", $"text",
+      n = 3, k = 8, rowsPerBand = 2, minEstimate = 0.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    est((1L, 2L)) shouldBe 1.0
+    est.values.foreach(e => e should (be >= 0.0 and be <= 1.0))
+  }
+
   test("components: min-label propagation finds connected clusters") {
     // Chain 1-2-3 plus island 5-6: transitive closure must label 3 with 1
     // even though (1,3) is not an edge; 4 appears in no pair -> no row.

@@ -101,4 +101,24 @@ class SamplingSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     plan should not include "Exchange"
   }
+
+  test("capPerGroup keeps at most cap rows per group, deterministically") {
+    val docs = ((1L to 100L).map(i => (i, "en")) ++ (101L to 130L).map(i => (i, "de")))
+      .toDF("id", "g")
+    val capped = Sampling.capPerGroup(docs, $"g", $"id", cap = 10, salt = "s")
+    val byGroup = capped.groupBy("g").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    byGroup shouldBe Map("en" -> 10L, "de" -> 10L)
+    capped.agg(max($"grp_rn")).head().getInt(0) shouldBe 10
+    // same rows on a rerun with different partitioning
+    val again = Sampling.capPerGroup(docs.repartition(7), $"g", $"id",
+      cap = 10, salt = "s")
+    again.select("id").as[Long].collect().sorted shouldBe
+      capped.select("id").as[Long].collect().sorted
+    // a different salt draws a different subset (statistically certain
+    // for 10-of-100)
+    val other = Sampling.capPerGroup(docs, $"g", $"id", cap = 10, salt = "t")
+    other.select("id").as[Long].collect().sorted should not be
+      capped.select("id").as[Long].collect().sorted
+  }
 }

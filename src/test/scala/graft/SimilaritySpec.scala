@@ -69,6 +69,27 @@ class SimilaritySpec extends SparkSpec {
     lsh should contain((0L, 3L))
   }
 
+  test("centroidDistances matches the hand-computed Euclidean distance") {
+    // exact-decimal floats so the decimal routing is lossless and the
+    // hand computation is bit-exact: centroid = (0.625, 0.375, 0.0)
+    val vs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(0.5f, 0.5f, 0.0f)),
+      (2L, Array(0.0f, 1.0f, 0.0f)),
+      (3L, Array(1.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val out = Similarity.centroidDistances(vs, $"vec_id", $"embedding")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val cent = Seq(0.625, 0.375, 0.0)
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def d(v: Seq[Double]) = r6(math.sqrt(
+      v.zip(cent).map { case (x, c) => (x - c) * (x - c) }.sum))
+    out(0L) shouldBe d(Seq(1.0, 0.0, 0.0))
+    out(1L) shouldBe d(Seq(0.5, 0.5, 0.0))
+    out(2L) shouldBe d(Seq(0.0, 1.0, 0.0))
+    // identical vectors 0 and 3 get identical scores
+    out(0L) shouldBe out(3L)
+  }
+
   private def withCodegenDisabled[T](body: => T): T = {
     val conf = spark.conf
     val prev = conf.get("spark.sql.codegen.wholeStage", "true")

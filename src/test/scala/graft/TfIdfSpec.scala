@@ -33,6 +33,40 @@ class TfIdfSpec extends SparkSpec {
     out((3L, "data")) shouldBe math.rint(math.log(4.0 / 3.0) * 1e6) / 1e6
   }
 
+  test("sparseCosineTopK: identical token profiles score 1.0, ranks are per query") {
+    val pair = Seq(
+      (1L, "alpha beta gamma"),
+      (2L, "alpha beta gamma"),   // identical profile to 1
+      (3L, "alpha delta delta"),
+      (4L, "epsilon zeta eta")).toDF("doc_id", "text")
+    val out = TfIdf.sparseCosineTopK(pair, $"doc_id", $"text",
+      queryPred = _ <= 2, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getDouble(2), r.getInt(3)))
+      .toMap
+    out((1L, 2L))._1 shouldBe 1.0
+    out((1L, 2L))._2 shouldBe 1  // top neighbour
+    // doc 4 shares no token with doc 1 -> no pair at all
+    out.keySet should not contain ((1L, 4L))
+    // only the two query docs produce result groups
+    out.keySet.map(_._1) shouldBe Set(1L, 2L)
+  }
+
+  test("UnigramLm: repeated-common-token docs score higher than rare-token docs") {
+    import graft.text.UnigramLm
+    val corpus = Seq(
+      (1L, "common common common common"),
+      (2L, "common common common rare")).toDF("doc_id", "text")
+    val out = UnigramLm.score(corpus, $"doc_id", $"text").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    out(1L)._1 shouldBe 4L
+    // doc 1 = all high-probability tokens; doc 2 carries the rare one
+    out(1L)._2 should be > out(2L)._2
+    // hand check: p(common)=7/8, p(rare)=1/8
+    val lp = (x: Double) => math.rint(math.log(x) * 1e6) / 1e6
+    out(1L)._2 shouldBe math.rint(lp(7.0 / 8) * 1e6) / 1e6
+    out(2L)._2 shouldBe math.rint((3 * lp(7.0 / 8) + lp(1.0 / 8)) / 4 * 1e6) / 1e6
+  }
+
   test("topKeywords ranks by score desc with token tie-break") {
     val top = TfIdf.topKeywords(docs, $"doc_id", $"text", k = 2)
       .orderBy("id", "rank").collect()
