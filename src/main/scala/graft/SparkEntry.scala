@@ -29,7 +29,8 @@ object SparkEntry {
     CoreQueries.all ++ PredicateQueries.all ++ EventQueries.all ++
       TextQueries.all ++ DedupQueries.all ++ SimilarityQueries.all ++
       MultimodalQueries.all ++ VersionedQueries.all ++ IoQueries.all ++
-      StreamingQueries.all ++ SketchQueries.all ++ AnalyticsQueries.all
+      StreamingQueries.all ++ SketchQueries.all ++ AnalyticsQueries.all ++
+      CurationQueries.all
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0.
     * Full slice: scan -> filter -> broadcast-join -> agg -> window top-k.

@@ -1,0 +1,90 @@
+package graft.graph
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.ops.Relational.dsum
+
+/** Fixed-iteration PageRank over an edge list — the graph-centrality
+  * primitive behind duplicate-cluster hub detection and link-graph
+  * quality signals in a web-corpus pipeline.
+  *
+  * Reference analogy: the reference's relational joins stop at one hop
+  * (`denormalized_tables.py`); PageRank is the iterated-join form, each
+  * iteration a join + aggregation — the classic Spark fixed-point shape
+  * (same pattern as [[graft.dedup.Dedup.components]]).
+  *
+  * Scale design (100 TB edge list):
+  *  - each iteration is ONE shuffle: contributions flow edge→dst via an
+  *    equi-join on src, then a hash aggregation on dst;
+  *  - ranks/degrees are (node, scalar) frames — tiny relative to edges;
+  *    the edge frame is re-read per iteration (cache it at cluster scale);
+  *  - no driver-side state beyond the node count (one scalar).
+  *
+  * Determinism: per-edge contributions are computed as doubles (IEEE-fixed
+  * expression shape), then summed decimal-routed ([[dsum]]) so the
+  * aggregation is order-independent; the damping update is a fixed
+  * double expression. The whole recurrence replays in DuckDB CTEs
+  * bit-for-bit.
+  */
+object PageRank {
+
+  /** `edges`: directed (src, dst) pairs, pre-deduplicated. For an
+    * undirected graph pass both directions. Returns (node, rank) after
+    * `iters` damped iterations from the uniform start, for every node
+    * appearing as src or dst. Dangling nodes (no out-edges) are assumed
+    * absent — symmetrize the graph to guarantee that.
+    */
+  def run(edges: DataFrame, iters: Int, damping: Double = 0.85): DataFrame = {
+    val nodes = edges.select(col("src").as("node"))
+      .union(edges.select(col("dst").as("node"))).distinct()
+    // one scalar to the driver: the node count (bounded, model-size data)
+    val n = nodes.count()
+    val base = (1.0 - damping) / n
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    var rank = nodes.withColumn("pr", lit(1.0 / n))
+    for (_ <- 1 to iters) {
+      // round-then-cast at the SAME scale: a raw double cast to
+      // DECIMAL(27,18) can land exactly on a rounding tie (doubles near
+      // 1e-4 have ~20-digit exact expansions) where Spark (HALF_UP) and
+      // DuckDB disagree by 1e-18; rounding to 12 decimals first makes the
+      // decimal cast unambiguous on both engines (the UnigramLm pattern).
+      val contrib = edges
+        .join(rank.withColumnRenamed("node", "src"), "src")
+        .join(deg, "src")
+        .select(col("dst").as("node"),
+          round(col("pr") / col("deg"), 12).as("c"))
+      rank = contrib.groupBy("node")
+        .agg((lit(base) + lit(damping) * dsum(col("c"), 12)).as("pr"))
+    }
+    rank
+  }
+
+  /** DuckDB oracle for [[run]]: unrolled iteration CTEs over an edge CTE
+    * named `edges(src, dst)` and a node CTE `nodes(node)`. Appends to a
+    * caller-provided WITH chain; the caller selects from `r{iters}`.
+    *
+    * Literal discipline: bare decimal literals parse as DECIMAL in DuckDB
+    * (so `1.0 - 0.85` would be exact decimal 0.15, NOT the Scala double
+    * 0.15000000000000002). Every constant is pre-computed as a Scala
+    * double and embedded via [[graft.functions.PortableSql.doubleLit]]
+    * inside CAST(... AS DOUBLE), and every division has a DOUBLE operand
+    * — the identical IEEE ops the Spark side runs.
+    */
+  def oracleCtes(iters: Int, damping: Double = 0.85): String = {
+    import graft.functions.PortableSql.doubleLit
+    val d = s"CAST(${doubleLit(damping)} AS DOUBLE)"
+    val oneMinusD = s"CAST(${doubleLit(1.0 - damping)} AS DOUBLE)"
+    val baseExpr = s"$oneMinusD / (SELECT count(*) FROM nodes)"
+    val r0 = s"r0 AS (SELECT node, CAST(1 AS DOUBLE) / (SELECT count(*) FROM nodes) AS pr FROM nodes)"
+    val degree = s"deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY 1)"
+    val its = (1 to iters).map { i =>
+      s"""r$i AS (
+         SELECT e.dst AS node,
+           $baseExpr + $d * CAST(sum(CAST(round(r.pr / deg.deg, 12) AS DECIMAL(27,12))) AS DOUBLE) AS pr
+         FROM edges e JOIN r${i - 1} r ON e.src = r.node JOIN deg ON e.src = deg.src
+         GROUP BY 1)"""
+    }
+    (Seq(degree, r0) ++ its).mkString(", ")
+  }
+}

@@ -1,0 +1,345 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.dedup.Dedup
+import graft.graph.PageRank
+import graft.ops.Frames.{cached, spread}
+import graft.ops.Relational.dsum
+import graft.sketch.{Bloom, CountMin}
+import graft.streaming.StreamRun
+import graft.text.{Chunking, TextAnalysis}
+
+/** Round-5 curation & analytics batch 2: span-level exact-substring
+  * duplication, overlapping token-window chunking, count-min heavy
+  * hitters, cohort retention, PageRank centrality, z-score outliers,
+  * bloom-pruned joins, and stopword scrubbing — each oracle-checked
+  * bit-for-bit against DuckDB.
+  */
+object CurationQueries {
+
+  private def T(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** Words CTE shared by the text oracles — the exact derivation of
+    * [[TextAnalysis.normalizeText]] + [[TextAnalysis.tokens]].
+    */
+  private val wordsCte = """
+    WITH w AS (
+      SELECT doc_id AS id,
+        string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ') AS ws
+      FROM documents)"""
+
+  private val SpanN = 5
+  private val ChunkW = 32
+  private val ChunkS = 24
+  private val CmD = 4
+  private val CmW = 64
+  private val TopK = 20
+
+  def all: Seq[Q] = Seq(
+
+    // Exact-substring span duplication (Lee et al. "Deduplicating
+    // Training Data" span view): per document, how many of its distinct
+    // 5-token spans also appear in another document. High dup_frac =
+    // boilerplate/mirror content even when full-document hashes differ.
+    // Scale: (id, 8-byte span hash) distinct -> df count -> hash join
+    // back on the SAME key (co-partitioned, no extra shuffle); the text
+    // never shuffles.
+    Q("q97_span_dedup", Q.sql(s"""
+        $wordsCte,
+        shr AS (
+          SELECT id, ws[pos] || ' ' || ws[pos+1] || ' ' || ws[pos+2] || ' ' || ws[pos+3] || ' ' || ws[pos+4] AS shingle
+          FROM w, LATERAL (SELECT unnest(generate_series(1, greatest(len(ws) - ${SpanN - 1}, 0))) AS pos) t),
+        sh AS (
+          SELECT DISTINCT id, ${graft.functions.PortableSql.hexToLong("md5(shingle)", 12)} AS shash
+          FROM shr),
+        dfx AS (SELECT shash, count(*) AS df FROM sh GROUP BY 1)
+        SELECT sh.id AS doc_id, count(*) AS n_spans,
+          CAST(sum(CASE WHEN dfx.df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans,
+          CAST(CAST(sum(CASE WHEN dfx.df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS DOUBLE) / count(*) AS dup_frac
+        FROM sh JOIN dfx USING (shash)
+        GROUP BY 1 ORDER BY 1"""))(
+      (s, dir) => {
+        val sh = Dedup.shingleHashSet(
+          T(s, dir, "documents"), col("doc_id"), col("text"), SpanN)
+        val dfx = sh.groupBy("shash").agg(count(lit(1)).as("df"))
+        sh.join(dfx, "shash")
+          .groupBy(col("id"))
+          .agg(count(lit(1)).as("n_spans"),
+            sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_dup_spans"))
+          .select(col("id").as("doc_id"), col("n_spans"), col("n_dup_spans"),
+            (col("n_dup_spans").cast("double") / col("n_spans")).as("dup_frac"))
+          .orderBy("doc_id")
+      }),
+
+    // Overlapping token-window chunking (training-sequence preparation):
+    // 32-token windows every 24 tokens, final partial window kept.
+    // Scale: pure generator explode, zero shuffles — see text.Chunking.
+    Q("q98_chunk_overlap", Q.sql(s"""
+        $wordsCte,
+        ${Chunking.oracleCte(ChunkW, ChunkS)}
+        SELECT id AS doc_id, chunk_id, n_tokens, chash
+        FROM ch ORDER BY 1, 2"""))(
+      (s, dir) =>
+        Chunking.chunks(T(s, dir, "documents"), col("doc_id"), col("text"),
+            ChunkW, ChunkS)
+          .select(col("id").as("doc_id"), col("chunk_id"), col("n_tokens"),
+            col("chash"))
+          .orderBy("doc_id", "chunk_id")),
+
+    // Count-min sketch heavy hitters: estimate the frequency of the
+    // exact top-20 tokens from a fixed 4x64 counter matrix and report
+    // estimate vs truth (est >= truth always; the gap is the sketch's
+    // collision error). Scale: the sketch build shuffles at most d*w =
+    // 256 rows regardless of corpus size, and sketches merge cell-wise
+    // across days/partitions — the sublinear path when the vocabulary
+    // outgrows memory. The probe set (top-k candidates) is bounded.
+    Q("q99_heavy_hitters", Q.sql(s"""
+        $wordsCte,
+        tok AS (SELECT unnest(ws) AS token FROM w),
+        ex AS (SELECT token, count(*) AS exact_n FROM tok GROUP BY 1),
+        top AS (SELECT * FROM ex ORDER BY exact_n DESC, token LIMIT $TopK),
+        rr AS (SELECT unnest([${(0 until CmD).mkString(", ")}]) AS r),
+        cells AS (
+          SELECT r, ${CountMin.cellSql("token", "r", CmW)} AS c, count(*) AS cnt
+          FROM tok, rr GROUP BY 1, 2),
+        probe AS (
+          SELECT top.token, top.exact_n, rr.r,
+            ${CountMin.cellSql("top.token", "rr.r", CmW)} AS c
+          FROM top, rr)
+        SELECT p.token, p.exact_n, min(cl.cnt) AS cm_est
+        FROM probe p JOIN cells cl ON p.r = cl.r AND p.c = cl.c
+        GROUP BY 1, 2 ORDER BY exact_n DESC, token"""))(
+      (s, dir) => {
+        val toks = cached(spread(T(s, dir, "documents"))
+          .select(explode(TextAnalysis.tokens(
+            TextAnalysis.normalizeText(col("text")))).as("token")))
+        val top = toks.groupBy("token").agg(count(lit(1)).as("exact_n"))
+          .orderBy(col("exact_n").desc, col("token")).limit(TopK)
+        val sketch = CountMin.cells(toks, col("token"), CmD, CmW)
+        CountMin.estimate(top, "token", sketch, CmD, CmW)
+          .orderBy(col("exact_n").desc, col("token"))
+      }),
+
+    // Cohort retention matrix: users grouped by first-active week,
+    // activity counted per week offset, retention vs cohort size.
+    // Scale: distinct (user, week) -> per-user min -> two hash aggs +
+    // one broadcast join on the (tiny) cohort-size table; events never
+    // shuffle twice.
+    Q("q100_cohort_retention", Q.sql("""
+        WITH e AS (
+          SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS TIMESTAMP) AS wk
+          FROM events),
+        c AS (SELECT user_id, min(wk) AS cohort FROM e GROUP BY 1),
+        a AS (
+          SELECT e.user_id, c.cohort,
+            CAST((epoch_us(e.wk) - epoch_us(c.cohort)) // 604800000000 AS INT) AS week_n
+          FROM e JOIN c USING (user_id)),
+        n AS (SELECT cohort, week_n, count(*) AS n_active FROM a GROUP BY 1, 2),
+        s AS (SELECT cohort, count(*) AS cohort_size FROM c GROUP BY 1)
+        SELECT n.cohort, n.week_n, n.n_active, s.cohort_size,
+          CAST(n.n_active AS DOUBLE) / s.cohort_size AS retention
+        FROM n JOIN s USING (cohort) ORDER BY 1, 2"""))(
+      (s, dir) => {
+        val e = T(s, dir, "events")
+          .select(col("user_id"), date_trunc("week", col("ts")).as("wk"))
+          .distinct()
+        val c = e.groupBy("user_id").agg(min("wk").as("cohort"))
+        val a = e.join(c, "user_id")
+          .select(col("cohort"),
+            ((unix_timestamp(col("wk")) - unix_timestamp(col("cohort"))) / 604800)
+              .cast("int").as("week_n"))
+        val n = a.groupBy("cohort", "week_n").agg(count(lit(1)).as("n_active"))
+        val sz = c.groupBy("cohort").agg(count(lit(1)).as("cohort_size"))
+        n.join(broadcast(sz), "cohort")
+          .withColumn("retention",
+            col("n_active").cast("double") / col("cohort_size"))
+          .orderBy("cohort", "week_n")
+      }),
+
+    // PageRank over the part<->supplier co-occurrence graph from
+    // lineitem (3 damped iterations, symmetrized edges; node id encodes
+    // side in the low bit). The iterated-join fixed point every link/
+    // citation-graph quality signal needs — see graph.PageRank for the
+    // one-shuffle-per-iteration shape and the decimal-routed determinism.
+    Q("q101_pagerank", Q.sql(s"""
+        WITH pairs AS (
+          SELECT DISTINCT l_partkey * 2 AS a, l_suppkey * 2 + 1 AS b FROM lineitem),
+        edges AS (
+          SELECT a AS src, b AS dst FROM pairs
+          UNION ALL SELECT b AS src, a AS dst FROM pairs),
+        nodes AS (SELECT DISTINCT src AS node FROM edges),
+        ${PageRank.oracleCtes(3)}
+        SELECT node, pr FROM r3 ORDER BY node"""))(
+      (s, dir) => {
+        val pairs = T(s, dir, "lineitem")
+          .select((col("l_partkey") * 2).as("a"), (col("l_suppkey") * 2 + 1).as("b"))
+          .distinct()
+        val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
+          .union(pairs.select(col("b").as("src"), col("a").as("dst")))
+        PageRank.run(edges, 3).orderBy("node")
+      }),
+
+    // Per-type z-score outliers over event values: decimal-exact moment
+    // sums (order-independent), one broadcast join of the 5-row stats
+    // table back onto the stream, pure-scalar z computation. The shape
+    // of every streaming-ish anomaly monitor: stats are mergeable sums.
+    Q("q102_zscore_outliers", Q.sql("""
+        WITH s AS (
+          SELECT event_type, count(*) AS n,
+            CAST(sum(CAST(value AS DECIMAL(27,8))) AS DOUBLE) AS s1,
+            CAST(sum(CAST(value * value AS DECIMAL(27,8))) AS DOUBLE) AS s2
+          FROM events GROUP BY 1)
+        SELECT e.event_id, e.event_type, e.value,
+          (e.value - s.s1 / s.n) / sqrt(s.s2 / s.n - (s.s1 / s.n) * (s.s1 / s.n)) AS z
+        FROM events e JOIN s USING (event_type)
+        WHERE abs((e.value - s.s1 / s.n) / sqrt(s.s2 / s.n - (s.s1 / s.n) * (s.s1 / s.n))) > 2.5
+        ORDER BY event_id"""))(
+      (s, dir) => {
+        val e = T(s, dir, "events")
+        val stats = e.groupBy("event_type").agg(
+          count(lit(1)).as("n"),
+          dsum(col("value"), 8).as("s1"),
+          dsum(col("value") * col("value"), 8).as("s2"))
+        val mean = col("s1") / col("n")
+        val z = (col("value") - mean) / sqrt(col("s2") / col("n") - mean * mean)
+        e.join(broadcast(stats), "event_type")
+          .withColumn("z", z)
+          .where(abs(col("z")) > 2.5)
+          .select(col("event_id"), col("event_type"), col("value"), col("z"))
+          .orderBy("event_id")
+      }),
+
+    // Bloom-pruned semi-join: a 16384-bit filter built from the (small)
+    // filtered-orders key set is pushed as a scalar predicate into the
+    // lineitem scan; the exact semi-join then removes false positives,
+    // so the result is EXACTLY the plain semi-join the oracle runs. At
+    // 100 TB the bloom predicate drops non-matching fact rows inside the
+    // scan stage — before any shuffle — while the filter itself is 2 KB
+    // of driver state (positions, never keys, cross the wire).
+    Q("q103_bloom_join", Q.sql("""
+        SELECT l_returnflag, count(*) AS n,
+          CAST(sum(CAST(l_quantity AS DECIMAL(27,4))) AS DOUBLE) AS sum_qty
+        FROM lineitem
+        WHERE l_orderkey IN (
+          SELECT o_orderkey FROM orders
+          WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 450000)
+        GROUP BY 1 ORDER BY 1"""))(
+      (s, dir) => {
+        val build = T(s, dir, "orders")
+          .where(col("o_orderpriority") === "1-URGENT" &&
+            col("o_totalprice") > 450000)
+        Bloom.prunedSemiJoin(T(s, dir, "lineitem"), col("l_orderkey"),
+            build, col("o_orderkey"), m = 16384, k = 3)
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+          .orderBy("l_returnflag")
+      }),
+
+    // Stopword scrubbing (token-level, no regex dialect risk): drop
+    // standalone 'a'/'the' tokens, report before/after counts and the
+    // scrubbed-content hash. Scale: pure scalar array ops in the scan
+    // stage, no shuffle, no UDF.
+    Q("q104_stopword_scrub", Q.sql(s"""
+        $wordsCte,
+        f AS (
+          SELECT id, ws, list_filter(ws, x -> x NOT IN ('a', 'the')) AS kept
+          FROM w)
+        SELECT id AS doc_id, len(ws) AS n_before, len(kept) AS n_after,
+          ${graft.functions.PortableSql.hexToLong("md5(array_to_string(kept, ' '))", 12)} AS clean_hash
+        FROM f ORDER BY 1"""))(
+      (s, dir) =>
+        T(s, dir, "documents")
+          .select(col("doc_id"),
+            TextAnalysis.tokens(TextAnalysis.normalizeText(col("text"))).as("ws"))
+          .withColumn("kept",
+            filter(col("ws"), w => !w.isin("a", "the")))
+          .select(col("doc_id"),
+            size(col("ws")).cast("bigint").as("n_before"),
+            size(col("kept")).cast("bigint").as("n_after"),
+            graft.functions.Hashing.hash48(concat_ws(" ", col("kept"))).as("clean_hash"))
+          .orderBy("doc_id")),
+
+    // Bigram LM scoring: add-one-smoothed P(w2|w1) fit on the corpus,
+    // mean bigram log-prob per document — see text.BigramLm for the
+    // vocabulary-bounded count fits and the co-partitioned scoring join.
+    Q("q105_bigram_lm", Q.sql(s"""
+        $wordsCte,
+        shr AS (
+          SELECT id, ws[pos] || ' ' || ws[pos+1] AS shingle
+          FROM w, LATERAL (SELECT unnest(generate_series(1, greatest(len(ws) - 1, 0))) AS pos) t),
+        c2 AS (SELECT shingle, count(*) AS cnt2 FROM shr GROUP BY 1),
+        c1 AS (SELECT string_split(shingle, ' ')[1] AS w1, count(*) AS cnt1 FROM shr GROUP BY 1),
+        v AS (SELECT count(DISTINCT tok) AS v FROM (SELECT unnest(ws) AS tok FROM w) tt),
+        lp AS (
+          SELECT c2.shingle, round(ln(CAST(cnt2 + 1 AS DOUBLE) / (cnt1 + v.v)), 6) AS logp
+          FROM c2 JOIN c1 ON string_split(c2.shingle, ' ')[1] = c1.w1, v)
+        SELECT shr.id AS doc_id, count(*) AS n_bigrams,
+          round(CAST(sum(CAST(logp AS DECIMAL(27,6))) AS DOUBLE) / count(*), 6) AS avg_logp
+        FROM shr JOIN lp USING (shingle)
+        GROUP BY 1 ORDER BY 1"""))(
+      (s, dir) =>
+        graft.text.BigramLm.score(
+            T(s, dir, "documents"), col("doc_id"), col("text"))
+          .select(col("id").as("doc_id"), col("n_bigrams"), col("avg_logp"))
+          .orderBy("doc_id")),
+
+    // Streaming per-key earliest-k under the oracle gate: keep each
+    // user's 5 first events with flatMapGroupsWithState (bounded O(cap)
+    // buffer state, event-time-timeout flush driven by the end-of-stream
+    // sentinel's watermark) — proven equal to the batch row_number cap.
+    Q("q106_stream_cap", Q.sql("""
+        SELECT user_id, epoch_us(ts) AS ts_us, event_id
+        FROM (
+          SELECT user_id, ts, event_id,
+            row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+          FROM events) x
+        WHERE rn <= 5
+        ORDER BY user_id, ts_us, event_id"""))(
+      (s, dir) => {
+        val src = StreamRun.eventsStreamFlushed(s, dir)
+        val capped = graft.streaming.Streams.earliestKWithState(src, 5)
+        StreamRun.runToTable("q106_sink", capped.toDF(),
+            org.apache.spark.sql.streaming.OutputMode.Append())
+          .where(col("user_id") =!= -1)
+          .orderBy("user_id", "ts_us", "event_id")
+      }),
+
+    // Hourly last-observation-carried-forward resampling: per-user hour
+    // spine (bounds agg -> distributed sequence explode) as-of joined to
+    // the event stream (one shuffle union + running window — see
+    // ops.AsOfJoin). The gap-fill + as-of composition every time-series
+    // feature store runs. Oracle: DuckDB's native ASOF LEFT JOIN.
+    Q("q107_locf_resample", Q.sql("""
+        WITH b AS (
+          SELECT user_id,
+            CAST(date_trunc('hour', min(ts)) AS TIMESTAMP) AS h0,
+            CAST(date_trunc('hour', max(ts)) AS TIMESTAMP) AS h1
+          FROM events GROUP BY 1),
+        sp AS (
+          SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+          FROM b),
+        r AS (
+          SELECT user_id, CAST(ts AS TIMESTAMP) AS t, max(value) AS locf_value
+          FROM events GROUP BY 1, 2)
+        SELECT sp.user_id, sp.h, r.locf_value
+        FROM sp ASOF LEFT JOIN r ON sp.user_id = r.user_id AND r.t <= sp.h
+        ORDER BY 1, 2"""))(
+      (s, dir) => {
+        val e = T(s, dir, "events")
+        val bounds = e.groupBy("user_id").agg(
+          date_trunc("hour", min(col("ts"))).as("h0"),
+          date_trunc("hour", max(col("ts"))).as("h1"))
+        val spine = bounds.select(col("user_id"),
+          explode(sequence(col("h0"), col("h1"), expr("interval 1 hour"))).as("h"))
+        val obs = e.groupBy(col("user_id"), col("ts").as("t"))
+          .agg(max(col("value")).as("locf_value"))
+        graft.ops.AsOfJoin.asOf(spine, obs, Seq("user_id"), "h", "t",
+            payload = Seq("locf_value"))
+          .orderBy("user_id", "h")
+      })
+  )
+}

@@ -16,7 +16,9 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * grows forever. `session_window` merges per-key gap sessions with state
   * cleanup driven by the same watermark.
   */
-object Streams {
+// Serializable: flatMapGroupsWithState functions are nested defs lifted
+// onto this object, so the task closure carries the (stateless) singleton.
+object Streams extends Serializable {
 
   /** Tumbling event-time counts with a watermark for late data. */
   def tumblingCounts(events: DataFrame, tsCol: String, size: String,
@@ -92,6 +94,76 @@ object Streams {
     events.groupByKey(_._1)
       .flatMapGroupsWithState(OutputMode.Append(),
         GroupStateTimeout.NoTimeout())(fn _)
+  }
+
+  /** A row emitted by [[earliestKWithState]]. */
+  final case class Capped(user_id: Long, ts_us: Long, event_id: Long)
+
+  /** Bounded per-key buffer state for [[earliestKWithState]] (public for
+    * the state encoder's generated code).
+    */
+  final case class CapBuf(items: Seq[Capped])
+
+  /** Event-time timeout far past every real event (2090-01-01 UTC) but
+    * before the end-of-stream sentinel (2100) that advances the final
+    * watermark — so all buffers flush exactly once, at end of replay.
+    */
+  private val FlushAtMs: Long =
+    java.time.Instant.parse("2090-01-01T00:00:00Z").toEpochMilli
+
+  /** Streaming per-key earliest-k with EXPLICIT bounded state: keep each
+    * user's `cap` first events by (ts, event_id), emitting nothing until
+    * the watermark passes the flush timeout — the custom-state form of a
+    * per-source document cap ([[graft.ops.Sampling.capPerGroup]]) running
+    * on a live stream. State per key is O(cap) (a sorted buffer), cleaned
+    * up by `GroupStateTimeout.EventTimeTimeout` — this is the pattern for
+    * any bounded-state streaming top-k/first-k. Requires a watermark
+    * upstream; late events are merged correctly until the flush fires.
+    * Equivalent to batch `row_number() <= cap` per user — the oracle.
+    */
+  def earliestKWithState(events: DataFrame, cap: Int,
+                         watermark: String = "1 second"): Dataset[Capped] = {
+    implicit val cappedEnc = Encoders.product[Capped]
+    implicit val bufEnc = Encoders.product[CapBuf]
+    implicit val tupleEnc = Encoders.tuple(
+      Encoders.scalaLong, Encoders.TIMESTAMP, Encoders.scalaLong)
+    implicit val keyEnc = Encoders.scalaLong
+
+    // the watermarked `ts` column must SURVIVE into the grouping input —
+    // projecting it away detaches the watermark and EventTimeTimeout is
+    // rejected; µs extraction happens inside the state function instead
+    val src = events
+      .withWatermark("ts", watermark)
+      .select(col("user_id").cast("long"), col("ts"),
+        col("event_id").cast("long"))
+      .as[(Long, java.sql.Timestamp, Long)]
+
+    def micros(t: java.sql.Timestamp): Long =
+      t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
+
+    def fn(user: Long, rows: Iterator[(Long, java.sql.Timestamp, Long)],
+           state: GroupState[CapBuf]): Iterator[Capped] = {
+      if (state.hasTimedOut) {
+        val out = state.get.items.sortBy(c => (c.ts_us, c.event_id))
+        state.remove()
+        out.iterator
+      } else {
+        val prev = state.getOption.map(_.items).getOrElse(Seq.empty)
+        val merged = (prev ++ rows.map { case (u, t, id) => Capped(u, micros(t), id) })
+          .sortBy(c => (c.ts_us, c.event_id)).take(cap)
+        state.update(CapBuf(merged))
+        // the timeout must stay strictly above the current watermark
+        // (Spark rejects a stale timeout); the sentinel finally drives the
+        // watermark past FlushAtMs and every buffer flushes
+        state.setTimeoutTimestamp(
+          math.max(FlushAtMs, state.getCurrentWatermarkMs() + 1))
+        Iterator.empty
+      }
+    }
+
+    src.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout())(fn _)
   }
 
   /** Gap-based sessionization via the built-in `session_window` — the
