@@ -31,31 +31,56 @@ object PageRank {
 
   /** `edges`: directed (src, dst) pairs, pre-deduplicated. For an
     * undirected graph pass both directions. Returns (node, rank) after
-    * `iters` damped iterations from the uniform start, for every node
-    * appearing as src or dst. Dangling nodes (no out-edges) are assumed
-    * absent — symmetrize the graph to guarantee that.
+    * `iters` damped iterations from the uniform start. Dangling nodes
+    * (no out-edges) are assumed absent — symmetrize the graph to
+    * guarantee that — so the node set IS the distinct src set.
+    *
+    * `broadcastRanks`: the rank and degree vectors are |nodes| rows —
+    * model-size when the graph's nodes are dimension-like (this query's
+    * part/supplier graph), in which case broadcasting them keeps each
+    * iteration a single map-side join + one shuffle (the dst aggregation).
+    * For web-scale graphs whose node set exceeds executor memory, pass
+    * false: the joins fall back to shuffle equi-joins co-partitioned on
+    * src and the iteration costs two shuffles instead of one.
     */
-  def run(edges: DataFrame, iters: Int, damping: Double = 0.85): DataFrame = {
-    val nodes = edges.select(col("src").as("node"))
-      .union(edges.select(col("dst").as("node"))).distinct()
-    // one scalar to the driver: the node count (bounded, model-size data)
-    val n = nodes.count()
+  def run(edges: DataFrame, iters: Int, damping: Double = 0.85,
+      broadcastRanks: Boolean = true): DataFrame = {
+    import graft.ops.Frames.materialize
+    // Materialize the edge list ONCE: the caller's edge derivation is
+    // typically a distinct over the fact table, and without this barrier
+    // every iteration's join (plus deg below) would re-execute it — the
+    // final rank plan re-derives edges once per nesting level, turning
+    // k iterations into O(k) full fact-table scans.
+    val e = materialize(edges)
+    // (node, deg) is consumed by every iteration — pin it. Its key set is
+    // exactly the node set (no-dangling contract), so the rank vector
+    // seeds from it and the node count is one driver scalar off it.
+    val deg = materialize(e.groupBy("src").agg(count(lit(1)).as("deg")))
+    val n = deg.count()
     val base = (1.0 - damping) / n
-    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
-    var rank = nodes.withColumn("pr", lit(1.0 / n))
-    for (_ <- 1 to iters) {
+    def bc(df: DataFrame): DataFrame = if (broadcastRanks) broadcast(df) else df
+    var rank = deg.select(col("src").as("node"), lit(1.0 / n).as("pr"))
+    for (it <- 1 to iters) {
       // round-then-cast at the SAME scale: a raw double cast to
       // DECIMAL(27,18) can land exactly on a rounding tie (doubles near
       // 1e-4 have ~20-digit exact expansions) where Spark (HALF_UP) and
       // DuckDB disagree by 1e-18; rounding to 12 decimals first makes the
       // decimal cast unambiguous on both engines (the UnigramLm pattern).
-      val contrib = edges
-        .join(rank.withColumnRenamed("node", "src"), "src")
-        .join(deg, "src")
+      // Both small sides broadcast by request, not by estimation: the
+      // checkpointed frames carry no size stats, so the planner would
+      // otherwise sort-merge a fact-size edge list against a dim-size
+      // rank vector every round.
+      val contrib = e
+        .join(bc(rank.withColumnRenamed("node", "src")), "src")
+        .join(bc(deg), "src")
         .select(col("dst").as("node"),
           round(col("pr") / col("deg"), 12).as("c"))
-      rank = contrib.groupBy("node")
+      val next = contrib.groupBy("node")
         .agg((lit(base) + lit(damping) * dsum(col("c"), 12)).as("pr"))
+      // Truncate the recurrence per round ((node, pr) rows only): without
+      // this, executing rank(k) re-executes every prior round's join.
+      // The last round stays lazy — the caller's action materializes it.
+      rank = if (it < iters) materialize(next) else next
     }
     rank
   }

@@ -178,8 +178,15 @@ object CurationQueries {
         val pairs = T(s, dir, "lineitem")
           .select((col("l_partkey") * 2).as("a"), (col("l_suppkey") * 2 + 1).as("b"))
           .distinct()
-        val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
-          .union(pairs.select(col("b").as("src"), col("a").as("dst")))
+        // mirror AFTER the distinct via one explode — a two-branch
+        // self-union would run the fact-table distinct twice before
+        // PageRank's edge barrier (mirrored pairs stay unique, so no
+        // re-dedup is needed)
+        val edges = pairs
+          .select(explode(array(
+            struct(col("a").as("src"), col("b").as("dst")),
+            struct(col("b").as("src"), col("a").as("dst")))).as("e"))
+          .select(col("e.src").as("src"), col("e.dst").as("dst"))
         PageRank.run(edges, 3).orderBy("node")
       }),
 
