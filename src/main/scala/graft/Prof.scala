@@ -29,7 +29,7 @@ object Prof {
     // warmup a scan
     docs.count()
     val rawPairs = Dedup.simhashNearDups(docs, col("doc_id"), col("text"),
-      maxDist = 3, bits = 24)
+      maxDist = 3, bits = 48)
     val pairs = time("pair-gen + materialize")(materialize(rawPairs))
     println("[prof] n_pairs=" + pairs.count())
     spark.catalog.clearCache()

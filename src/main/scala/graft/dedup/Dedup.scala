@@ -487,9 +487,13 @@ object Dedup {
     */
   def simhash(df: DataFrame, idCol: Column, textCol: Column,
               bits: Int = 16): DataFrame = {
-    // bit() extraction goes through CAST(... AS INT): h < 2^28 keeps the
-    // cast safe under Spark 4 ANSI mode (2^31 would overflow)
-    require(bits % 4 == 0 && bits <= 28, s"bits must be a multiple of 4 <= 28, got $bits")
+    // Byte-aligned widths hash digest-direct into a long — safe to 48 bits
+    // (fingerprint sums and band masks stay well under 2^63, and the
+    // oracle's floor-division bit math stays double-exact under 2^53).
+    // Non-byte-aligned widths go through conv + CAST(... AS INT), where
+    // h < 2^28 keeps the cast safe under Spark 4 ANSI mode.
+    require(bits % 4 == 0 && (bits <= 28 || (bits % 8 == 0 && bits <= 48)),
+      s"bits must be a multiple of 4 <= 28, or of 8 <= 48; got $bits")
     val toks = spread(df).select(idCol.as("id"),
       explode(TextAnalysis.tokens(TextAnalysis.normalizeText(textCol))).as("tok"))
     // Digest-direct hash for byte-aligned widths (the common case), hex

@@ -80,9 +80,11 @@ object PortableSql {
   /** 2^b as an integer literal. */
   def pow2(b: Int): Long = 1L << b
 
-  /** Bit `b` (0-based, from a small non-negative int expr): CAST(floor(h /
-    * 2^b) AS INT) % 2 — portable integer bit extraction.
+  /** Bit `b` (0-based, from a non-negative int expr < 2^48): CAST(floor(h /
+    * 2^b) AS BIGINT) % 2 — portable integer bit extraction. BIGINT, not
+    * INT: DuckDB's `/` on integers yields DOUBLE, and for a 48-bit h the
+    * b=0 quotient exceeds INT32 (doubles stay exact below 2^53).
     */
   def bit(hExpr: String, b: Int): String =
-    s"(CAST(floor($hExpr / ${pow2(b)}) AS INT) % 2)"
+    s"(CAST(floor($hExpr / ${pow2(b)}) AS BIGINT) % 2)"
 }

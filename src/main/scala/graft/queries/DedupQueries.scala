@@ -43,6 +43,18 @@ object DedupQueries {
   private val MinhashK = 8
   private val RowsPerBand = 2
 
+  /** SimHash fingerprint width for the near-dup family (q52/q54/q84).
+    * 48 bits -> 4 pigeonhole bands of 12 bits for maxDist=3: candidate
+    * volume scales as n²/2^bandBits per band, so 12-bit bands (4096
+    * buckets) keep the banded self-join ~64x sparser than the 6-bit
+    * bands a 24-bit fingerprint would force — the knob that keeps this
+    * pipeline sub-quadratic as the corpus grows (Manku et al., WWW'07
+    * use 64-bit fingerprints with the same band split; 48 is the widest
+    * width whose integer bit math stays exact in BOTH engines — see
+    * [[graft.functions.PortableSql.bit]]).
+    */
+  private val SimhashBits = 48
+
   /** MinHash signature + LSH banding CTE chain shared by q36 and q90:
     * `sig(id, m0..m{K-1})` (raw-occurrence double-hashed minima — the
     * identical derivation to [[Dedup.minhashSignatures]]) and
@@ -73,13 +85,13 @@ object DedupQueries {
               AND x.id < y.id)"""
   }
 
-  /** Simhash near-dup pair CTE chain (24-bit fingerprints, pigeonhole
+  /** Simhash near-dup pair CTE chain (48-bit fingerprints, pigeonhole
     * bands, hamming verify) — the body of q52's oracle, shared with q54's
     * component oracle. Produces `cand(id_a, id_b, hamming)`.
     */
   private val simhashPairCtes: String = {
-    val Bits = 24
-    val bandBits = 6
+    val Bits = SimhashBits
+    val bandBits = Bits / 4
     val h = PortableSql.hexToLong("md5(tok)", Bits / 4)
     val bitSums = (0 until Bits)
       .map(b => s"sum(${PortableSql.bit("h", b)} * 2 - 1) AS s$b")
@@ -246,9 +258,10 @@ object DedupQueries {
           .orderBy("source_a", "source_b")),
 
     // SimHash hamming-near pairs: pigeonhole banding (maxDist+1 = 4 bands
-    // of 6 bits over a 24-bit fingerprint) + exact bit_count(xor)
-    // verification. 24 bits keeps the near-dup signal selective at sf0.1
-    // (a 16-bit space saturates: ~⅓ of all pairs collide within d=3).
+    // of 12 bits over a 48-bit fingerprint) + exact bit_count(xor)
+    // verification. Wide fingerprints are the scale knob: band-bucket
+    // collisions (the candidate volume) drop 2^6x vs the 24-bit/6-bit-band
+    // configuration, and d<=3 over 48 bits is a sharper near-dup signal.
     Q("q52_simhash_neardup", Q.sql(s"""
         WITH $simhashPairCtes
         SELECT id_a, id_b, hamming FROM cand
@@ -256,7 +269,7 @@ object DedupQueries {
         ORDER BY id_a, id_b"""))(
       (s, dir) =>
         Dedup.simhashNearDups(T(s, dir, "documents"),
-            col("doc_id"), col("text"), maxDist = 3, bits = 24)
+            col("doc_id"), col("text"), maxDist = 3, bits = SimhashBits)
           .orderBy("id_a", "id_b")),
 
     // SimHash (16-bit, token-frequency weighted) per document.
@@ -295,7 +308,7 @@ object DedupQueries {
       (s, dir) =>
         Dedup.components(
             Dedup.simhashNearDups(T(s, dir, "documents"),
-              col("doc_id"), col("text"), maxDist = 3, bits = 24))
+              col("doc_id"), col("text"), maxDist = 3, bits = SimhashBits))
           .orderBy("id")),
 
     // Benchmark decontamination report (the n-gram-overlap check every
@@ -371,7 +384,7 @@ object DedupQueries {
         Dedup.dedupByComponents(
             T(s, dir, "documents"), col("doc_id"),
             Dedup.simhashNearDups(T(s, dir, "documents"),
-              col("doc_id"), col("text"), maxDist = 3, bits = 24))
+              col("doc_id"), col("text"), maxDist = 3, bits = SimhashBits))
           .orderBy("id"))
   )
 }
