@@ -66,6 +66,22 @@ class AnalyticsSpec extends SparkSpec {
     // join itself reads bucketed scans with no hashpartitioning below it
     "Exchange hashpartitioning\\(o_orderkey".r.findAllIn(planned) shouldBe empty
     "Exchange hashpartitioning\\(l_orderkey".r.findAllIn(planned) shouldBe empty
+
+    // cross-session path: forget the memo and the catalog entries, so the
+    // next call must re-register the EXISTING bucketed files via DDL —
+    // the layout written once must keep planning shuffle-free for every
+    // later session that declares it
+    graft.io.Bucketed.resetMemo()
+    spark.sql(s"DROP TABLE IF EXISTS $ot")
+    spark.sql(s"DROP TABLE IF EXISTS $lt")
+    val (ot2, lt2) = Bucketed.ordersLineitem(spark, dir, nBuckets = 4)
+    val joined2 = spark.table(ot2)
+      .join(spark.table(lt2), col("o_orderkey") === col("l_orderkey"))
+      .groupBy("o_orderpriority").agg(count(lit(1)).as("n"))
+    joined2.collect().map(r => r.getString(0) -> r.getLong(1)).toMap shouldBe plain
+    val planned2 = joined2.queryExecution.executedPlan.toString
+    "Exchange hashpartitioning\\(o_orderkey".r.findAllIn(planned2) shouldBe empty
+    "Exchange hashpartitioning\\(l_orderkey".r.findAllIn(planned2) shouldBe empty
   }
 
   test("date spine gap-fills missing days with zero") {
