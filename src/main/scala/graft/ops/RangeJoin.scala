@@ -40,4 +40,39 @@ object RangeJoin {
       .where(col(pointCol) >= col(startCol) && col(pointCol) <= col(endCol))
       .drop("_band")
   }
+
+  /** Interval×interval overlap join: pairs of `left`/`right` rows sharing
+    * every `keys` value whose closed intervals `[lStart,lEnd]` and
+    * `[rStart,rEnd]` intersect (`lStart <= rEnd AND rStart <= lEnd`).
+    *
+    * Same banding idea as [[pointInInterval]], both sides exploded: a
+    * pair of overlapping intervals co-occurs in every band their
+    * intersection touches, so the raw banded equi-join would emit it
+    * up to ceil(overlap/bandWidth)+1 times. Rather than a distinct over
+    * that multiset (a second full shuffle of the candidate set), each
+    * pair is kept only in the FIRST band of the intersection —
+    * `max(floor(lStart/W), floor(rStart/W))` — a scalar filter evaluated
+    * inside the join (both starts are in the row). Shuffle remains
+    * hash-on-(keys, band); cost scales with match density, never n·m.
+    *
+    * Column names across `left`/`right` must be disjoint apart from
+    * `keys` (alias before calling, as with any self-join).
+    */
+  def intervalOverlap(left: DataFrame, right: DataFrame, keys: Seq[String],
+                      lStart: String, lEnd: String,
+                      rStart: String, rEnd: String,
+                      bandWidth: Long): DataFrame = {
+    require(bandWidth > 0, "bandWidth must be positive")
+    def banded(df: DataFrame, s: String, e: String) = df.withColumn("_band",
+      explode(sequence(
+        floor(col(s) / bandWidth).cast("long"),
+        floor(col(e) / bandWidth).cast("long"))))
+    banded(left, lStart, lEnd)
+      .join(banded(right, rStart, rEnd), keys :+ "_band")
+      .where(col(lStart) <= col(rEnd) && col(rStart) <= col(lEnd) &&
+        col("_band") === greatest(
+          floor(col(lStart) / bandWidth).cast("long"),
+          floor(col(rStart) / bandWidth).cast("long")))
+      .drop("_band")
+  }
 }

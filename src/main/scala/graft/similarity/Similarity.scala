@@ -147,6 +147,39 @@ object Similarity {
       .select("id_a", "id_b", "bucket", "cos_sim")
   }
 
+  /** Semantic dedup (the SemDedup shape, Abbas et al. 2023): drop every
+    * vector that has a lower-id near-duplicate (cosine >= `threshold`)
+    * in its LSH bucket; keep the rest. Output: (vec_id, bucket, kept),
+    * one row per vector.
+    *
+    * Scale shape: identical to [[knnLsh]] — bucket equi-join, hoisted
+    * norms, one codegen dot per candidate pair — plus one aggregation of
+    * the dropped-id set and a left join back. Greedy keep-lowest-id (a
+    * vector is dropped if ANY kept-or-dropped lower id is near it): one
+    * pass, deterministic, no iteration — the standard approximation to
+    * per-cluster exemplar selection (full transitive clustering is
+    * [[graft.dedup.Dedup.components]] over the pair output when needed).
+    */
+  def semDedup(emb: DataFrame, dim: Int, nBits: Int, threshold: Double): DataFrame = {
+    val bucketed = graft.ops.Frames.cached(
+      spread(emb).select(col("vec_id"), col("embedding"),
+        lshBucket(col("embedding"), dim, nBits).as("bucket"),
+        norm(col("embedding"), dim).as("nrm")))
+    val a = bucketed.select(col("bucket"), col("vec_id").as("id_a"),
+      col("embedding").as("emb_a"), col("nrm").as("norm_a"))
+    val b = bucketed.select(col("bucket"), col("vec_id").as("id_b"),
+      col("embedding").as("emb_b"), col("nrm").as("norm_b"))
+    val drops = a.join(b, Seq("bucket"))
+      .where(col("id_a") < col("id_b"))
+      .where(round(dot(col("emb_a"), col("emb_b"), dim) /
+        (col("norm_a") * col("norm_b")), 6) >= threshold)
+      .select(col("id_b").as("vec_id")).distinct()
+    bucketed.select(col("vec_id"), col("bucket"))
+      .join(drops.withColumn("_dropped", lit(true)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("bucket"),
+        coalesce(!col("_dropped"), lit(true)).as("kept"))
+  }
+
   /** Distance-from-centroid outlier scoring: each vector's Euclidean
     * distance to the global mean vector — the embedding-space quality
     * filter that flags out-of-distribution rows before training.

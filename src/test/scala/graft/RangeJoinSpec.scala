@@ -34,4 +34,41 @@ class RangeJoinSpec extends SparkSpec {
       .select("pid").as[Long].collect().toSet
     hits shouldBe Set(1L, 2L)
   }
+
+  test("intervalOverlap equals the naive theta join, each pair exactly once") {
+    // keyed intervals with lengths straddling the band width, including
+    // touch-at-boundary and containment cases
+    val a = (1 to 200).map { i =>
+      val s = (i * 17L) % 500; (i % 5L, i.toLong, s, s + i % 60)
+    }.toDF("k", "aid", "a_s", "a_e")
+    val b = (1 to 200).map { i =>
+      val s = (i * 29L) % 500; (i % 5L, i.toLong, s, s + i % 40)
+    }.toDF("k", "bid", "b_s", "b_e")
+
+    val banded = RangeJoin.intervalOverlap(a, b, Seq("k"),
+        "a_s", "a_e", "b_s", "b_e", bandWidth = 32)
+      .select("aid", "bid")
+    // exactly once: collect as a LIST and compare to the naive pair SET
+    val got = banded.as[(Long, Long)].collect().toSeq
+    val naive = a.join(b, Seq("k"))
+      .where($"a_s" <= $"b_e" && $"b_s" <= $"a_e")
+      .select("aid", "bid").as[(Long, Long)].collect().toSet
+    got.toSet shouldBe naive
+    got.size shouldBe naive.size // first-band dedup left no duplicates
+
+    val plan = RangeJoin.intervalOverlap(a, b, Seq("k"),
+        "a_s", "a_e", "b_s", "b_e", 32)
+      .queryExecution.executedPlan.toString
+    plan should not include "BroadcastNestedLoopJoin"
+    plan should not include "CartesianProduct"
+  }
+
+  test("intervalOverlap touch-at-endpoint counts as overlap (closed intervals)") {
+    val a = Seq((1L, 1L, 0L, 10L)).toDF("k", "aid", "a_s", "a_e")
+    val b = Seq((1L, 1L, 10L, 20L), (1L, 2L, 11L, 20L)).toDF("k", "bid", "b_s", "b_e")
+    val hits = RangeJoin.intervalOverlap(a, b, Seq("k"),
+        "a_s", "a_e", "b_s", "b_e", 4)
+      .select("bid").as[Long].collect().toSet
+    hits shouldBe Set(1L)
+  }
 }
