@@ -69,7 +69,17 @@ object Percentiles {
     * expression — bit-identical output.
     */
   def oracleSql(table: String, keys: Seq[String], valueExpr: String,
-                qs: Seq[(String, Double)]): String = {
+                qs: Seq[(String, Double)]): String =
+    s"""WITH ${oracleCtes("pct", table, keys, valueExpr, qs)}
+        SELECT * FROM pct"""
+
+  /** CTE-chain form of [[oracleSql]] for composition (e.g. percentile-of-
+    * deviations in the MAD oracle): every CTE name carries `prefix`, and
+    * the final CTE `prefix(keys..., <name>...)` is the selectable result.
+    * Append after an opening WITH, separated by commas.
+    */
+  def oracleCtes(prefix: String, table: String, keys: Seq[String],
+                 valueExpr: String, qs: Seq[(String, Double)]): String = {
     val keyList = keys.mkString(", ")
     val aggExprs = qs.map { case (name, q) =>
       // CAST: a bare 0.9 literal is DECIMAL in DuckDB, making (n-1)*q
@@ -84,13 +94,13 @@ object Percentiles {
     val finalExprs = qs.map { case (name, _) =>
       s"__lo_$name + (__hi_$name - __lo_$name) * __f_$name AS $name"
     }.mkString(", ")
-    s"""WITH s AS (
+    s"""${prefix}_s AS (
           SELECT $keyList, CAST($valueExpr AS DOUBLE) AS v,
             row_number() OVER (PARTITION BY $keyList ORDER BY CAST($valueExpr AS DOUBLE)) - 1 AS r,
             count(*) OVER (PARTITION BY $keyList) AS n
           FROM $table
           WHERE $valueExpr IS NOT NULL),
-        g AS (SELECT $keyList, $aggExprs FROM s GROUP BY $keyList)
-        SELECT $keyList, $finalExprs FROM g"""
+        ${prefix}_g AS (SELECT $keyList, $aggExprs FROM ${prefix}_s GROUP BY $keyList),
+        $prefix AS (SELECT $keyList, $finalExprs FROM ${prefix}_g)"""
   }
 }

@@ -296,6 +296,164 @@ object QualityQueries {
               (col("n_a") * col("n_b")), 6).as("lift"))
           .orderBy(col("n_co").desc, col("part_a"), col("part_b"))
           .limit(50)
-      })
+      }),
+
+    // Degree distribution of the part<->supplier co-occurrence graph
+    // (the structural health check run before any graph algorithm —
+    // q101's PageRank companion): per side, how many nodes have each
+    // degree. Two hash aggregations over the distinct edge set.
+    Q("q116_degree_hist", Q.sql("""
+        WITH pairs AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+        deg AS (
+          SELECT 'part' AS side, l_partkey AS node, count(*) AS degree
+          FROM pairs GROUP BY 2
+          UNION ALL
+          SELECT 'supplier', l_suppkey, count(*) FROM pairs GROUP BY 2)
+        SELECT side, CAST(degree AS BIGINT) AS degree, count(*) AS n_nodes
+        FROM deg GROUP BY 1, 2
+        ORDER BY side, degree"""))(
+      (s, dir) => {
+        import graft.ops.Frames.cached
+        val pairs = cached(T(s, dir, "lineitem")
+          .select(col("l_partkey"), col("l_suppkey")).distinct())
+        val deg = pairs.groupBy(col("l_partkey").as("node"))
+          .agg(count(lit(1)).as("degree"))
+          .select(lit("part").as("side"), col("degree"))
+          .union(pairs.groupBy(col("l_suppkey").as("node"))
+            .agg(count(lit(1)).as("degree"))
+            .select(lit("supplier").as("side"), col("degree")))
+        deg.groupBy("side", "degree").agg(count(lit(1)).as("n_nodes"))
+          .orderBy("side", "degree")
+      }),
+
+    // Last-touch attribution: each purchase event attributed to the same
+    // user's most recent click at-or-before it (ops.AsOfJoin — one
+    // shuffle union + running window, never a per-purchase scan-back).
+    // Clicks are pre-deduplicated per (user, ts) so the as-of choice is
+    // well-defined on both engines. Oracle: DuckDB native ASOF LEFT JOIN.
+    Q("q117_attribution", Q.sql("""
+        WITH p AS (
+          SELECT user_id, event_id AS purchase_id, epoch_us(ts) AS p_us
+          FROM events WHERE event_type = 'purchase'),
+        c AS (
+          SELECT user_id, epoch_us(ts) AS c_us, max(event_id) AS click_id
+          FROM events WHERE event_type = 'click' GROUP BY 1, 2)
+        SELECT p.user_id, p.purchase_id, p.p_us, c.click_id,
+          p.p_us - c.c_us AS gap_us
+        FROM p ASOF LEFT JOIN c
+          ON p.user_id = c.user_id AND c.c_us <= p.p_us
+        ORDER BY p.user_id, p.purchase_id"""))(
+      (s, dir) => {
+        val e = T(s, dir, "events")
+        val p = e.where(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id").as("purchase_id"),
+            unix_micros(col("ts")).as("p_us"))
+        val c = e.where(col("event_type") === "click")
+          .groupBy(col("user_id"), unix_micros(col("ts")).as("c_us"))
+          .agg(max(col("event_id")).as("click_id"))
+        graft.ops.AsOfJoin.asOf(p, c, Seq("user_id"), "p_us", "c_us",
+            payload = Seq("click_id", "c_us"))
+          .select(col("user_id"), col("purchase_id"), col("p_us"),
+            col("click_id"), (col("p_us") - col("c_us")).as("gap_us"))
+          .orderBy("user_id", "purchase_id")
+      }),
+
+    // Rolling 7-day distinct active users (the WAU curve): each active
+    // (user, day) covers the 7 window-end days it contributes to, so the
+    // rolling distinct count becomes explode(7) -> distinct -> ONE hash
+    // aggregation — no per-day window subqueries, no count(DISTINCT)
+    // window frames (which Spark cannot express and which would rescan
+    // the window per day anyway). Explode factor = window length.
+    Q("q118_rolling_active", Q.sql("""
+        WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        cov AS (
+          SELECT DISTINCT user_id,
+            CAST(unnest(generate_series(CAST(day AS TIMESTAMP),
+              CAST(day AS TIMESTAMP) + INTERVAL 6 DAY, INTERVAL 1 DAY)) AS DATE) AS day
+          FROM ud),
+        mx AS (SELECT max(day) AS mx FROM ud)
+        SELECT day, count(*) AS n_active_7d
+        FROM cov, mx WHERE day <= mx
+        GROUP BY 1 ORDER BY 1"""))(
+      (s, dir) => {
+        import graft.ops.Frames.cached
+        val ud = cached(T(s, dir, "events")
+          .select(col("user_id"), to_date(col("ts")).as("day")).distinct())
+        val cov = ud.select(col("user_id"),
+            explode(sequence(col("day"), date_add(col("day"), 6),
+              expr("interval 1 day"))).as("day"))
+          .distinct()
+        val mx = ud.agg(max(col("day")).as("mx"))
+        cov.crossJoin(broadcast(mx)).where(col("day") <= col("mx"))
+          .groupBy("day").agg(count(lit(1)).as("n_active_7d"))
+          .orderBy("day")
+      }),
+
+    // Median-absolute-deviation outliers (the robust z-score, immune to
+    // the outliers it hunts): per event type, exact median and MAD via
+    // ops.Percentiles (rank interpolation written identically in both
+    // engines), then a broadcast re-join and pure-scalar score. Two
+    // percentile passes + one map-side join — no sort of the fact table
+    // beyond the per-group percentile sorts themselves.
+    Q("q119_mad_outliers", Q.sql(s"""
+        WITH ${graft.ops.Percentiles.oracleCtes("med", "events",
+          Seq("event_type"), "value", Seq("med" -> 0.5))},
+        dev AS (
+          SELECT e.event_id, e.event_type, e.value, med.med,
+            abs(e.value - med.med) AS d
+          FROM events e JOIN med USING (event_type)),
+        ${graft.ops.Percentiles.oracleCtes("mad", "dev",
+          Seq("event_type"), "d", Seq("mad" -> 0.5))}
+        SELECT dev.event_id, dev.event_type, dev.value,
+          round(dev.d / mad.mad, 6) AS score
+        FROM dev JOIN mad USING (event_type)
+        WHERE round(dev.d / mad.mad, 6) > 3
+        ORDER BY event_id"""))(
+      (s, dir) => {
+        import graft.ops.Percentiles
+        val e = T(s, dir, "events")
+        val med = Percentiles.exact(e, Seq("event_type"), col("value"),
+          Seq("med" -> 0.5))
+        val dev = e.join(broadcast(med), "event_type")
+          .select(col("event_id"), col("event_type"), col("value"),
+            abs(col("value") - col("med")).as("d"))
+        val mad = Percentiles.exact(dev, Seq("event_type"), col("d"),
+          Seq("mad" -> 0.5))
+        dev.join(broadcast(mad), "event_type")
+          .withColumn("score", round(col("d") / col("mad"), 6))
+          .where(col("score") > 3)
+          .select(col("event_id"), col("event_type"), col("value"), col("score"))
+          .orderBy("event_id")
+      }),
+
+    // Multimodal frame sampling: every 64th byte offset of the payload
+    // (<= 8 frames), one content hash per sampled frame window — the
+    // partition/batch dataflow of a real video frame sampler with the
+    // codec stubbed to a byte-window hash (see multimodal.Multimodal:
+    // no media libraries in this environment; the explode/hash plumbing
+    // is the real, tested part). Zero shuffles: generator + scalar hash
+    // in the scan stage.
+    Q("q120_frame_sample", Q.sql(s"""
+        WITH f AS (
+          SELECT doc_id,
+            unnest(list_slice(generate_series(0, greatest(strlen(text) - 1, 0), 64), 1, 8)) AS frame_off,
+            text
+          FROM documents)
+        SELECT doc_id, CAST(frame_off // 64 AS BIGINT) AS frame_idx,
+          CAST(frame_off AS BIGINT) AS frame_off,
+          ${PortableSql.hexToLong("md5(substr(text, CAST(frame_off AS INT) + 1, 64))", 12)} AS frame_hash
+        FROM f ORDER BY doc_id, frame_idx"""))(
+      (s, dir) =>
+        T(s, dir, "documents")
+          .select(col("doc_id"), col("text"),
+            explode(graft.multimodal.Multimodal.frameOffsets(
+              octet_length(col("text")), stride = 64, maxFrames = 8))
+              .as("frame_off"))
+          .select(col("doc_id"),
+            (col("frame_off").cast("long") / 64).cast("long").as("frame_idx"),
+            col("frame_off").cast("long").as("frame_off"),
+            Hashing.hash48(col("text").substr(col("frame_off") + 1, lit(64)))
+              .as("frame_hash"))
+          .orderBy("doc_id", "frame_idx"))
   )
 }
