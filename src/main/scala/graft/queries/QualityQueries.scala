@@ -454,6 +454,32 @@ object QualityQueries {
             col("frame_off").cast("long").as("frame_off"),
             Hashing.hash48(col("text").substr(col("frame_off") + 1, lit(64)))
               .as("frame_hash"))
-          .orderBy("doc_id", "frame_idx"))
+          .orderBy("doc_id", "frame_idx")),
+
+    // Weighted sampling without replacement (Efraimidis–Spirakis A-Res):
+    // key = ln(u)/w with u md5-derived per row, take the global top-20 —
+    // longer documents proportionally likelier, no sequential reservoir,
+    // no driver state: the sample IS a top-k, so it distributes as
+    // TakeOrderedAndProject (per-partition heaps + driver merge of k).
+    Q("q123_weighted_sample", Q.sql(s"""
+        WITH k AS (
+          SELECT doc_id, n_chars,
+            ln((${PortableSql.hexToLong("md5(CAST(doc_id AS VARCHAR))", 12)} + 1)
+              / CAST(${PortableSql.doubleLit(math.pow(2, 48))} AS DOUBLE)) / n_chars AS key
+          FROM documents WHERE n_chars > 0)
+        SELECT doc_id, n_chars, round(key, 6) AS sample_key
+        FROM k ORDER BY key DESC, doc_id
+        LIMIT 20"""))(
+      (s, dir) =>
+        T(s, dir, "documents")
+          .where(col("n_chars") > 0)
+          .select(col("doc_id"), col("n_chars"),
+            (log((Hashing.hash48(col("doc_id").cast("string")) + 1)
+                .cast("double") / lit(math.pow(2, 48))) / col("n_chars"))
+              .as("key"))
+          .orderBy(col("key").desc, col("doc_id"))
+          .limit(20)
+          .select(col("doc_id"), col("n_chars"),
+            round(col("key"), 6).as("sample_key")))
   )
 }

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.PortableSql
-import graft.similarity.{Ivf, Similarity}
+import graft.similarity.{Ivf, Pq, Similarity}
 
 /** North-star similarity-search queries over `embeddings` (64-dim float
   * vectors): brute-force cosine top-k (correctness baseline), cosine
@@ -220,5 +220,50 @@ object SimilarityQueries {
         Similarity.centroidDistances(T(s, dir, "embeddings"),
             col("vec_id"), col("embedding"))
           .orderBy("id"))
+  ) ++ pqQueries
+
+  // PQ sub-codebooks shared by q121/q122: 8 subspaces × 16 codes over
+  // the 64-dim embeddings (one byte per subspace — 32× compression).
+  private lazy val PqBooks = Pq.codebooks(m = 8, ks = 16, dim = Dim)
+
+  private def pqQueries: Seq[Q] = Seq(
+
+    // Product-quantization encode: each vector -> 8 sub-codes (nearest
+    // sub-centroid by L2, deterministic tie-break). The 32x-compressed
+    // representation the ADC search below scans INSTEAD of the floats.
+    Q("q121_pq_encode", Q.sql(s"""
+        WITH ${Pq.encodeCtes("embeddings", "vec_id", PqBooks)}
+        SELECT id AS vec_id, m, code FROM codes
+        ORDER BY vec_id, m"""))(
+      (s, dir) =>
+        Pq.encode(T(s, dir, "embeddings"), PqBooks)
+          .select(col("id").as("vec_id"), col("m"), col("code"))
+          .orderBy("vec_id", "m")),
+
+    // Asymmetric-distance top-k over the PQ codes (FAISS ADC): the
+    // query's (m × ks) lookup table is broadcast, candidate scoring is
+    // an equi-join on (m, code) + one hash aggregation — the fact-side
+    // scan reads 8 bytes per vector, never the embeddings.
+    Q("q122_pq_adc_knn", Q.sql(s"""
+        WITH ${Pq.encodeCtes("embeddings", "vec_id", PqBooks)},
+        ${Pq.lutCtes("embeddings", "vec_id", "vec_id < 5", PqBooks)},
+        sc AS (
+          SELECT q.query_id, c.id AS neighbor_id,
+            CAST(sum(CAST(q.d AS DECIMAL(27,6))) AS DOUBLE) AS adc_score
+          FROM codes c JOIN qlut q ON c.m = q.m AND c.code = q.code
+          WHERE q.query_id <> c.id
+          GROUP BY 1, 2)
+        SELECT query_id, neighbor_id, adc_score, rank FROM (
+          SELECT query_id, neighbor_id, adc_score, row_number() OVER (
+            PARTITION BY query_id ORDER BY adc_score DESC, neighbor_id) AS rank
+          FROM sc) t
+        WHERE rank <= 3
+        ORDER BY query_id, rank"""))(
+      (s, dir) => {
+        val emb = T(s, dir, "embeddings")
+        Pq.adcSearch(emb.where(col("vec_id") < 5),
+            Pq.encode(emb, PqBooks), PqBooks, k = 3)
+          .orderBy("query_id", "rank")
+      })
   )
 }

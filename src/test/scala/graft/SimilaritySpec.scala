@@ -90,6 +90,40 @@ class SimilaritySpec extends SparkSpec {
     out(0L) shouldBe out(3L)
   }
 
+  test("PQ: codebook vectors encode to their own codes; ADC is exact there") {
+    import graft.similarity.Pq
+    val dim = 16
+    val books = Pq.codebooks(m = 4, ks = 8, dim = dim)
+    // vectors that ARE concatenations of codebook entries: encode must
+    // recover the entry ids, and the ADC score of such a vector against
+    // its own codes equals the (rounded-term) exact dot product
+    val picks = Seq(Array(0, 1, 2, 3), Array(7, 6, 5, 4), Array(3, 3, 3, 3))
+    val rows = picks.zipWithIndex.map { case (p, i) =>
+      (i.toLong, p.zipWithIndex.flatMap { case (c, m) => books(m)(c) }
+        .map(_.toFloat))
+    }
+    val emb = rows.toDF("vec_id", "embedding")
+    val codes = Pq.encode(emb, books)
+    val got = codes.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    for ((p, i) <- picks.zipWithIndex; m <- 0 until 4)
+      got((i.toLong, m.toLong)) shouldBe p(m).toLong
+
+    // each vector gets exactly one code per subspace, all within [0, ks)
+    codes.count() shouldBe picks.size * 4L
+    codes.where(col("code") < 0 || col("code") >= 8).count() shouldBe 0L
+
+    val adc = Pq.adcSearch(emb.where($"vec_id" === 0), codes, books, k = 2)
+      .collect().map(r => r.getLong(1) -> r.getDouble(2)).toMap
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def exactAdc(q: Array[Int], c: Array[Int]) = (0 until 4).map { m =>
+      r6(books(m)(q(m)).zip(books(m)(c(m))).map { case (a, b) => a * b }.sum)
+    }.sum
+    adc(1L) shouldBe r6(exactAdc(picks(0), picks(1))) +- 1e-9
+    adc(2L) shouldBe r6(exactAdc(picks(0), picks(2))) +- 1e-9
+  }
+
   private def withCodegenDisabled[T](body: => T): T = {
     val conf = spark.conf
     val prev = conf.get("spark.sql.codegen.wholeStage", "true")
