@@ -264,6 +264,60 @@ object SimilarityQueries {
         Pq.adcSearch(emb.where(col("vec_id") < 5),
             Pq.encode(emb, PqBooks), PqBooks, k = 3)
           .orderBy("query_id", "rank")
+      }),
+
+    // IVF-PQ (FAISS IVFx,PQy — the two compression paths composed):
+    // probe 3 of 8 cells on the full-precision query, ADC-score only the
+    // probed cells' candidates over their 8-byte PQ codes. At 100 TB the
+    // hot scan reads nProbe/K of the corpus at m bytes per vector.
+    Q("q124_ivf_pq_knn", {
+      val cents = Ivf.fixedCentroids(IvfK, Dim)
+      val cellList = cents.indices.mkString("[", ", ", "]")
+      val scoreList = cents.map(c => PortableSql.dotConst("embedding", c))
+        .mkString("[", ", ", "]")
+      Q.sql(s"""
+        WITH sc AS (
+          SELECT vec_id, unnest($cellList) AS cell,
+            unnest($scoreList) AS score
+          FROM embeddings),
+        asg AS (
+          SELECT vec_id, cell FROM (
+            SELECT vec_id, cell, row_number() OVER (
+              PARTITION BY vec_id ORDER BY score DESC, cell DESC) AS rn
+            FROM sc) t
+          WHERE rn = 1),
+        probe AS (
+          SELECT vec_id, cell FROM (
+            SELECT vec_id, cell, row_number() OVER (
+              PARTITION BY vec_id ORDER BY score DESC, cell DESC) AS rn
+            FROM sc WHERE vec_id < 5) t
+          WHERE rn <= 3),
+        ${Pq.encodeCtes("embeddings", "vec_id", PqBooks)},
+        ${Pq.lutCtes("embeddings", "vec_id", "vec_id < 5", PqBooks)},
+        cand AS (
+          SELECT p.vec_id AS query_id, a.vec_id AS cid
+          FROM probe p JOIN asg a USING (cell)
+          WHERE p.vec_id <> a.vec_id),
+        scda AS (
+          SELECT c.query_id, c.cid AS neighbor_id,
+            CAST(sum(CAST(q.d AS DECIMAL(27,6))) AS DOUBLE) AS adc_score
+          FROM cand c
+          JOIN codes co ON co.id = c.cid
+          JOIN qlut q ON q.query_id = c.query_id
+            AND q.m = co.m AND q.code = co.code
+          GROUP BY 1, 2)
+        SELECT query_id, neighbor_id, adc_score, rank FROM (
+          SELECT query_id, neighbor_id, adc_score, row_number() OVER (
+            PARTITION BY query_id ORDER BY adc_score DESC, neighbor_id) AS rank
+          FROM scda) t
+        WHERE rank <= 3
+        ORDER BY query_id, rank""")
+    })(
+      (s, dir) => {
+        val emb = T(s, dir, "embeddings")
+        Pq.ivfAdcSearch(emb.where(col("vec_id") < 5), emb,
+            Ivf.fixedCentroids(IvfK, Dim), PqBooks, nProbe = 3, k = 3)
+          .orderBy("query_id", "rank")
       })
   )
 }

@@ -38,7 +38,7 @@ object Ivf {
   /** Top-`nProbe` cells per vector, as an array column (descending
     * score). `sort_array` on (score, cell) structs, descending, sliced.
     */
-  private def probeCells(emb: Column, centroids: Array[Array[Double]],
+  private[similarity] def probeCells(emb: Column, centroids: Array[Array[Double]],
                          nProbe: Int): Column = {
     val scored = array(centroids.zipWithIndex.map { case (c, i) =>
       struct(ArrayMath.dotConst(emb, c).as("score"), lit(i).as("cell"))

@@ -81,24 +81,61 @@ object Pq {
     * (query_id, neighbor_id, adc_score, rank), rank 1..k per query by
     * descending approximate dot product.
     */
-  def adcSearch(queries: DataFrame, codes: DataFrame,
-                books: Array[Array[Array[Double]]], k: Int,
-                idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+  /** Per-query ADC lookup table (query_id, m, code, d): m*ks rounded
+    * subspace dots — query-side-tiny, always broadcast.
+    */
+  private def lutOf(queries: DataFrame, books: Array[Array[Array[Double]]],
+                    idCol: String, embCol: String): DataFrame = {
     val ks = books(0).length
     val dS = books(0)(0).length
-    // per-query lookup table: m*ks rounded subspace dots — tiny, broadcast
     val entries = for {
       m <- books.indices
       c <- 0 until ks
     } yield struct(lit(m.toLong).as("m"), lit(c.toLong).as("code"),
       round(ArrayMath.dotConst(subCol(col(embCol), m, dS), books(m)(c)), 6)
         .as("d"))
-    val lut = queries.select(col(idCol).as("query_id"),
+    queries.select(col(idCol).as("query_id"),
         explode(array(entries: _*)).as("e"))
       .select(col("query_id"), col("e.m").as("m"), col("e.code").as("code"),
         col("e.d").as("d"))
+  }
+
+  def adcSearch(queries: DataFrame, codes: DataFrame,
+                books: Array[Array[Array[Double]]], k: Int,
+                idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    val lut = lutOf(queries, books, idCol, embCol)
     val scored = codes.join(broadcast(lut), Seq("m", "code"))
       .where(col("query_id") =!= col("id"))
+      .groupBy("query_id", "id")
+      .agg(Relational.dsum(col("d"), 6).as("adc_score"))
+    Relational.topKPerGroup(scored, Seq(col("query_id")),
+        Seq(col("adc_score").desc, col("id").asc), k)
+      .select(col("query_id"), col("id").as("neighbor_id"),
+        col("adc_score"), col("rank"))
+  }
+
+  /** IVF-PQ (the two hardest-compressing scale paths COMPOSED, FAISS
+    * `IVFx,PQy` shape): probe the `nProbe` best IVF cells on the
+    * full-precision query, then score ONLY the probed cells' candidates
+    * via ADC over their PQ codes — the candidate scan reads m bytes per
+    * vector from nProbe/K of the corpus.
+    */
+  def ivfAdcSearch(queries: DataFrame, corpus: DataFrame,
+                   centroids: Array[Array[Double]],
+                   books: Array[Array[Array[Double]]],
+                   nProbe: Int, k: Int,
+                   idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    val asg = Ivf.assign(corpus, centroids, embCol)
+      .select(col(idCol).as("id"), col("cell"))
+    val codes = encode(corpus, books, idCol, embCol)
+    val probes = queries.select(col(idCol).as("query_id"),
+      explode(Ivf.probeCells(col(embCol), centroids, nProbe)).as("cell"))
+    val lut = lutOf(queries, books, idCol, embCol)
+    val cand = probes.join(asg, Seq("cell"))
+      .where(col("query_id") =!= col("id"))
+      .select("query_id", "id")
+    val scored = cand.join(codes, Seq("id"))
+      .join(broadcast(lut), Seq("query_id", "m", "code"))
       .groupBy("query_id", "id")
       .agg(Relational.dsum(col("d"), 6).as("adc_score"))
     Relational.topKPerGroup(scored, Seq(col("query_id")),
