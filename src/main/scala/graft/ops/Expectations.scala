@@ -55,8 +55,11 @@ object Expectations {
     require(checks.nonEmpty, "at least one check")
     val aggs = checks.map(c => c.violations.as(c.name))
     val row = df.agg(aggs.head, aggs.tail: _*)
+    // coalesce: sum() over an EMPTY frame is NULL — an empty batch has
+    // zero violations, not an unknown report
     row.select(explode(array(checks.map(c =>
-        struct(lit(c.name).as("check"), col(c.name).as("violations"))): _*))
+        struct(lit(c.name).as("check"),
+          coalesce(col(c.name), lit(0L)).as("violations"))): _*))
         .as("r"))
       .select(col("r.check").as("check"),
         col("r.violations").cast("long").as("violations"),

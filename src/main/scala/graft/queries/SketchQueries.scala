@@ -103,6 +103,70 @@ object SketchQueries {
         graft.similarity.Similarity.knnBruteForce(
             packed.where(col("vec_id") < 5), packed, k = 3)
           .orderBy("query_id", "rank")
+      }),
+
+    // Grouped HLL count-distinct ESTIMATES, fully in-frame (no driver
+    // collect): per event type, distinct-user estimate vs exact with the
+    // relative error. The register inverses 1/2^rho are dyadic, so the
+    // per-group sums are IEEE-exact in any aggregation order — the whole
+    // estimator (raw + linear-counting correction) is oracle-checkable
+    // without decimal routing. At 100 TB the exact side is the expensive
+    // one; the estimate reads 64 tiny rows per group.
+    Q("q125_hll_estimate", {
+      val m = (1 << HllP).toDouble
+      val alpha = 0.7213 / (1.0 + 1.079 / m)
+      val alphaM2 = PortableSql.doubleLit(alpha * m * m)
+      val mi = 1 << HllP
+      val maxRho = 48 - HllP + 1
+      Q.sql(s"""
+        WITH h AS (
+          SELECT event_type,
+            ${PortableSql.hexToLong("md5(CAST(user_id AS VARCHAR))", 12)} AS h
+          FROM events),
+        b AS (
+          SELECT event_type, h % $mi AS bucket,
+            CAST(floor(h / $mi) AS BIGINT) AS w
+          FROM h),
+        r AS (
+          SELECT event_type, bucket,
+            max(CASE WHEN w = 0 THEN $maxRho
+                     ELSE CAST(bit_count((w & (-w)) - 1) AS BIGINT) + 1 END) AS max_rho
+          FROM b GROUP BY 1, 2),
+        s AS (
+          SELECT event_type, count(*) AS n_present,
+            sum(CAST(1 AS DOUBLE) / (CAST(1 AS BIGINT) << max_rho)) AS s_present
+          FROM r GROUP BY 1),
+        e AS (
+          SELECT event_type,
+            (CAST($mi AS DOUBLE) - n_present) AS zeros,
+            CAST($alphaM2 AS DOUBLE) / (s_present + (CAST($mi AS DOUBLE) - n_present)) AS raw
+          FROM s),
+        x AS (
+          SELECT event_type,
+            CASE WHEN raw <= CAST(${PortableSql.doubleLit(2.5 * m)} AS DOUBLE) AND zeros > 0
+                 THEN CAST($mi AS DOUBLE) * ln(CAST($mi AS DOUBLE) / zeros)
+                 ELSE raw END AS est
+          FROM e),
+        ex AS (
+          SELECT event_type, count(DISTINCT user_id) AS exact_n
+          FROM events GROUP BY 1)
+        SELECT x.event_type AS event_type, ex.exact_n, round(est, 6) AS hll_est,
+          round(abs(est - exact_n) / exact_n, 6) AS rel_err
+        FROM x JOIN ex ON ex.event_type = x.event_type
+        ORDER BY event_type""")
+    })(
+      (s, dir) => {
+        val e = T(s, dir, "events")
+        val regs = Hll.registersBy(e, col("user_id"), Seq("event_type"), HllP)
+        val est = Hll.estimateBy(regs, Seq("event_type"), HllP)
+        val exact = e.groupBy("event_type")
+          .agg(countDistinct(col("user_id")).as("exact_n"))
+        est.join(exact, "event_type")
+          .select(col("event_type"), col("exact_n"),
+            round(col("hll_est"), 6).as("hll_est"),
+            round(abs(col("hll_est") - col("exact_n")) / col("exact_n"), 6)
+              .as("rel_err"))
+          .orderBy("event_type")
       })
   )
 }

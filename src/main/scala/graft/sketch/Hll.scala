@@ -45,6 +45,50 @@ object Hll {
       .groupBy("bucket").agg(max(col("rho")).as("max_rho"))
   }
 
+  /** Grouped registers: one (groupCols..., bucket, max_rho) row per
+    * observed bucket per group — at most 2^p rows per group regardless
+    * of group size. The per-group count-distinct sketch.
+    */
+  def registersBy(df: DataFrame, key: Column, groupCols: Seq[String],
+                  p: Int): DataFrame = {
+    require(p >= 4 && p <= 16, s"p must be in [4,16], got $p")
+    val m = (1 << p).toLong
+    val maxRho = (48 - p + 1).toLong
+    val h = Hashing.hash48(key.cast("string"))
+    val bucket = h.bitwiseAND(lit(m - 1))
+    val w = shiftright(h, p)
+    val rho = when(w === 0, lit(maxRho))
+      .otherwise((bit_count(w.bitwiseAND(-w) - 1) + 1).cast("long"))
+    df.select(groupCols.map(col) :+ bucket.as("bucket") :+ rho.as("rho"): _*)
+      .groupBy((groupCols :+ "bucket").map(col): _*)
+      .agg(max(col("rho")).as("max_rho"))
+  }
+
+  /** Fully-distributed estimate per group (no driver collect): the raw
+    * HLL estimator with linear-counting small-range correction, over the
+    * output of [[registersBy]]. Output: (groupCols..., hll_est).
+    *
+    * Determinism WITHOUT decimal routing: each register's inverse weight
+    * 1/2^rho is dyadic and the per-group total stays far under the
+    * 53-bit mantissa, so every partial sum is EXACT in IEEE double — the
+    * aggregation is order-free by construction, and the oracle's `<<`
+    * form computes bit-identical values.
+    */
+  def estimateBy(registers: DataFrame, groupCols: Seq[String],
+                 p: Int): DataFrame = {
+    val m = (1 << p).toDouble
+    val alpha = 0.7213 / (1.0 + 1.079 / m)
+    val inv = lit(1.0) /
+      expr("shiftleft(CAST(1 AS BIGINT), CAST(max_rho AS INT))")
+    val s = registers.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n_present"), sum(inv).as("s_present"))
+    val zeros = lit(m) - col("n_present")
+    val raw = lit(alpha * m * m) / (col("s_present") + zeros)
+    val est = when(raw <= lit(2.5) * m && zeros > 0,
+      lit(m) * log(lit(m) / zeros)).otherwise(raw)
+    s.select(groupCols.map(col) :+ est.as("hll_est"): _*)
+  }
+
   /** Driver-side estimate from a collected register table (≤ 2^p rows —
     * model-sized, like IVF's centroids). Raw HLL estimator with the
     * standard linear-counting small-range correction.

@@ -34,6 +34,16 @@ class QualitySpec extends SparkSpec {
     rep("uq") shouldBe (2L, false)
   }
 
+  test("report over an empty frame is all-pass, not all-null") {
+    import Expectations._
+    val empty = Seq.empty[(Option[Long], String)].toDF("k", "f")
+    val rep = report(empty, Seq(
+        notNull("nn", col("k")), inSet("st", col("f"), Seq("A"))))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    rep("nn") shouldBe (0L, true)
+    rep("st") shouldBe (0L, true)
+  }
+
   test("refIntegrity flags exactly the orphan child keys") {
     import Expectations._
     val child = Seq(1L, 2L, 2L, 9L).toDF("ck")

@@ -54,4 +54,23 @@ class SketchSpec extends SparkSpec {
     r.getInt(1) shouldBe
       embeddings.select(sz(col("embedding"))).head().getInt(0)
   }
+
+  test("estimateBy equals the driver-side estimator, per group") {
+    import spark.implicits._
+    val p = 6
+    // two groups with different true cardinalities
+    val df = ((1 to 400).map(i => ("a", i.toLong)) ++
+      (1 to 90).map(i => ("b", i.toLong * 7919))).toDF("g", "k")
+    val grouped = Hll.estimateBy(
+        Hll.registersBy(df, col("k"), Seq("g"), p), Seq("g"), p)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    for (g <- Seq("a", "b")) {
+      val single = Hll.estimate(
+        Hll.registers(df.where(col("g") === g), col("k"), p), p)
+      grouped(g) shouldBe single +- 1e-9
+      // sanity: within the usual HLL error envelope of the truth
+      val exact = df.where(col("g") === g).select("k").distinct().count()
+      math.abs(grouped(g) - exact) / exact should be <= 0.25
+    }
+  }
 }
