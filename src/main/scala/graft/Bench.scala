@@ -31,11 +31,21 @@ object Bench {
     try io.Writers.noop(SparkEntry.entry(spark)) catch { case _: Throwable => () }
     // dev-only: SPARK_GRAFT_ONLY=q27,q101 times just those queries (steady-
     // state isolation); the driver never sets it, so the contract line is
-    // always the full set there
+    // always the full set there. A filter matches a full name or the
+    // `qNN` prefix up to its underscore (`q12` must NOT select q120);
+    // an empty or all-miss filter falls back to the full set rather
+    // than silently benching nothing.
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter { case (n, _) => only.forall(f => f.exists(n.startsWith)) }
+      .filter(_.nonEmpty)
+    def matches(f: Set[String], n: String) =
+      f.contains(n) || f.exists(p => n.startsWith(p + "_"))
+    val all = SparkEntry.queries.toSeq.sortBy(_._1)
+    val selected = only match {
+      case Some(f) if all.exists(q => matches(f, q._1)) =>
+        all.filter(q => matches(f, q._1))
+      case _ => all
+    }
     val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       // a failed query reports -1 (unambiguous error marker), never its

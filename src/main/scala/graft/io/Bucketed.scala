@@ -20,7 +20,7 @@ import graft.Tables
   *    every subsequent job only ever declares it.
   * Bucket ids live in the file names Spark itself wrote (`*_NNNNN.*`),
   * so a re-registered table plans exactly like the freshly written one
-  * (asserted in BucketedSpec for both paths).
+  * (both paths plan-asserted in AnalyticsSpec's bucketed-join test).
   */
 object Bucketed {
 
@@ -43,7 +43,17 @@ object Bucketed {
       val ot = s"bkt_orders_$tag"
       val lt = s"bkt_lineitem_$tag"
       val marker = new java.io.File(s"$base/_graft_staged")
-      if (marker.exists()) {
+      // The marker records a fingerprint of the SOURCE files (path, size,
+      // mtime per table) — reuse is valid only while it matches, so a
+      // regenerated fixture at the same path re-stages instead of
+      // silently serving stale buckets.
+      val fingerprint = s"$dir#$nBuckets#" + Seq("orders", "lineitem").map { t =>
+        val f = new java.io.File(s"$dir/$t.parquet")
+        s"$t:${f.length}:${f.lastModified}"
+      }.mkString("#")
+      val markerMatches = marker.exists() &&
+        java.nio.file.Files.readString(marker.toPath).trim == fingerprint
+      if (markerMatches) {
         register(spark, ot, s"$base/orders", "o_orderkey", nBuckets)
         register(spark, lt, s"$base/lineitem", "l_orderkey", nBuckets)
       } else {
@@ -54,7 +64,7 @@ object Bucketed {
         // marker written only AFTER both writes committed: a crash
         // mid-staging leaves no marker, and the next attempt rewrites
         // (mode=overwrite) rather than registering half a layout
-        java.nio.file.Files.writeString(marker.toPath, s"$dir#$nBuckets\n")
+        java.nio.file.Files.writeString(marker.toPath, fingerprint + "\n")
       }
       (ot, lt)
     })

@@ -67,16 +67,20 @@ object Expectations {
   }
 
   /** Referential-integrity check as a one-row report in the same shape
-    * as [[report]]: child keys with no parent. `broadcast` the parent
-    * side when it is dimension-sized (the child never re-shuffles: the
-    * anti join is map-side against the broadcast key set).
+    * as [[report]]: NON-NULL child keys with no parent. NULL child keys
+    * are not violations (standard FK semantics, and the semantics of a
+    * SQL `NOT IN` oracle, where a null key yields NULL and is never
+    * counted) — gate them with [[notNull]]. `broadcast` the parent side
+    * when it is dimension-sized (the child never re-shuffles: the anti
+    * join is map-side against the broadcast key set).
     */
   def refIntegrity(name: String, child: DataFrame, childKey: Column,
                    parent: DataFrame, parentKey: Column,
                    broadcastParent: Boolean = true): DataFrame = {
     val keys = parent.select(parentKey.as("_pk")).distinct()
     val p = if (broadcastParent) broadcast(keys) else keys
-    val orphans = child.join(p, childKey === col("_pk"), "left_anti")
+    val orphans = child.where(childKey.isNotNull)
+      .join(p, childKey === col("_pk"), "left_anti")
     orphans.agg(count(lit(1)).as("violations"))
       .select(lit(name).as("check"),
         col("violations").cast("long").as("violations"),

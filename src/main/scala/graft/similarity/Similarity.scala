@@ -130,10 +130,21 @@ object Similarity {
     * LSH bucket are scored. Returns (id_a, id_b, cos_sim) for same-bucket
     * pairs with cosine >= threshold.
     */
-  def knnLsh(emb: DataFrame, dim: Int, nBits: Int, threshold: Double): DataFrame = {
-    val bucketed = spread(emb).select(col("vec_id"), col("embedding"),
-      lshBucket(col("embedding"), dim, nBits).as("bucket"),
-      norm(col("embedding"), dim).as("nrm"))
+  /** Cached (vec_id, embedding, bucket, nrm) projection — the shared
+    * first stage of [[knnLsh]] and [[semDedup]] (cached because the
+    * bucket self-join consumes it twice).
+    */
+  private def lshBucketed(emb: DataFrame, dim: Int, nBits: Int): DataFrame =
+    graft.ops.Frames.cached(
+      spread(emb).select(col("vec_id"), col("embedding"),
+        lshBucket(col("embedding"), dim, nBits).as("bucket"),
+        norm(col("embedding"), dim).as("nrm")))
+
+  /** Within-bucket candidate pairs (id_a < id_b) with the rounded cosine
+    * — the bucket equi-join both LSH consumers build on (hoisted norms,
+    * one codegen dot per pair).
+    */
+  private def bucketPairs(bucketed: DataFrame, dim: Int): DataFrame = {
     val a = bucketed.select(col("bucket"), col("vec_id").as("id_a"),
       col("embedding").as("emb_a"), col("nrm").as("norm_a"))
     val b = bucketed.select(col("bucket"), col("vec_id").as("id_b"),
@@ -143,9 +154,12 @@ object Similarity {
       .withColumn("cos_sim",
         round(dot(col("emb_a"), col("emb_b"), dim) /
           (col("norm_a") * col("norm_b")), 6))
+  }
+
+  def knnLsh(emb: DataFrame, dim: Int, nBits: Int, threshold: Double): DataFrame =
+    bucketPairs(lshBucketed(emb, dim, nBits), dim)
       .where(col("cos_sim") >= threshold)
       .select("id_a", "id_b", "bucket", "cos_sim")
-  }
 
   /** Semantic dedup (the SemDedup shape, Abbas et al. 2023): drop every
     * vector that has a lower-id near-duplicate (cosine >= `threshold`)
@@ -161,18 +175,9 @@ object Similarity {
     * [[graft.dedup.Dedup.components]] over the pair output when needed).
     */
   def semDedup(emb: DataFrame, dim: Int, nBits: Int, threshold: Double): DataFrame = {
-    val bucketed = graft.ops.Frames.cached(
-      spread(emb).select(col("vec_id"), col("embedding"),
-        lshBucket(col("embedding"), dim, nBits).as("bucket"),
-        norm(col("embedding"), dim).as("nrm")))
-    val a = bucketed.select(col("bucket"), col("vec_id").as("id_a"),
-      col("embedding").as("emb_a"), col("nrm").as("norm_a"))
-    val b = bucketed.select(col("bucket"), col("vec_id").as("id_b"),
-      col("embedding").as("emb_b"), col("nrm").as("norm_b"))
-    val drops = a.join(b, Seq("bucket"))
-      .where(col("id_a") < col("id_b"))
-      .where(round(dot(col("emb_a"), col("emb_b"), dim) /
-        (col("norm_a") * col("norm_b")), 6) >= threshold)
+    val bucketed = lshBucketed(emb, dim, nBits)
+    val drops = bucketPairs(bucketed, dim)
+      .where(col("cos_sim") >= threshold)
       .select(col("id_b").as("vec_id")).distinct()
     bucketed.select(col("vec_id"), col("bucket"))
       .join(drops.withColumn("_dropped", lit(true)), Seq("vec_id"), "left")
