@@ -1,0 +1,127 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.dedup.Fuzzy
+import graft.graph.Triangles
+import graft.ops.{Stats, TimeSeries}
+import graft.text.Bm25
+
+/** Round-5 mining operators: triangle counting, fuzzy matching, EWMA,
+  * grouped statistics, BM25.
+  */
+class MiningSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("Triangles finds exactly the hand-enumerated triangles") {
+    // K4 on {1,2,3,4} (4 triangles) plus pendant 5-1 and an isolated
+    // edge 6-7; edges given in mixed directions with duplicates.
+    val edges = Seq(
+      (1L, 2L), (2L, 1L), (1L, 3L), (1L, 4L), (2L, 3L), (3L, 4L),
+      (4L, 2L), (5L, 1L), (6L, 7L), (7L, 6L)).toDF("a", "b")
+    val tris = Triangles.triangles(edges)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    tris shouldBe Set((1L, 2L, 3L), (1L, 2L, 4L), (1L, 3L, 4L), (2L, 3L, 4L))
+    val counts = Triangles.nodeTriangleCounts(Triangles.triangles(edges))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    counts shouldBe Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L)
+  }
+
+  test("Triangles on a triangle-free graph is empty") {
+    val star = Seq((1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L)).toDF("a", "b")
+    Triangles.triangles(star).count() shouldBe 0L
+  }
+
+  test("Fuzzy.matchPairs equals the naive all-pairs filter") {
+    val names = Seq("red widget", "red gadget", "blue bolt", "blue boltt",
+      "glue bolt", "bolt", "entirely other", "red widget")
+      .toDF("name")
+    val banded = Fuzzy.matchPairs(names, col("name"), 2)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
+    val distinct = names.distinct().collect().map(_.getString(0))
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0
+      }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val naive = (for {
+      a <- distinct; b <- distinct if a < b
+      d = lev(a, b) if d >= 1 && d <= 2
+    } yield (a, b, d)).toSet
+    banded shouldBe naive
+    // the blocked join must include cross-length matches up to the cap
+    banded.map(p => (p._1, p._2)) should contain("blue bolt" -> "blue boltt")
+  }
+
+  test("TimeSeries.ewma matches the hand-computed recurrence") {
+    val daily = Seq(
+      (1L, "2024-01-01", 10.0), (1L, "2024-01-02", 20.0),
+      (1L, "2024-01-03", 40.0),
+      (2L, "2024-01-01", 5.0))
+      .toDF("k", "d", "x").withColumn("d", to_date(col("d")))
+    val out = TimeSeries.ewma(daily, col("k"), col("d"), col("x"))
+      .collect()
+      .map(r => (r.getLong(0), r.getDate(1).toString) -> r.getDouble(2))
+      .toMap
+    out((1L, "2024-01-01")) shouldBe 10.0
+    // (20*2 + 10*1) / 3
+    out((1L, "2024-01-02")) shouldBe (50.0 / 3 * 1e6).round / 1e6
+    // (40*4 + 20*2 + 10*1) / 7
+    out((1L, "2024-01-03")) shouldBe (210.0 / 7)
+    out((2L, "2024-01-01")) shouldBe 5.0
+  }
+
+  test("TimeSeries.ewma forgets observations beyond the horizon") {
+    val daily = Seq(
+      (1L, "2024-01-01", 100.0), (1L, "2024-03-01", 8.0))
+      .toDF("k", "d", "x").withColumn("d", to_date(col("d")))
+    val out = TimeSeries.ewma(daily, col("k"), col("d"), col("x"))
+      .where(col("day") === "2024-03-01").collect()
+    out.head.getDouble(2) shouldBe 8.0
+  }
+
+  test("Stats.corrRegr recovers an exact linear relationship") {
+    val df = Seq.tabulate(50)(i => ("g", i.toDouble, 2.0 * i + 1.0))
+      .toDF("g", "x", "y")
+    val r = Stats.corrRegr(df, Seq(col("g")), col("x"), col("y")).collect().head
+    r.getDouble(2) shouldBe 1.0 // corr
+    r.getDouble(3) shouldBe 2.0 // slope
+    r.getDouble(4) shouldBe 1.0 // intercept
+  }
+
+  test("Stats.mode breaks count ties to the smallest value") {
+    val df = Seq(("a", "x"), ("a", "x"), ("a", "y"), ("a", "y"), ("a", "z"),
+      ("b", "q")).toDF("g", "v")
+    val m = Stats.mode(df, Seq(col("g")), col("v"))
+      .collect().map(r => r.getString(0) ->
+        (r.getString(1), r.getLong(2), r.getLong(3))).toMap
+    m("a") shouldBe (("x", 2L, 3L))
+    m("b") shouldBe (("q", 1L, 1L))
+  }
+
+  test("Stats.argmax/argmin are tie-deterministic") {
+    val df = Seq(("g", 5.0, 1L), ("g", 5.0, 9L), ("g", 1.0, 7L))
+      .toDF("g", "v", "id")
+    val r = df.groupBy("g").agg(
+      Stats.argmax(col("v"), col("id"), col("id")).as("hi"),
+      Stats.argmin(col("v"), col("id"), col("id")).as("lo"))
+      .collect().head
+    r.getLong(1) shouldBe 9L // tie on v=5.0 -> larger id wins
+    r.getLong(2) shouldBe 7L // unique min v=1.0
+  }
+
+  test("Bm25 ranks higher-tf docs above lower-tf docs of equal length") {
+    val docs = Seq(
+      (1L, "alpha alpha beta gamma"),
+      (2L, "alpha beta beta gamma"),
+      (3L, "delta delta delta delta")).toDF("id", "text")
+    val scores = Bm25.score(docs, col("id"), col("text"), Seq("alpha"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    scores.keySet shouldBe Set(1L, 2L)
+    scores(1L) should be > scores(2L)
+  }
+}
