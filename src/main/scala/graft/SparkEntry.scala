@@ -30,7 +30,8 @@ object SparkEntry {
       TextQueries.all ++ DedupQueries.all ++ SimilarityQueries.all ++
       MultimodalQueries.all ++ VersionedQueries.all ++ IoQueries.all ++
       StreamingQueries.all ++ SketchQueries.all ++ AnalyticsQueries.all ++
-      CurationQueries.all ++ QualityQueries.all ++ MiningQueries.all
+      CurationQueries.all ++ QualityQueries.all ++ MiningQueries.all ++
+      SelectionQueries.all
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0.
     * Full slice: scan -> filter -> broadcast-join -> agg -> window top-k.
