@@ -30,11 +30,15 @@ object Triangles {
     * Returns one row per triangle: (v1, v2, v3) with v1 < v2 < v3.
     */
   def triangles(edges: DataFrame): DataFrame = {
-    val und = edges.toDF("a", "b")
+    // Cached: consumed by the degree count (twice via the union), the
+    // orientation join, the wedge self-join, and the closure join — an
+    // uncached plan recomputes the caller's (often expensive) edge
+    // derivation once per consumer.
+    val und = graft.ops.Frames.cached(edges.toDF("a", "b")
       .where(col("a") =!= col("b"))
       .select(least(col("a"), col("b")).as("lo"),
         greatest(col("a"), col("b")).as("hi"))
-      .distinct()
+      .distinct())
     val deg = und.select(col("lo").as("v")).unionAll(und.select(col("hi")))
       .groupBy("v").agg(count(lit(1)).as("deg"))
     // Orient lower-(deg, id) -> higher, carrying the destination's
@@ -46,11 +50,13 @@ object Triangles {
     val dh = broadcast(deg.select(col("v").as("hi"), col("deg").as("dhi")))
     val loFirst = col("dlo") < col("dhi") ||
       (col("dlo") === col("dhi") && col("lo") < col("hi"))
-    val oriented = und.join(dl, "lo").join(dh, "hi")
-      .select(
-        when(loFirst, col("lo")).otherwise(col("hi")).as("src"),
-        when(loFirst, col("hi")).otherwise(col("lo")).as("dst"),
-        when(loFirst, col("dhi")).otherwise(col("dlo")).as("ddst"))
+    // Cached: the wedge join reads it twice and the closure join once.
+    val oriented = graft.ops.Frames.cached(
+      und.join(dl, "lo").join(dh, "hi")
+        .select(
+          when(loFirst, col("lo")).otherwise(col("hi")).as("src"),
+          when(loFirst, col("hi")).otherwise(col("lo")).as("dst"),
+          when(loFirst, col("dhi")).otherwise(col("dlo")).as("ddst")))
     // Wedges out of a common source, endpoints ordered by the
     // orientation key (deg, id) — so the closing edge, if present, is
     // oriented v->w by construction and one equi-join decides closure.

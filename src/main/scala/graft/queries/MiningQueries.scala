@@ -168,13 +168,19 @@ object MiningQueries {
         SELECT v AS part, count(*) AS n_triangles
         FROM corners GROUP BY 1 ORDER BY 1"""))(
       (s, dir) => {
-        val li = cached(T(s, dir, "lineitem")
-          .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-          .distinct())
-        val edges = li.join(li.toDF("o", "p2"), "o")
-          .where(col("p") < col("p2"))
-          .groupBy(col("p").as("a"), col("p2").as("b"))
-          .agg(count(lit(1)).as("n"))
+        // Edge derivation as per-order adjacency SETS: one partial-agg
+        // shuffle to collect each order's part set (bounded by order
+        // size), pair expansion as a higher-order array expression (no
+        // 600k-row self-join), one shuffle for the pair counts.
+        val sets = T(s, dir, "lineitem")
+          .groupBy(col("l_orderkey"))
+          .agg(collect_set(col("l_partkey")).as("ps"))
+        val pairs = flatten(transform(col("ps"), x =>
+          transform(filter(col("ps"), y => y > x),
+            y => struct(x.as("a"), y.as("b")))))
+        val edges = sets.select(explode(pairs).as("pr"))
+          .select(col("pr.a").as("a"), col("pr.b").as("b"))
+          .groupBy("a", "b").agg(count(lit(1)).as("n"))
           .where(col("n") >= 2)
           .select("a", "b")
         Triangles.nodeTriangleCounts(Triangles.triangles(edges))
