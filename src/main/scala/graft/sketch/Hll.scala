@@ -89,6 +89,19 @@ object Hll {
     s.select(groupCols.map(col) :+ est.as("hll_est"): _*)
   }
 
+  /** Sketch-algebra merge: collapse grouped registers to a coarser
+    * grouping (or to one global sketch with `toGroups = Nil`) by taking
+    * the per-bucket max — the union-of-sets operation on HLL sketches.
+    * Exactly the estimate the union's own registers would give (max of
+    * maxes = max over the union), WITHOUT rescanning the data: this is
+    * how per-day/per-source sketches roll up to month/corpus
+    * cardinalities at 100 TB. Cost: one hash aggregation over register
+    * rows (≤ 2^p per input group).
+    */
+  def mergeBy(registers: DataFrame, toGroups: Seq[String]): DataFrame =
+    registers.groupBy((toGroups :+ "bucket").map(col): _*)
+      .agg(max(col("max_rho")).as("max_rho"))
+
   /** Driver-side estimate from a collected register table (≤ 2^p rows —
     * model-sized, like IVF's centroids). Raw HLL estimator with the
     * standard linear-counting small-range correction.

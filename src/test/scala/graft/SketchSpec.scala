@@ -73,4 +73,18 @@ class SketchSpec extends SparkSpec {
       math.abs(grouped(g) - exact) / exact should be <= 0.25
     }
   }
+
+  test("mergeBy union of grouped sketches equals the union's own sketch") {
+    import spark.implicits._
+    val p = 6
+    // overlapping groups: the union is NOT the sum of the parts
+    val df = ((1 to 300).map(i => ("a", i.toLong)) ++
+      (151 to 450).map(i => ("b", i.toLong))).toDF("g", "k")
+    val merged = Hll.estimateBy(
+        Hll.mergeBy(Hll.registersBy(df, col("k"), Seq("g"), p), Nil),
+        Nil, p)
+      .head().getDouble(0)
+    val direct = Hll.estimate(Hll.registers(df, col("k"), p), p)
+    merged shouldBe direct +- 1e-9
+  }
 }
