@@ -233,6 +233,40 @@ object MiningQueries {
           .select(col("id").as("doc_id"), col("n_terms_hit"), col("score"))
           .orderBy("doc_id")),
 
+    // Entity resolution end-to-end: fuzzy name pairs (q129's blocked
+    // levenshtein join) closed into canonical entity clusters via
+    // iterative min-label contraction, singletons kept as their own
+    // entity. The composition a master-data pipeline runs: block ->
+    // verify -> cluster -> canonicalize.
+    Q("q147_entity_clusters", Q.sql(s"""
+        WITH RECURSIVE names AS (SELECT DISTINCT p_name AS name FROM part
+          WHERE p_name IS NOT NULL),
+        fp AS (${Fuzzy.oracleSql("names", FuzzyDist)}),
+        edges AS (
+          SELECT name_a AS src, name_b AS dst FROM fp
+          UNION
+          SELECT name_b AS src, name_a AS dst FROM fp),
+        reach(id, lab) AS (
+          SELECT src, src FROM edges
+          UNION
+          SELECT e.src, r.lab FROM edges e JOIN reach r ON e.dst = r.id),
+        comp AS (SELECT id, min(lab) AS entity FROM reach GROUP BY id)
+        SELECT name, coalesce(comp.entity, name) AS entity
+        FROM names LEFT JOIN comp ON names.name = comp.id
+        ORDER BY name"""))(
+      (s, dir) => {
+        val names = T(s, dir, "part")
+          .select(col("p_name").as("name")).where(col("name").isNotNull)
+          .distinct()
+        val pairs = Fuzzy.matchPairs(T(s, dir, "part"), col("p_name"), FuzzyDist)
+          .select(col("name_a").as("id_a"), col("name_b").as("id_b"))
+        val comp = graft.dedup.Dedup.components(pairs)
+        names.join(comp.withColumnRenamed("id", "name"), Seq("name"), "left")
+          .select(col("name"),
+            coalesce(col("component"), col("name")).as("entity"))
+          .orderBy("name")
+      }),
+
     // Pearson correlation + OLS regression per group from decimal-exact
     // moments (one aggregation pass; order-independent, unlike the
     // streaming built-in corr) — price vs quantity per return flag.

@@ -224,6 +224,121 @@ object TrendQueries {
           round((col("m1") - col("m0")) /
             sqrt(col("v1") / col("n1") + col("v0") / col("n0")), 6)
             .as("welch_z"))
+      }),
+
+    // RFM segmentation: per-customer recency/frequency/monetary with
+    // quintile scores WITHIN market segment (partitioned ntile — no
+    // global sort), composite code r*100+f*10+m. Reference date is the
+    // corpus max order date (one-row broadcast).
+    Q("q146_rfm", Q.sql("""
+        WITH ref AS (SELECT max(CAST(o_orderdate AS DATE)) AS ref_day FROM orders),
+        cust AS (
+          SELECT c_custkey, c_mktsegment,
+            CAST(date_diff('day', max(CAST(o_orderdate AS DATE)), ref_day) AS INT) AS recency_days,
+            count(*) AS frequency,
+            CAST(sum(CAST(o_totalprice AS DECIMAL(27,4))) AS DOUBLE) AS monetary
+          FROM orders JOIN customer ON o_custkey = c_custkey, ref
+          GROUP BY 1, 2, ref_day),
+        scored AS (
+          SELECT c_custkey, c_mktsegment, recency_days, frequency, monetary,
+            ntile(5) OVER (PARTITION BY c_mktsegment ORDER BY recency_days DESC, c_custkey) AS r,
+            ntile(5) OVER (PARTITION BY c_mktsegment ORDER BY frequency, c_custkey) AS f,
+            ntile(5) OVER (PARTITION BY c_mktsegment ORDER BY monetary, c_custkey) AS m
+          FROM cust)
+        SELECT c_custkey, c_mktsegment, recency_days, frequency, monetary,
+          CAST(r AS INT) AS r, CAST(f AS INT) AS f, CAST(m AS INT) AS m,
+          CAST(r * 100 + f * 10 + m AS INT) AS rfm
+        FROM scored ORDER BY c_custkey"""))(
+      (s, dir) => {
+        val ref = T(s, dir, "orders")
+          .agg(max(to_date(col("o_orderdate"))).as("ref_day"))
+        val cust = T(s, dir, "orders")
+          .join(broadcast(T(s, dir, "customer")),
+            col("o_custkey") === col("c_custkey"))
+          .crossJoin(broadcast(ref))
+          .groupBy(col("c_custkey"), col("c_mktsegment"), col("ref_day"))
+          .agg(datediff(max(col("ref_day")), max(to_date(col("o_orderdate"))))
+              .as("recency_days"),
+            count(lit(1)).as("frequency"),
+            dsum(col("o_totalprice"), 4).as("monetary"))
+        def q(order: org.apache.spark.sql.Column*) =
+          ntile(5).over(Window.partitionBy(col("c_mktsegment")).orderBy(order: _*))
+        cust.select(col("c_custkey"), col("c_mktsegment"),
+            col("recency_days"), col("frequency"), col("monetary"),
+            q(col("recency_days").desc, col("c_custkey")).as("r"),
+            q(col("frequency"), col("c_custkey")).as("f"),
+            q(col("monetary"), col("c_custkey")).as("m"))
+          .withColumn("rfm", col("r") * 100 + col("f") * 10 + col("m"))
+          .orderBy("c_custkey")
+      }),
+
+    // Power-law fit of the order-frequency distribution: regress
+    // ln(#customers with k orders) on ln(k) with the decimal-moment
+    // machinery — the scale-free-structure probe run over degree or
+    // frequency histograms. Logs are rounded to 6 before the fit
+    // (engine-portable), the fit itself is order-independent.
+    Q("q148_powerlaw_fit", Q.sql(s"""
+        WITH freq AS (
+          SELECT o_custkey, count(*) AS k FROM orders GROUP BY 1),
+        hist AS (SELECT k, count(*) AS nk FROM freq GROUP BY 1),
+        pts AS (
+          SELECT round(ln(CAST(k AS DOUBLE)), 6) AS lx,
+            round(ln(CAST(nk AS DOUBLE)), 6) AS ly
+          FROM hist),
+        m AS (${graft.ops.Stats.oracleMomentsCte("pts", Seq("'all' AS g"),
+          "lx", "ly")})
+        SELECT g, ${graft.ops.Stats.oracleSelect}
+        FROM m ORDER BY 1"""))(
+      (s, dir) => {
+        val hist = T(s, dir, "orders")
+          .groupBy(col("o_custkey")).agg(count(lit(1)).as("k"))
+          .groupBy(col("k")).agg(count(lit(1)).as("nk"))
+        val pts = hist.select(
+          round(log(col("k").cast("double")), 6).as("lx"),
+          round(log(col("nk").cast("double")), 6).as("ly"))
+        graft.ops.Stats.corrRegr(pts, Seq(lit("all").as("g")),
+            col("lx"), col("ly"))
+          .orderBy("g")
+      }),
+
+    // Chi-square independence test (event type × user-id parity): the
+    // categorical-drift detector. Observed/expected from two hash
+    // aggregations over a cells frame that is category-bounded, never
+    // row-bounded; the statistic is a decimal sum of rounded cell terms.
+    Q("q149_chi_square", Q.sql("""
+        WITH o AS (
+          SELECT event_type, user_id % 2 AS variant, count(*) AS n
+          FROM events GROUP BY 1, 2),
+        tot AS (
+          SELECT event_type, variant, n,
+            CAST(sum(n) OVER (PARTITION BY event_type) AS BIGINT) AS rt,
+            CAST(sum(n) OVER (PARTITION BY variant) AS BIGINT) AS ct,
+            CAST(sum(n) OVER () AS BIGINT) AS nn
+          FROM o),
+        cell AS (
+          SELECT n, CAST(rt AS DOUBLE) * ct / nn AS e FROM tot)
+        SELECT CAST(sum(n) AS BIGINT) AS n_obs,
+          (SELECT CAST((count(DISTINCT event_type) - 1) *
+            (count(DISTINCT variant) - 1) AS BIGINT) FROM o) AS dof,
+          round(CAST(sum(CAST(round((n - e) * (n - e) / e, 6) AS DECIMAL(27,6))) AS DOUBLE), 6) AS chi2
+        FROM cell"""))(
+      (s, dir) => {
+        val o = T(s, dir, "events")
+          .groupBy(col("event_type"), (col("user_id") % 2).as("variant"))
+          .agg(count(lit(1)).as("n"))
+        val tot = o.select(col("event_type"), col("variant"), col("n"),
+          sum(col("n")).over(Window.partitionBy(col("event_type"))).as("rt"),
+          sum(col("n")).over(Window.partitionBy(col("variant"))).as("ct"),
+          sum(col("n")).over(Window.partitionBy()).as("nn"))
+        val cell = tot.select(col("n"),
+          (col("rt").cast("double") * col("ct") / col("nn")).as("e"))
+        val dof = o.agg(((countDistinct(col("event_type")) - 1) *
+          (countDistinct(col("variant")) - 1)).as("dof"))
+        cell.agg(sum(col("n")).as("n_obs"),
+            round(dsum(round((col("n") - col("e")) * (col("n") - col("e")) /
+              col("e"), 6), 6), 6).as("chi2"))
+          .crossJoin(broadcast(dof))
+          .select(col("n_obs"), col("dof"), col("chi2"))
       })
   )
 }
