@@ -31,7 +31,8 @@ object SparkEntry {
       MultimodalQueries.all ++ VersionedQueries.all ++ IoQueries.all ++
       StreamingQueries.all ++ SketchQueries.all ++ AnalyticsQueries.all ++
       CurationQueries.all ++ QualityQueries.all ++ MiningQueries.all ++
-      SelectionQueries.all ++ TrendQueries.all ++ EvalQueries.all
+      SelectionQueries.all ++ TrendQueries.all ++ EvalQueries.all ++
+      ClassicQueries.all
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0.
     * Full slice: scan -> filter -> broadcast-join -> agg -> window top-k.
