@@ -81,7 +81,14 @@ object Bench {
     val shortKeys = results.map(_._1.takeWhile(_ != '_'))
     require(shortKeys.distinct.size == results.size,
       s"duplicate short bench keys: ${shortKeys.diff(shortKeys.distinct).distinct}")
-    val qsShort = shortKeys.zip(results).map { case (sk, (_, v)) =>
+    // The printed map carries failures plus the SLOWEST 60 queries: the
+    // driver's stdout window is ~2000 chars, and a full map outgrew it
+    // at ~165 queries. The totals line is what the judge compares;
+    // per-query detail beyond the hot tail lives in bench_details.json.
+    val printed = shortKeys.zip(results)
+      .sortBy { case (_, (_, v)) => if (v < 0) Double.MinValue else -v }
+      .take(60)
+    val qsShort = printed.map { case (sk, (_, v)) =>
       "\"" + sk + "\":" + fmt1(v)
     }.mkString("{", ",", "}")
     val qsFull = results.map { case (k, v) => "\"" + k + "\":" + v }
@@ -93,7 +100,7 @@ object Bench {
     // stdout, so the headline fields sit AFTER the queries map — if the
     // line ever outgrows the window again, truncation eats early
     // per-query entries, not the totals.
-    println(s"""{"queries":$qsShort,$head,"sf":"$sfDir"}""")
+    println(s"""{"queries":$qsShort,"n_queries":${results.size},$head,"sf":"$sfDir"}""")
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("bench_details.json"),
       s"""{$head,"queries":$qsFull,"sf":"$sfDir"}""".getBytes("UTF-8"))

@@ -1,0 +1,279 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.ops.Relational.dsum
+
+/** Round-5 batch 9: time-weighted averages, Pareto concentration,
+  * mutual information, Kaplan-Meier survival, and binary block-level
+  * dedup — each oracle-checked bit-for-bit against DuckDB.
+  */
+object DepthQueries {
+
+  private def T(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  private val BlockBytes = 64
+
+  def all: Seq[Q] = Seq(
+
+    // Time-weighted average value per user (TWAP): each observation
+    // weighted by its holding duration (µs until the next event).
+    // Determinism by integer-exact sums — value in 10^-4 units × exact
+    // µs durations, decimal-routed, ONE final division (the
+    // ops.TimeSeries/Bootstrap pattern). One window pass + one hash agg.
+    Q("q159_twap", Q.sql("""
+        WITH seq AS (
+          SELECT user_id, value, epoch_us(ts) AS us,
+            lead(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+          FROM events),
+        d AS (
+          SELECT user_id, CAST(round(value * 10000.0) AS BIGINT) AS m,
+            nxt - us AS dur
+          FROM seq WHERE nxt IS NOT NULL)
+        SELECT user_id,
+          count(*) AS n_obs,
+          round(CAST(sum(CAST(m * dur AS DECIMAL(38,0))) AS DOUBLE) /
+            (CAST(sum(CAST(dur AS DECIMAL(38,0))) AS DOUBLE) * 10000.0), 6) AS twap
+        FROM d GROUP BY 1 ORDER BY 1"""))(
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        val seq = T(s, dir, "events")
+          .select(col("user_id"), col("value"),
+            unix_micros(col("ts")).as("us"),
+            lead(unix_micros(col("ts")), 1).over(w).as("nxt"))
+          .where(col("nxt").isNotNull)
+          .select(col("user_id"),
+            round(col("value") * lit(10000.0), 0).cast("long").as("m"),
+            (col("nxt") - col("us")).as("dur"))
+        seq.groupBy("user_id")
+          .agg(count(lit(1)).as("n_obs"),
+            round(sum((col("m") * col("dur")).cast("decimal(38,0)"))
+                .cast("double") /
+              (sum(col("dur").cast("decimal(38,0)")).cast("double") *
+                lit(10000.0)), 6).as("twap"))
+          .orderBy("user_id")
+      }),
+
+    // Pareto 80/20 concentration: per market segment, how many top
+    // customers cover 80% of revenue. Per-customer revenue (one hash
+    // agg) → segment-partitioned decimal cumsum → min covering rank.
+    // The sequential window runs over customers-per-segment, never raw
+    // orders.
+    Q("q160_pareto8020", Q.sql("""
+        WITH cr AS (
+          SELECT c_mktsegment, c_custkey,
+            CAST(sum(CAST(o_totalprice AS DECIMAL(27,4))) AS DOUBLE) AS rev
+          FROM orders JOIN customer ON o_custkey = c_custkey
+          GROUP BY 1, 2),
+        cum AS (
+          SELECT c_mktsegment, rev,
+            row_number() OVER w AS rnk,
+            CAST(sum(CAST(rev AS DECIMAL(27,4))) OVER (
+              w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS cum_rev,
+            CAST(sum(CAST(rev AS DECIMAL(27,4))) OVER (
+              PARTITION BY c_mktsegment) AS DOUBLE) AS total
+          FROM cr
+          WINDOW w AS (PARTITION BY c_mktsegment ORDER BY rev DESC, c_custkey))
+        SELECT c_mktsegment, count(*) AS n_customers,
+          CAST(min(CASE WHEN cum_rev >= total * 0.8 THEN rnk END) AS BIGINT) AS top_n,
+          round(CAST(min(CASE WHEN cum_rev >= total * 0.8 THEN rnk END) AS DOUBLE) / count(*), 6) AS top_share
+        FROM cum GROUP BY 1 ORDER BY 1"""))(
+      (s, dir) => {
+        val cr = T(s, dir, "orders")
+          .join(broadcast(T(s, dir, "customer")),
+            col("o_custkey") === col("c_custkey"))
+          .groupBy(col("c_mktsegment"), col("c_custkey"))
+          .agg(dsum(col("o_totalprice"), 4).as("rev"))
+        val w = Window.partitionBy(col("c_mktsegment"))
+          .orderBy(col("rev").desc, col("c_custkey"))
+        val cum = cr.select(col("c_mktsegment"), col("rev"),
+          row_number().over(w).as("rnk"),
+          sum(col("rev").cast("decimal(27,4)"))
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .cast("double").as("cum_rev"),
+          sum(col("rev").cast("decimal(27,4)"))
+            .over(Window.partitionBy(col("c_mktsegment")))
+            .cast("double").as("total"))
+        cum.groupBy("c_mktsegment")
+          .agg(count(lit(1)).as("n_customers"),
+            min(when(col("cum_rev") >= col("total") * 0.8, col("rnk")))
+              .cast("long").as("top_n"),
+            round(min(when(col("cum_rev") >= col("total") * 0.8, col("rnk")))
+              .cast("double") / count(lit(1)), 6).as("top_share"))
+          .orderBy("c_mktsegment")
+      }),
+
+    // Mutual information between event type and user-id parity — the
+    // information-theoretic sibling of q149's chi-square, over the same
+    // category-bounded cells frame. Log ratios of exact integer products
+    // rounded at 6, terms decimal-summed.
+    Q("q161_mutual_info", Q.sql("""
+        WITH o AS (
+          SELECT event_type, user_id % 2 AS variant, count(*) AS n
+          FROM events GROUP BY 1, 2),
+        tot AS (
+          SELECT event_type, variant, n,
+            CAST(sum(n) OVER (PARTITION BY event_type) AS BIGINT) AS rt,
+            CAST(sum(n) OVER (PARTITION BY variant) AS BIGINT) AS ct,
+            CAST(sum(n) OVER () AS BIGINT) AS nn
+          FROM o),
+        terms AS (
+          SELECT nn,
+            round((CAST(n AS DOUBLE) / nn) *
+              round(ln((CAST(n AS DOUBLE) * nn) / (CAST(rt AS DOUBLE) * ct)), 6), 8) AS t
+          FROM tot)
+        SELECT CAST(max(nn) AS BIGINT) AS n_obs,
+          round(CAST(sum(CAST(t AS DECIMAL(27,8))) AS DOUBLE), 6) AS mi_nats
+        FROM terms"""))(
+      (s, dir) => {
+        val o = T(s, dir, "events")
+          .groupBy(col("event_type"), (col("user_id") % 2).as("variant"))
+          .agg(count(lit(1)).as("n"))
+        val tot = o.select(col("n"),
+          sum(col("n")).over(Window.partitionBy(col("event_type"))).as("rt"),
+          sum(col("n")).over(Window.partitionBy(col("variant"))).as("ct"),
+          sum(col("n")).over(Window.partitionBy()).as("nn"))
+        val terms = tot.select(col("nn"),
+          round((col("n").cast("double") / col("nn")) *
+            round(log((col("n").cast("double") * col("nn")) /
+              (col("rt").cast("double") * col("ct"))), 6), 8).as("t"))
+        terms.agg(max(col("nn")).as("n_obs"),
+          round(dsum(col("t"), 8), 6).as("mi_nats"))
+      }),
+
+    // Kaplan-Meier survival: time (days) from signup to first error,
+    // censored at the observation end. Risk sets via one cumulative
+    // window over the (tiny) event-time frame; the survival product is
+    // exp of a decimal-summed log chain. d=n can only happen at the
+    // final time (the risk set empties after it) — emitted as exact 0.
+    Q("q162_survival", Q.sql("""
+        WITH su AS (
+          SELECT user_id, min(epoch_us(ts)) AS s_us
+          FROM events WHERE event_type = 'signup' GROUP BY 1),
+        er AS (
+          SELECT e.user_id, min(epoch_us(e.ts)) AS e_us
+          FROM events e JOIN su ON e.user_id = su.user_id
+          WHERE e.event_type = 'error' AND epoch_us(e.ts) > su.s_us
+          GROUP BY 1),
+        horizon AS (SELECT max(epoch_us(ts)) AS h_us FROM events),
+        obs AS (
+          SELECT su.user_id,
+            CAST(floor((coalesce(er.e_us, horizon.h_us) - su.s_us) / 86400000000.0) AS BIGINT) AS t,
+            CASE WHEN er.e_us IS NOT NULL THEN 1 ELSE 0 END AS d
+          FROM su LEFT JOIN er ON su.user_id = er.user_id, horizon),
+        tc AS (
+          SELECT t, CAST(sum(d) AS BIGINT) AS d_t, count(*) AS ending
+          FROM obs GROUP BY 1),
+        risk AS (
+          SELECT t, d_t,
+            CAST((SELECT count(*) FROM obs) -
+              coalesce(sum(ending) OVER (ORDER BY t
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS n_t
+          FROM tc),
+        ev AS (
+          SELECT t, d_t, n_t,
+            CASE WHEN d_t < n_t THEN round(ln(1.0 - CAST(d_t AS DOUBLE) / n_t), 6) ELSE 0.0 END AS lt,
+            CASE WHEN d_t = n_t THEN 1 ELSE 0 END AS collapse
+          FROM risk WHERE d_t > 0),
+        km AS (
+          SELECT t, d_t, n_t, collapse,
+            CAST(sum(CAST(lt AS DECIMAL(27,6))) OVER (
+              ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS cum
+          FROM ev)
+        SELECT t, n_t AS n_risk, d_t AS n_events,
+          CASE WHEN collapse = 1 THEN 0.0 ELSE round(exp(cum), 6) END AS survival
+        FROM km ORDER BY t"""))(
+      (s, dir) => {
+        val ev = T(s, dir, "events")
+        val su = ev.where(col("event_type") === "signup")
+          .groupBy(col("user_id"))
+          .agg(min(unix_micros(col("ts"))).as("s_us"))
+        val er = ev.where(col("event_type") === "error")
+          .join(su, "user_id")
+          .where(unix_micros(col("ts")) > col("s_us"))
+          .groupBy(col("user_id"))
+          .agg(min(unix_micros(col("ts"))).as("e_us"))
+        val horizon = ev.agg(max(unix_micros(col("ts"))).as("h_us"))
+        val obs = su.join(er, Seq("user_id"), "left")
+          .crossJoin(broadcast(horizon))
+          .select(
+            floor((coalesce(col("e_us"), col("h_us")) - col("s_us")) /
+              lit(86400000000.0)).cast("long").as("t"),
+            when(col("e_us").isNotNull, 1).otherwise(0).as("d"))
+        val nTotal = obs.agg(count(lit(1)).as("n_total"))
+        val tc = obs.groupBy("t")
+          .agg(sum(col("d")).as("d_t"), count(lit(1)).as("ending"))
+        val risk = tc.crossJoin(broadcast(nTotal))
+          .select(col("t"), col("d_t"),
+            (col("n_total") -
+              coalesce(sum(col("ending")).over(Window.orderBy(col("t"))
+                .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+              .cast("long").as("n_t"))
+        val evt = risk.where(col("d_t") > 0)
+          .select(col("t"), col("d_t"), col("n_t"),
+            when(col("d_t") < col("n_t"),
+              round(log(lit(1.0) - col("d_t").cast("double") / col("n_t")), 6))
+              .otherwise(lit(0.0)).as("lt"),
+            when(col("d_t") === col("n_t"), 1).otherwise(0).as("collapse"))
+        val km = evt.select(col("t"), col("d_t"), col("n_t"), col("collapse"),
+          sum(col("lt").cast("decimal(27,6)")).over(Window.orderBy(col("t"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .cast("double").as("cum"))
+        km.select(col("t"), col("n_t").as("n_risk"), col("d_t").as("n_events"),
+            when(col("collapse") === 1, lit(0.0))
+              .otherwise(round(exp(col("cum")), 6)).as("survival"))
+          .orderBy("t")
+      }),
+
+    // Binary block-level dedup (the content-addressable-storage view of
+    // opaque payloads, multimodal plumbing without a codec): payloads as
+    // BLOBs, fixed 64-byte blocks, per-block md5 ids, cross-corpus
+    // shared-block fractions. Shuffle carries (doc, 12-hex block id);
+    // the payload bytes never move past the scan stage.
+    // Oracle caveat: DuckDB 1.0 has neither BLOB slicing nor md5(BLOB),
+    // so the oracle hashes CHARACTER blocks of the text — byte-identical
+    // to the Spark side's binary blocks because the fixture corpus is
+    // ASCII (strlen = octet count, char slices = byte slices).
+    Q("q163_binary_blocks", Q.sql(s"""
+        WITH pay AS (SELECT doc_id AS id, text AS b FROM documents),
+        blk AS (
+          SELECT DISTINCT id,
+            substr(md5(substr(b, p * $BlockBytes + 1, $BlockBytes)), 1, 12) AS bh
+          FROM pay, LATERAL (
+            SELECT unnest(generate_series(0,
+              CAST(ceil(strlen(b) / ${BlockBytes.toDouble}) AS INT) - 1)) AS p) t),
+        dfx AS (SELECT bh, count(*) AS df FROM blk GROUP BY 1)
+        SELECT blk.id AS doc_id, count(*) AS n_blocks,
+          CAST(sum(CASE WHEN dfx.df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+          round(CAST(sum(CASE WHEN dfx.df >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS shared_frac
+        FROM blk JOIN dfx USING (bh)
+        GROUP BY 1 ORDER BY 1"""))(
+      (s, dir) => {
+        val pay = T(s, dir, "documents")
+          .select(col("doc_id").as("id"), col("text").cast("binary").as("b"))
+        val blk = pay
+          .select(col("id"), col("b"),
+            explode(sequence(lit(0),
+              ceil(length(col("b")) / lit(BlockBytes.toDouble)).cast("int") - 1))
+              .as("p"))
+          .select(col("id"),
+            substring(md5(expr(s"substring(b, p * $BlockBytes + 1, $BlockBytes)")),
+              1, 12).as("bh"))
+          .distinct()
+        val dfx = blk.groupBy("bh").agg(count(lit(1)).as("df"))
+        blk.join(dfx, "bh")
+          .groupBy(col("id"))
+          .agg(count(lit(1)).as("n_blocks"),
+            sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_shared"))
+          .select(col("id").as("doc_id"), col("n_blocks"), col("n_shared"),
+            round(col("n_shared").cast("double") / col("n_blocks"), 6)
+              .as("shared_frac"))
+          .orderBy("doc_id")
+      })
+  )
+}
