@@ -28,8 +28,14 @@ object Triangles {
   /** `edges`: undirected edges as (a, b) pairs, either or both
     * directions; self-loops and duplicate pairs are dropped here.
     * Returns one row per triangle: (v1, v2, v3) with v1 < v2 < v3.
+    *
+    * `broadcastDegrees`: the degree frame is node-sized — broadcast
+    * keeps the two orientation joins map-side for dimension-like node
+    * sets (same trade-off as [[PageRank.run]]'s rank vector); pass
+    * false when the node set outgrows executor memory and the joins
+    * fall back to shuffle equi-joins.
     */
-  def triangles(edges: DataFrame): DataFrame = {
+  def triangles(edges: DataFrame, broadcastDegrees: Boolean = true): DataFrame = {
     // Cached: consumed by the degree count (twice via the union), the
     // orientation join, the wedge self-join, and the closure join — an
     // uncached plan recomputes the caller's (often expensive) edge
@@ -43,11 +49,10 @@ object Triangles {
       .groupBy("v").agg(count(lit(1)).as("deg"))
     // Orient lower-(deg, id) -> higher, carrying the destination's
     // degree (the wedge join needs it to order wedge endpoints by the
-    // same key). The degree frame is node-sized — broadcast keeps the
-    // two decorating joins map-side for dimension-like node sets; drop
-    // the hint when nodes outgrow executor memory.
-    val dl = broadcast(deg.select(col("v").as("lo"), col("deg").as("dlo")))
-    val dh = broadcast(deg.select(col("v").as("hi"), col("deg").as("dhi")))
+    // same key).
+    def hinted(df: DataFrame) = if (broadcastDegrees) broadcast(df) else df
+    val dl = hinted(deg.select(col("v").as("lo"), col("deg").as("dlo")))
+    val dh = hinted(deg.select(col("v").as("hi"), col("deg").as("dhi")))
     val loFirst = col("dlo") < col("dhi") ||
       (col("dlo") === col("dhi") && col("lo") < col("hi"))
     // Cached: the wedge join reads it twice and the closure join once.

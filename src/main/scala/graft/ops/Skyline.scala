@@ -29,8 +29,14 @@ object Skyline {
   /** Skyline rows of `df` minimizing `mnCol`, maximizing `mxCol` —
     * returns the input rows (all columns) on the frontier, including
     * duplicate frontier points.
+    *
+    * `broadcastFrontier`: the frontier is skyline-sized (usually tiny),
+    * but an adversarial strictly-improving staircase makes it as large
+    * as the distinct `mnCol` set — pass false there and the join-back
+    * becomes a shuffle equi-join.
     */
-  def pareto(df: DataFrame, mnCol: Column, mxCol: Column): DataFrame = {
+  def pareto(df: DataFrame, mnCol: Column, mxCol: Column,
+             broadcastFrontier: Boolean = true): DataFrame = {
     val groups = df.groupBy(mnCol.as("_mn")).agg(max(mxCol).as("_gmax"))
     val w = Window.orderBy(col("_mn"))
       .rowsBetween(Window.unboundedPreceding, -1)
@@ -38,7 +44,7 @@ object Skyline {
       .withColumn("_run", max(col("_gmax")).over(w))
       .where(col("_run").isNull || col("_gmax") > col("_run"))
       .select(col("_mn"), col("_gmax"))
-    df.join(broadcast(frontier),
+    df.join(if (broadcastFrontier) broadcast(frontier) else frontier,
         mnCol === col("_mn") && mxCol === col("_gmax"))
       .drop("_mn", "_gmax")
   }

@@ -274,6 +274,155 @@ object DepthQueries {
             round(col("n_shared").cast("double") / col("n_blocks"), 6)
               .as("shared_frac"))
           .orderBy("doc_id")
+      }),
+
+    // Rolling 7-day distinct users via HLL sketch MERGE: per-day
+    // registers built once (≤ 2^p rows/day), each day's trailing window
+    // answered by merging 7 register sets — the sketch-algebra
+    // alternative to q118's exact explode (at 100 TB the day registers
+    // are stored once and every window/rollup is answered from them,
+    // never from the events). Exact counts reported for the error view.
+    Q("q164_hll_rolling", {
+      val p = 6
+      val mi = 1 << p
+      val maxRho = 48 - p + 1
+      Q.sql(s"""
+        WITH ev AS (
+          SELECT CAST(ts AS DATE) AS day, user_id,
+            ${graft.functions.PortableSql.hexToLong(
+              "md5(CAST(user_id AS VARCHAR))", 12)} AS h
+          FROM events),
+        r AS (
+          SELECT day, h % $mi AS bucket,
+            max(CASE WHEN CAST(floor(h / $mi) AS BIGINT) = 0 THEN $maxRho
+                     ELSE CAST(bit_count((CAST(floor(h / $mi) AS BIGINT) & (-CAST(floor(h / $mi) AS BIGINT))) - 1) AS BIGINT) + 1 END) AS max_rho
+          FROM ev GROUP BY 1, 2),
+        spine AS (SELECT DISTINCT day FROM r),
+        merged AS (
+          SELECT s.day, r.bucket, max(r.max_rho) AS max_rho
+          FROM spine s JOIN r ON r.day BETWEEN s.day - 6 AND s.day
+          GROUP BY 1, 2),
+        ${graft.sketch.Hll.oracleEstimatorCtes("hx", "merged", "day", p)},
+        exact AS (
+          SELECT s.day, count(DISTINCT e.user_id) AS exact_n
+          FROM spine s JOIN ev e ON e.day BETWEEN s.day - 6 AND s.day
+          GROUP BY 1)
+        SELECT hx.day, exact.exact_n, round(est, 6) AS hll_est,
+          round(abs(est - exact_n) / exact_n, 6) AS rel_err
+        FROM hx JOIN exact ON hx.day = exact.day
+        ORDER BY 1""")
+    })(
+      (s, dir) => {
+        import graft.sketch.Hll
+        val p = 6
+        val ev = graft.ops.Frames.cached(T(s, dir, "events")
+          .select(to_date(col("ts")).as("day"), col("user_id")))
+        val regs = graft.ops.Frames.cached(
+          Hll.registersBy(ev, col("user_id"), Seq("day"), p))
+        val spine = regs.select(col("day")).distinct()
+        val merged = spine.join(regs.withColumnRenamed("day", "day_r"),
+            col("day_r") >= date_sub(col("day"), 6) &&
+              col("day_r") <= col("day"))
+          .groupBy(col("day"), col("bucket"))
+          .agg(max(col("max_rho")).as("max_rho"))
+        val est = Hll.estimateBy(merged, Seq("day"), p)
+        val exact = spine.join(ev.withColumnRenamed("day", "day_e"),
+            col("day_e") >= date_sub(col("day"), 6) &&
+              col("day_e") <= col("day"))
+          .groupBy(col("day"))
+          .agg(countDistinct(col("user_id")).as("exact_n"))
+        est.join(exact, "day")
+          .select(col("day"), col("exact_n"),
+            round(col("hll_est"), 6).as("hll_est"),
+            round(abs(col("hll_est") - col("exact_n")) / col("exact_n"), 6)
+              .as("rel_err"))
+          .orderBy("day")
+      }),
+
+    // Set-similarity suite over 3-token shingle sets: containment
+    // (|A∩B|/|A| — catches quotes/excerpts that Jaccard misses), Dice,
+    // and overlap coefficient, for ordered pairs above 50% containment.
+    // Same posting-list equi-join scale shape as q35.
+    Q("q165_containment", Q.sql(s"""
+        WITH w AS (
+          SELECT doc_id AS id,
+            string_split(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')), ' ') AS ws
+          FROM documents),
+        shr AS (
+          SELECT id, ws[pos] || ' ' || ws[pos+1] || ' ' || ws[pos+2] AS shingle
+          FROM w, LATERAL (SELECT unnest(generate_series(1, greatest(len(ws) - 2, 0))) AS pos) t),
+        sh AS (
+          SELECT DISTINCT id, ${graft.functions.PortableSql.hexToLong("md5(shingle)", 12)} AS shash
+          FROM shr),
+        cnt AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY 1),
+        inter AS (
+          SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_inter
+          FROM sh a JOIN sh b ON a.shash = b.shash AND a.id <> b.id
+          GROUP BY 1, 2)
+        SELECT id_a, id_b, n_inter,
+          round(CAST(n_inter AS DOUBLE) / ca.n_sh, 6) AS containment,
+          round(CAST(2.0 AS DOUBLE) * n_inter / (ca.n_sh + cb.n_sh), 6) AS dice,
+          round(CAST(n_inter AS DOUBLE) / least(ca.n_sh, cb.n_sh), 6) AS overlap_coef
+        FROM inter
+        JOIN cnt ca ON ca.id = id_a
+        JOIN cnt cb ON cb.id = id_b
+        WHERE CAST(n_inter AS DOUBLE) / ca.n_sh >= 0.5
+        ORDER BY 1, 2"""))(
+      (s, dir) => {
+        import graft.dedup.Dedup
+        val sh = graft.ops.Frames.cached(Dedup.shingleHashSet(
+          T(s, dir, "documents"), col("doc_id"), col("text"), 3))
+        val cnt = Dedup.shingleCounts(sh)
+        val inter = sh.toDF("id_a", "shash")
+          .join(sh.toDF("id_b", "shash2"),
+            col("shash") === col("shash2") && col("id_a") =!= col("id_b"))
+          .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_inter"))
+        inter
+          .join(cnt.toDF("id_a", "n_a"), "id_a")
+          .join(cnt.toDF("id_b", "n_b"), "id_b")
+          .where(col("n_inter").cast("double") / col("n_a") >= 0.5)
+          .select(col("id_a"), col("id_b"), col("n_inter"),
+            round(col("n_inter").cast("double") / col("n_a"), 6)
+              .as("containment"),
+            round(lit(2.0) * col("n_inter") / (col("n_a") + col("n_b")), 6)
+              .as("dice"),
+            round(col("n_inter").cast("double") /
+              least(col("n_a"), col("n_b")), 6).as("overlap_coef"))
+          .orderBy("id_a", "id_b")
+      }),
+
+    // First-touch attribution (contrast q117's last-touch): the EARLIEST
+    // click in the 7 days before each purchase, via a banded range join
+    // + min — which acquisition touchpoint gets credit under each model
+    // is exactly this pair of queries.
+    Q("q166_first_touch", Q.sql("""
+        WITH pur AS (
+          SELECT event_id AS purchase_id, user_id, epoch_us(ts) AS p_us
+          FROM events WHERE event_type = 'purchase'),
+        clk AS (
+          SELECT event_id AS click_id, user_id, epoch_us(ts) AS c_us
+          FROM events WHERE event_type = 'click')
+        SELECT purchase_id, pur.user_id AS user_id,
+          CAST(min(CASE WHEN c_us >= p_us - 604800000000 AND c_us <= p_us
+            THEN c_us END) AS BIGINT) AS first_click_us,
+          CAST(count(CASE WHEN c_us >= p_us - 604800000000 AND c_us <= p_us
+            THEN 1 END) AS BIGINT) AS n_touches
+        FROM pur LEFT JOIN clk ON pur.user_id = clk.user_id
+        GROUP BY 1, 2 ORDER BY 1"""))(
+      (s, dir) => {
+        val ev = T(s, dir, "events")
+        val pur = ev.where(col("event_type") === "purchase")
+          .select(col("event_id").as("purchase_id"),
+            col("user_id"), unix_micros(col("ts")).as("p_us"))
+        val clk = ev.where(col("event_type") === "click")
+          .select(col("user_id").as("cu"), unix_micros(col("ts")).as("c_us"))
+        val win = col("c_us") >= col("p_us") - lit(604800000000L) &&
+          col("c_us") <= col("p_us")
+        pur.join(clk, col("user_id") === col("cu"), "left")
+          .groupBy(col("purchase_id"), col("user_id"))
+          .agg(min(when(win, col("c_us"))).as("first_click_us"),
+            count(when(win, lit(1))).as("n_touches"))
+          .orderBy("purchase_id")
       })
   )
 }

@@ -102,6 +102,37 @@ object Hll {
     registers.groupBy((toGroups :+ "bucket").map(col): _*)
       .agg(max(col("max_rho")).as("max_rho"))
 
+  /** DuckDB replay of [[estimateBy]] over a register CTE
+    * `regsFrom(groupCol, bucket, max_rho)`: emits CTEs
+    * `{prefix}_s/{prefix}_e/{prefix}` with `{prefix}(groupCol, est)` —
+    * the exact estimator expression shape, so results hash-match
+    * bit-for-bit (dyadic register inverses are IEEE-exact in any sum
+    * order; see [[estimateBy]]).
+    */
+  def oracleEstimatorCtes(prefix: String, regsFrom: String, groupCol: String,
+                          p: Int): String = {
+    val m = (1 << p).toDouble
+    val alpha = 0.7213 / (1.0 + 1.079 / m)
+    val alphaM2 = graft.functions.PortableSql.doubleLit(alpha * m * m)
+    val mi = 1 << p
+    val lim = graft.functions.PortableSql.doubleLit(2.5 * m)
+    s"""${prefix}_s AS (
+         SELECT $groupCol, count(*) AS n_present,
+           sum(CAST(1 AS DOUBLE) / (CAST(1 AS BIGINT) << max_rho)) AS s_present
+         FROM $regsFrom GROUP BY 1),
+       ${prefix}_e AS (
+         SELECT $groupCol,
+           (CAST($mi AS DOUBLE) - n_present) AS zeros,
+           CAST($alphaM2 AS DOUBLE) / (s_present + (CAST($mi AS DOUBLE) - n_present)) AS raw
+         FROM ${prefix}_s),
+       $prefix AS (
+         SELECT $groupCol,
+           CASE WHEN raw <= CAST($lim AS DOUBLE) AND zeros > 0
+                THEN CAST($mi AS DOUBLE) * ln(CAST($mi AS DOUBLE) / zeros)
+                ELSE raw END AS est
+         FROM ${prefix}_e)"""
+  }
+
   /** Driver-side estimate from a collected register table (≤ 2^p rows —
     * model-sized, like IVF's centroids). Raw HLL estimator with the
     * standard linear-counting small-range correction.
