@@ -423,6 +423,28 @@ object DepthQueries {
           .agg(min(when(win, col("c_us"))).as("first_click_us"),
             count(when(win, lit(1))).as("n_touches"))
           .orderBy("purchase_id")
+      }),
+
+    // Native top-k-per-group (graft.plans.NativeTopK): the custom
+    // Catalyst logical node + planner strategy + physical operator —
+    // size-k bounded heaps after ONE hash shuffle, no full per-group
+    // sort, no window buffering (see plans/TopKPerGroup.scala). Same
+    // semantics as q05's window form; the oracle is the window SQL.
+    Q("q167_native_topk", Q.sql("""
+        SELECT c_mktsegment, o_orderkey, o_totalprice, rank FROM (
+          SELECT c_mktsegment, o_orderkey, o_totalprice,
+            CAST(row_number() OVER (PARTITION BY c_mktsegment
+              ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rank
+          FROM orders JOIN customer ON o_custkey = c_custkey) t
+        WHERE rank <= 5 ORDER BY c_mktsegment, rank"""))(
+      (s, dir) => {
+        val joined = T(s, dir, "orders")
+          .join(broadcast(T(s, dir, "customer")),
+            col("o_custkey") === col("c_custkey"))
+          .select("c_mktsegment", "o_orderkey", "o_totalprice")
+        graft.plans.NativeTopK.topKPerGroup(joined, Seq(col("c_mktsegment")),
+            Seq(col("o_totalprice").desc, col("o_orderkey")), k = 5)
+          .orderBy("c_mktsegment", "rank")
       })
   )
 }

@@ -114,6 +114,13 @@ class MiningSpec extends SparkSpec {
     r.getLong(2) shouldBe 7L // unique min v=1.0
   }
 
+  test("Bm25 scoring joins the model tables broadcast (corpus never shuffles on content)") {
+    val docs = Seq((1L, "alpha beta"), (2L, "alpha gamma")).toDF("id", "text")
+    val plan = Bm25.score(docs, col("id"), col("text"), Seq("alpha"))
+      .queryExecution.executedPlan.toString
+    plan should include("BroadcastHashJoin")
+  }
+
   test("Bm25 ranks higher-tf docs above lower-tf docs of equal length") {
     val docs = Seq(
       (1L, "alpha alpha beta gamma"),

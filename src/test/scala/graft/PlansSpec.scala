@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.ops.Relational
+import graft.plans.NativeTopK
+
+/** Custom plan nodes: the native top-k-per-group operator. */
+class PlansSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def samples[A](g: Gen[A], n: Int): Seq[A] =
+    (0 until n).flatMap(i =>
+      g(Gen.Parameters.default.withSize(40), Seed(7L + i)))
+
+  test("NativeTopK equals the window row_number form on generated data") {
+    val rows = Gen.nonEmptyListOf(Gen.zip(
+      Gen.chooseNum(0, 4), Gen.chooseNum(0, 50)))
+    samples(rows, 8).foreach { xs =>
+      // unique tiebreak id, as the contract requires
+      val df = xs.zipWithIndex.map { case ((g, v), i) => (g, v.toDouble, i.toLong) }
+        .toDF("g", "v", "id")
+      for (k <- Seq(1, 3)) {
+        val native = NativeTopK.topKPerGroup(df, Seq(col("g")),
+            Seq(col("v").desc, col("id")), k)
+          .select("g", "v", "id", "rank")
+          .collect().map(r => (r.getInt(0), r.getDouble(1), r.getLong(2), r.getInt(3)))
+          .toSet
+        val window = Relational.topKPerGroup(df, Seq(col("g")),
+            Seq(col("v").desc, col("id")), k)
+          .select("g", "v", "id", "rank")
+          .collect().map(r => (r.getInt(0), r.getDouble(1), r.getLong(2), r.getInt(3)))
+          .toSet
+        native shouldBe window
+      }
+    }
+  }
+
+  test("NativeTopK plans the custom exec with no Sort and no Window") {
+    val df = Seq((1, 10.0, 1L), (1, 20.0, 2L), (2, 5.0, 3L)).toDF("g", "v", "id")
+    val out = NativeTopK.topKPerGroup(df, Seq(col("g")),
+      Seq(col("v").desc, col("id")), 1)
+    // the exec node prints without its Exec suffix; the plan is ONE
+    // hash exchange + the custom operator — no Sort, no Window
+    val plan = out.queryExecution.executedPlan.toString
+    plan should include("TopKPerGroup [")
+    plan should include("Exchange hashpartitioning")
+    plan should not include "Window"
+    plan should not include "Sort"
+    out.count() shouldBe 2
+  }
+
+  test("NativeTopK survives downstream use (filter, orderBy, agg on rank)") {
+    val df = Seq((1, 10.0, 1L), (1, 20.0, 2L), (1, 5.0, 3L), (2, 9.0, 4L))
+      .toDF("g", "v", "id")
+    val out = NativeTopK.topKPerGroup(df, Seq(col("g")),
+        Seq(col("v").desc, col("id")), 2)
+      .where(col("rank") === 1)
+      .orderBy("g")
+      .select("g", "v")
+      .collect().map(r => (r.getInt(0), r.getDouble(1)))
+    out.toSeq shouldBe Seq((1, 20.0), (2, 9.0))
+  }
+
+  test("NativeTopK emits fewer than k rows for small groups") {
+    val df = Seq((1, 1.0, 1L)).toDF("g", "v", "id")
+    NativeTopK.topKPerGroup(df, Seq(col("g")),
+      Seq(col("v"), col("id")), 5).count() shouldBe 1
+  }
+}

@@ -104,4 +104,64 @@ class PropertySpec extends SparkSpec {
       back.select("id", "a", "b").except(df).count() shouldBe 0L
     }
   }
+
+  test("skyline: survivors undominated, non-survivors dominated") {
+    val pts = Gen.nonEmptyListOf(
+      Gen.zip(Gen.chooseNum(0, 20), Gen.chooseNum(0, 20)))
+    samples(pts, 8).foreach { xs =>
+      val ids = xs.zipWithIndex.map { case ((p, s), i) => (i.toLong, p.toDouble, s) }
+      val sky = graft.ops.Skyline.pareto(ids.toDF("id", "mn", "mx"),
+          col("mn"), col("mx"))
+        .collect().map(_.getLong(0)).toSet
+      def dominated(a: (Long, Double, Int)) = ids.exists { b =>
+        b._2 <= a._2 && b._3 >= a._3 && (b._2 < a._2 || b._3 > a._3)
+      }
+      ids.foreach { p =>
+        if (sky(p._1)) dominated(p) shouldBe false
+        else dominated(p) shouldBe true
+      }
+    }
+  }
+
+  test("ewma stays within the min/max of its window") {
+    val series = Gen.nonEmptyListOf(Gen.chooseNum(0, 10000).map(_ / 10.0))
+    samples(series, 5).foreach { xs =>
+      val daily = xs.take(25).zipWithIndex.map { case (v, i) =>
+        (1L, java.sql.Date.valueOf(java.time.LocalDate.of(2024, 1, 1).plusDays(i)), v)
+      }
+      val out = graft.ops.TimeSeries.ewma(daily.toDF("k", "d", "x"),
+          col("k"), col("d"), col("x"))
+        .collect().map(_.getDouble(2))
+      val (lo, hi) = (daily.map(_._3).min, daily.map(_._3).max)
+      out.foreach { e =>
+        e should be >= lo - 1e-4
+        e should be <= hi + 1e-4
+      }
+    }
+  }
+
+  test("fuzzy pairs are within the distance cap and symmetric-complete") {
+    val names = Gen.nonEmptyListOf(
+      Gen.oneOf("cat", "cats", "bat", "bats", "dog", "dig", "dodge", "cart"))
+    samples(names, 5).foreach { xs =>
+      val pairs = graft.dedup.Fuzzy.matchPairs(xs.toDF("name"), col("name"), 2)
+        .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2)))
+      pairs.foreach { case (a, b, d) =>
+        a should be < b
+        d should (be >= 1 and be <= 2)
+      }
+      pairs.map(p => (p._1, p._2)).distinct.length shouldBe pairs.length
+    }
+  }
+
+  test("bootstrap weight frequencies follow Poisson(1) within tolerance") {
+    val df = (1 to 5000).map(i => i.toString).toDF("rk")
+    val freq = df.select(graft.ops.Bootstrap.weight(col("rk"), lit(7)).as("w"))
+      .groupBy("w").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    // P(0) = P(1) = e^-1 ~ .368: expect ~1839 each, sd ~ 34
+    freq(0).toDouble shouldBe 1839.0 +- 150.0
+    freq(1).toDouble shouldBe 1839.0 +- 150.0
+    freq.getOrElse(2, 0L).toDouble shouldBe 920.0 +- 120.0
+  }
 }
