@@ -445,6 +445,53 @@ object DepthQueries {
         graft.plans.NativeTopK.topKPerGroup(joined, Seq(col("c_mktsegment")),
             Seq(col("o_totalprice").desc, col("o_orderkey")), k = 5)
           .orderBy("c_mktsegment", "rank")
+      }),
+
+    // Z-ORDER OPTIMIZE end-to-end under the oracle gate (previously
+    // spec-only): lineitem converted to a versioned table, re-clustered
+    // on the Morton key of (l_partkey, l_suppkey), read back through a
+    // two-column predicate — clustering must never change results, only
+    // file-level locality (row-group min/max skipping on BOTH columns;
+    // the skipping itself is plan-asserted in ZOrderSpec).
+    Q("q169_zorder_roundtrip", Q.sql("""
+        SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity
+        FROM lineitem
+        WHERE l_partkey < 100 AND l_suppkey < 50
+        ORDER BY l_orderkey, l_linenumber"""))(
+      (s, dir) => {
+        import graft.versioned.VersionedTable
+        val cols = Seq("l_orderkey", "l_linenumber", "l_partkey",
+          "l_suppkey", "l_quantity")
+        val root = VersionedQueries.scratch(s, "zorder", dir)
+        val t = VersionedTable.create(s, root,
+          T(s, dir, "lineitem").select(cols.map(col): _*))
+        t.zorder(numFiles = 8, cols = Seq("l_partkey", "l_suppkey"))
+        t.toDF
+          .where(col("l_partkey") < 100 && col("l_suppkey") < 50)
+          .orderBy("l_orderkey", "l_linenumber")
+      }),
+
+    // Catalog DDL round-trip under the oracle gate (previously
+    // spec-only): CREATE DATABASE, saveAsTable into it, read back via
+    // the catalog identifier — the metastore path a serving layer uses.
+    Q("q170_catalog_roundtrip", Q.sql("""
+        SELECT n_nationkey, n_name, n_regionkey
+        FROM nation ORDER BY n_nationkey"""))(
+      (s, dir) => {
+        // idempotent across JVMs: a fresh metastore forgets the managed
+        // table while its warehouse location survives on disk, and the
+        // next saveAsTable dies with LOCATION_ALREADY_EXISTS — drop the
+        // catalog entry AND the orphan location before re-creating
+        graft.io.Catalog.dropDatabase(s, "graft_q170")
+        graft.io.Lake.rm(graft.io.Lake.conf(s),
+          s"${s.conf.get("spark.sql.warehouse.dir")}/graft_q170.db")
+        graft.io.Catalog.createDatabase(s, "graft_q170")
+        T(s, dir, "nation")
+          .select("n_nationkey", "n_name", "n_regionkey")
+          .write.mode("overwrite").format("parquet")
+          .saveAsTable("graft_q170.nation_rt")
+        s.table("graft_q170.nation_rt")
+          .orderBy("n_nationkey")
       })
   )
 }

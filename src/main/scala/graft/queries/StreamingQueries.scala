@@ -187,6 +187,27 @@ object StreamingQueries {
         t.toDF
           .select(viewSchema.map(col): _*)
           .orderBy("user_id")
+      }),
+
+    // Streaming SLIDING windows (2h size / 1h slide, per event type) in
+    // Complete mode — each event feeds two overlapping window states;
+    // with q64 (tumbling), q74 (session_window) and q106 (custom state)
+    // this completes the event-time window-type matrix under the oracle
+    // gate. Oracle expands the two covering windows per event with
+    // integer µs arithmetic (q24's pattern).
+    Q("q168_stream_sliding", Q.sql("""
+        SELECT make_timestamp((epoch_us(ts) // 3600000000 - j) * 3600000000) AS win_start,
+          make_timestamp(((epoch_us(ts) // 3600000000 - j) + 2) * 3600000000) AS win_end,
+          event_type, count(*) AS n
+        FROM events, (SELECT unnest([0, 1]) AS j) shifts
+        GROUP BY 1, 2, 3
+        ORDER BY win_start, event_type"""))(
+      (s, dir) => {
+        val win = Streams.slidingCounts(
+          StreamRun.eventsStream(s, dir), "ts", "2 hours", "1 hour",
+          watermark = "1 hour", keys = Seq(col("event_type")))
+        StreamRun.runToTable("q168_sink", win, OutputMode.Complete())
+          .orderBy("win_start", "event_type")
       })
   )
 }
