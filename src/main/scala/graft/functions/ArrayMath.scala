@@ -149,6 +149,175 @@ object ArrayMath {
       copy(child = newChild)
   }
 
+  /** PQ sub-codebook argmax in ONE generated loop: the code of the
+    * centroid maximizing `2·dot(sub, c) − ‖c‖²` over the subvector at
+    * `offset`, ties to the HIGHER code. Replaces a ks-way
+    * `greatest(struct(dot·2−cc, code)...)` tree whose unrolled codegen
+    * blew janino's 64 KB method limit at m=8×ks=16 (whole-stage fell
+    * back to interpreted projection) — the loop form is a few dozen
+    * bytecodes and stays compiled.
+    *
+    * Bit-identity with the struct form: the inner accumulation is the
+    * same ascending left-to-right loop as [[DotWithConst]] over
+    * `slice(emb, offset+1, dS)`; `score >= best` with ascending codes
+    * reproduces lexicographic-struct tie-breaking toward the higher
+    * code. (Sole theoretical divergence: SQL struct ordering puts -0.0
+    * < 0.0 where Java `>=` ties them — unreachable for dot products of
+    * non-degenerate reals.)
+    */
+  case class PqArgMaxCode(child: Expression, centroids: Array[Array[Double]],
+                          offset: Int) extends UnaryExpression {
+    private val normSq: Array[Double] = centroids.map(_.map(x => x * x).sum)
+
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      child.dataType match {
+        case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+        case other =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+            s"graft_pq_argmax needs array<float|double>, got ${other.simpleString}")
+      }
+    override def dataType: DataType = IntegerType
+    override def prettyName: String = "graft_pq_argmax"
+
+    private def getter: String = elementGetter(child.dataType)
+
+    override def nullSafeEval(a: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]
+      val isFloat = child.dataType match {
+        case ArrayType(FloatType, _) => true
+        case _ => false
+      }
+      var best = 0
+      var bestScore = Double.NegativeInfinity
+      var c = 0
+      while (c < centroids.length) {
+        val w = centroids(c)
+        val n = math.max(0, math.min(w.length, x.numElements() - offset))
+        var s = 0.0
+        var i = 0
+        while (i < n) {
+          s += (if (isFloat) x.getFloat(offset + i).toDouble
+                else x.getDouble(offset + i)) * w(i)
+          i += 1
+        }
+        val score = s * 2 - normSq(c)
+        if (score >= bestScore) { bestScore = score; best = c }
+        c += 1
+      }
+      best
+    }
+
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val cRef = ctx.addReferenceObj("centroids", centroids, "double[][]")
+      val nRef = ctx.addReferenceObj("normSq", normSq, "double[]")
+      nullSafeCodeGen(ctx, ev, a => {
+        val c = ctx.freshName("c")
+        val i = ctx.freshName("i")
+        val n = ctx.freshName("n")
+        val s = ctx.freshName("s")
+        val score = ctx.freshName("score")
+        val best = ctx.freshName("best")
+        val bestScore = ctx.freshName("bestScore")
+        val g = getter
+        s"""
+           |int $best = 0;
+           |double $bestScore = Double.NEGATIVE_INFINITY;
+           |for (int $c = 0; $c < $cRef.length; $c++) {
+           |  int $n = java.lang.Math.max(0,
+           |    java.lang.Math.min($cRef[$c].length, $a.numElements() - $offset));
+           |  double $s = 0.0;
+           |  for (int $i = 0; $i < $n; $i++) {
+           |    $s += (double) $a.$g($offset + $i) * $cRef[$c][$i];
+           |  }
+           |  double $score = $s * 2 - $nRef[$c];
+           |  if ($score >= $bestScore) { $bestScore = $score; $best = $c; }
+           |}
+           |${ev.value} = $best;
+         """.stripMargin
+      })
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /** Subspace dot against a runtime-indexed codebook entry:
+    * `dot(emb[mIdx·dS ..], books(mIdx)(codeIdx))` — lets a (m, code)
+    * spine frame drive ADC lookup-table construction as ONE compact
+    * expression instead of a ks·m-struct array literal (the other
+    * janino 64 KB source). Same ascending-loop accumulation as
+    * [[DotWithConst]], so values are bit-identical.
+    */
+  case class PqSubDot(first: Expression, second: Expression, third: Expression,
+                      books: Array[Array[Array[Double]]])
+      extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      (first.dataType, second.dataType, third.dataType) match {
+        case (ArrayType(FloatType, _) | ArrayType(DoubleType, _),
+              IntegerType | LongType, IntegerType | LongType) =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+        case (a, b, c) =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+            s"graft_pq_subdot needs (array<float|double>, int, int), got " +
+              s"${a.simpleString}, ${b.simpleString}, ${c.simpleString}")
+      }
+    override def dataType: DataType = DoubleType
+    override def prettyName: String = "graft_pq_subdot"
+
+    private def getter: String = elementGetter(first.dataType)
+    private def dS: Int = books(0)(0).length
+
+    override def nullSafeEval(a: Any, m: Any, c: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]
+      val mi = m match { case l: java.lang.Long => l.toInt; case i: java.lang.Integer => i.toInt }
+      val ci = c match { case l: java.lang.Long => l.toInt; case i: java.lang.Integer => i.toInt }
+      val w = books(mi)(ci)
+      val off = mi * dS
+      val n = math.max(0, math.min(w.length, x.numElements() - off))
+      val isFloat = first.dataType match {
+        case ArrayType(FloatType, _) => true
+        case _ => false
+      }
+      var s = 0.0
+      var i = 0
+      while (i < n) {
+        s += (if (isFloat) x.getFloat(off + i).toDouble
+              else x.getDouble(off + i)) * w(i)
+        i += 1
+      }
+      s
+    }
+
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val bRef = ctx.addReferenceObj("books", books, "double[][][]")
+      nullSafeCodeGen(ctx, ev, (a, m, c) => {
+        val i = ctx.freshName("i")
+        val n = ctx.freshName("n")
+        val s = ctx.freshName("s")
+        val w = ctx.freshName("w")
+        val off = ctx.freshName("off")
+        val g = getter
+        s"""
+           |double[] $w = $bRef[(int) $m][(int) $c];
+           |int $off = ((int) $m) * $dS;
+           |int $n = java.lang.Math.max(0,
+           |  java.lang.Math.min($w.length, $a.numElements() - $off));
+           |double $s = 0.0;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  $s += (double) $a.$g($off + $i) * $w[$i];
+           |}
+           |${ev.value} = $s;
+         """.stripMargin
+      })
+    }
+
+    override protected def withNewChildrenInternal(
+        newFirst: Expression, newSecond: Expression, newThird: Expression): Expression =
+      copy(first = newFirst, second = newSecond, third = newThird)
+  }
+
   /** Column-level API (classic-session bridge between public Columns and
     * catalyst Expressions).
     */
@@ -158,4 +327,12 @@ object ArrayMath {
 
   def dotConst(a: Column, w: Array[Double]): Column =
     GraftSqlBridge.column(DotWithConst(GraftSqlBridge.expression(a), w))
+
+  def pqArgMax(a: Column, centroids: Array[Array[Double]], offset: Int): Column =
+    GraftSqlBridge.column(PqArgMaxCode(GraftSqlBridge.expression(a), centroids, offset))
+
+  def pqSubDot(a: Column, m: Column, code: Column,
+               books: Array[Array[Array[Double]]]): Column =
+    GraftSqlBridge.column(PqSubDot(GraftSqlBridge.expression(a),
+      GraftSqlBridge.expression(m), GraftSqlBridge.expression(code), books))
 }

@@ -50,18 +50,16 @@ object Pq {
 
   /** Nearest sub-centroid by L2 == argmax of (2·dot − ‖c‖²): the ‖x‖²
     * term is constant within a subspace so it drops out of the argmin.
-    * Lexicographic struct max breaks exact ties toward the higher code
-    * (mirrored by the oracle's ORDER BY score DESC, code DESC).
+    * Ties break toward the higher code (mirrored by the oracle's
+    * ORDER BY score DESC, code DESC). One generated loop per subspace
+    * ([[ArrayMath.PqArgMaxCode]]) — the earlier ks-way greatest(struct)
+    * tree overflowed janino's 64 KB method limit and fell back to
+    * interpreted projection; values are bit-identical.
     */
   private def codeOf(emb: Column, books: Array[Array[Array[Double]]],
                      m: Int): Column = {
     val dS = books(m)(0).length
-    val scored = books(m).zipWithIndex.map { case (c, i) =>
-      val cc = c.map(x => x * x).sum
-      struct((ArrayMath.dotConst(subCol(emb, m, dS), c) * 2 - lit(cc))
-        .as("score"), lit(i).as("code"))
-    }
-    greatest(scored.toSeq: _*).getField("code")
+    ArrayMath.pqArgMax(emb, books(m), m * dS)
   }
 
   /** PQ-encode the corpus: one (id, m, code) row per subspace — the
@@ -87,17 +85,19 @@ object Pq {
   private def lutOf(queries: DataFrame, books: Array[Array[Array[Double]]],
                     idCol: String, embCol: String): DataFrame = {
     val ks = books(0).length
-    val dS = books(0)(0).length
-    val entries = for {
-      m <- books.indices
-      c <- 0 until ks
-    } yield struct(lit(m.toLong).as("m"), lit(c.toLong).as("code"),
-      round(ArrayMath.dotConst(subCol(col(embCol), m, dS), books(m)(c)), 6)
-        .as("d"))
-    queries.select(col(idCol).as("query_id"),
-        explode(array(entries: _*)).as("e"))
-      .select(col("query_id"), col("e.m").as("m"), col("e.code").as("code"),
-        col("e.d").as("d"))
+    // (m, code) spine × query side, dot via ONE runtime-indexed loop
+    // expression — the ks·m-struct array-literal form overflowed
+    // janino's 64 KB method limit; values are bit-identical
+    // (ArrayMath.PqSubDot runs DotWithConst's accumulation order).
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val mc = broadcast((for { m <- books.indices; c <- 0 until ks }
+      yield (m.toLong, c.toLong)).toDF("m", "code"))
+    queries.select(col(idCol).as("query_id"), col(embCol).as("_emb"))
+      .crossJoin(mc)
+      .select(col("query_id"), col("m"), col("code"),
+        round(ArrayMath.pqSubDot(col("_emb"), col("m"), col("code"), books), 6)
+          .as("d"))
   }
 
   def adcSearch(queries: DataFrame, codes: DataFrame,
