@@ -32,7 +32,8 @@ object SparkEntry {
       StreamingQueries.all ++ SketchQueries.all ++ AnalyticsQueries.all ++
       CurationQueries.all ++ QualityQueries.all ++ MiningQueries.all ++
       SelectionQueries.all ++ TrendQueries.all ++ EvalQueries.all ++
-      ClassicQueries.all ++ DepthQueries.all
+      ClassicQueries.all ++ DepthQueries.all ++ RobustQueries.all ++
+      DriftQueries.all
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0.
     * Full slice: scan -> filter -> broadcast-join -> agg -> window top-k.

@@ -1,0 +1,40 @@
+package graft.graph
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Part co-purchase graph: undirected edges (a < b) between parts that
+  * appear together in ≥ 2 orders.
+  *
+  * Built from collect_set adjacency — per-order part sets exploded into
+  * ordered pairs — which costs 2 shuffles (set agg + pair count) instead
+  * of the fact-table self-join's 3, and never materializes the order ×
+  * order join. Basket size is bounded (TPC-H ≤ 7 lines/order), so the
+  * per-row pair expansion is constant-bounded; at 100 TB the heavy key
+  * is the pair-count aggregation, a plain hash agg.
+  */
+object CoPurchase {
+
+  /** Edge list e(a, b) with a < b and co-occurrence support ≥ 2. */
+  def edges(lineitem: DataFrame): DataFrame = {
+    val sets = lineitem.groupBy(col("l_orderkey"))
+      .agg(collect_set(col("l_partkey")).as("ps"))
+    val pairs = flatten(transform(col("ps"), x =>
+      transform(filter(col("ps"), y => y > x),
+        y => struct(x.as("a"), y.as("b")))))
+    sets.select(explode(pairs).as("pr"))
+      .select(col("pr.a").as("a"), col("pr.b").as("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("n"))
+      .where(col("n") >= 2)
+      .select("a", "b")
+  }
+
+  /** DuckDB CTE chain mirroring [[edges]], ending in e(a, b). */
+  val sql: String = """
+        li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        pr AS (
+          SELECT a.p AS a, b.p AS b, count(*) AS n
+          FROM li a JOIN li b ON a.o = b.o AND a.p < b.p
+          GROUP BY 1, 2),
+        e AS (SELECT a, b FROM pr WHERE n >= 2)"""
+}

@@ -574,6 +574,183 @@ object TextQueries {
       (s, dir) =>
         graft.text.UnigramLm.score(
             T(s, dir, "documents"), col("doc_id"), col("text"))
-          .orderBy("id"))
+          .orderBy("id")),
+
+    // Language-ID evaluation: confusion-derived per-class metrics of the
+    // q31 classifier against the labeled `lang` column. Three bounded
+    // aggregations over the scored frame (classes, not rows); F1 is
+    // computed as 2·TP/(|true|+|pred|) — the harmonic identity — so no
+    // intermediate rounding enters the metric.
+    Q("q176_langid_eval", {
+      val scores = TextAnalysis.LangMarkers.map { case (l, _) =>
+        s"${langScoreSql(l)} AS score_$l"
+      }.mkString(", ")
+      val maxExpr = TextAnalysis.LangMarkers
+        .map { case (l, _) => s"score_$l" }
+        .mkString("greatest(", ", ", ")")
+      val caseArms = TextAnalysis.LangMarkers.map { case (l, _) =>
+        s"WHEN mx > 0 AND score_$l = mx THEN '$l'"
+      }.mkString(" ")
+      Q.sql(s"""
+        WITH scored AS (
+          SELECT doc_id, lang, $maxExpr AS mx,
+            CASE $caseArms ELSE 'und' END AS lang_pred
+          FROM (SELECT doc_id, lang, $scores FROM documents) raw),
+        t AS (SELECT lang AS cls, count(*) AS n_true FROM scored GROUP BY 1),
+        p AS (SELECT lang_pred AS cls, count(*) AS n_pred FROM scored GROUP BY 1),
+        hit AS (
+          SELECT lang AS cls, count(*) AS tp FROM scored
+          WHERE lang = lang_pred GROUP BY 1),
+        cls AS (SELECT cls FROM t UNION SELECT cls FROM p)
+        SELECT cls.cls AS cls,
+          coalesce(n_true, 0) AS n_true,
+          coalesce(n_pred, 0) AS n_pred,
+          coalesce(tp, 0) AS tp,
+          round(CASE WHEN coalesce(n_pred, 0) > 0
+            THEN CAST(coalesce(tp, 0) AS DOUBLE) / n_pred
+            ELSE CAST(0 AS DOUBLE) END, 6) AS prec,
+          round(CASE WHEN coalesce(n_true, 0) > 0
+            THEN CAST(coalesce(tp, 0) AS DOUBLE) / n_true
+            ELSE CAST(0 AS DOUBLE) END, 6) AS rec,
+          round(CASE WHEN coalesce(n_true, 0) + coalesce(n_pred, 0) > 0
+            THEN CAST(2 * coalesce(tp, 0) AS DOUBLE) / (coalesce(n_true, 0) + coalesce(n_pred, 0))
+            ELSE CAST(0 AS DOUBLE) END, 6) AS f1
+        FROM cls
+        LEFT JOIN t ON cls.cls = t.cls
+        LEFT JOIN p ON cls.cls = p.cls
+        LEFT JOIN hit ON cls.cls = hit.cls
+        ORDER BY cls""")
+    })(
+      (s, dir) => {
+        val langs = TextAnalysis.LangMarkers.map(_._1)
+        val padded = T(s, dir, "documents")
+          .repartition(s.sparkContext.defaultParallelism)
+          .withColumn("__pad",
+            TextAnalysis.padNorm(TextAnalysis.normalizeText(col("text"))))
+        val scored = langs.foldLeft(padded) { (d, l) =>
+          d.withColumn(s"score_$l",
+            TextAnalysis.langScoreFromPadded(col("__pad"), l))
+        }.withColumn("lang_pred", TextAnalysis.langIdFromScores(
+          langs.map(l => l -> col(s"score_$l"))))
+          .select("doc_id", "lang", "lang_pred")
+        // ONE pass over the scored docs builds the (classes² bounded)
+        // confusion cells; all three marginals derive from it. The
+        // materialize barrier is load-bearing twice over: without it the
+        // aggregation re-expands the full scoring CASE tree into its
+        // grouping keys (a >64KB non-compiling codegen stage), and each
+        // marginal would re-score the corpus.
+        val cells = graft.ops.Frames.materialize(scored)
+          .groupBy(col("lang"), col("lang_pred"))
+          .agg(count(lit(1)).as("n_cell"))
+        val t = cells.groupBy(col("lang").as("cls"))
+          .agg(sum(col("n_cell")).as("n_true"))
+        val p = cells.groupBy(col("lang_pred").as("cls"))
+          .agg(sum(col("n_cell")).as("n_pred"))
+        val hit = cells.where(col("lang") === col("lang_pred"))
+          .groupBy(col("lang").as("cls")).agg(sum(col("n_cell")).as("tp"))
+        t.join(p, Seq("cls"), "full_outer")
+          .join(hit, Seq("cls"), "left_outer")
+          .select(col("cls"),
+            coalesce(col("n_true"), lit(0L)).as("n_true"),
+            coalesce(col("n_pred"), lit(0L)).as("n_pred"),
+            coalesce(col("tp"), lit(0L)).as("tp"))
+          .select(col("cls"), col("n_true"), col("n_pred"), col("tp"),
+            round(when(col("n_pred") > 0,
+              col("tp").cast("double") / col("n_pred"))
+              .otherwise(lit(0).cast("double")), 6).as("prec"),
+            round(when(col("n_true") > 0,
+              col("tp").cast("double") / col("n_true"))
+              .otherwise(lit(0).cast("double")), 6).as("rec"),
+            round(when(col("n_true") + col("n_pred") > 0,
+              (lit(2) * col("tp")).cast("double") /
+                (col("n_true") + col("n_pred")))
+              .otherwise(lit(0).cast("double")), 6).as("f1"))
+          .orderBy("cls")
+      }),
+
+    // Heaps' law fit: vocabulary growth V(n) ≈ K·n^β over the corpus in
+    // doc_id order — log-log OLS via the shared decimal-exact moments
+    // machinery. The cumulative window runs over the per-doc frame
+    // (corpus-bounded, one row per document), token first-sightings come
+    // from one vocab-bounded aggregation.
+    Q("q177_heaps_law", Q.sql(s"""
+        WITH tok AS (
+          SELECT doc_id, unnest(string_split($normSql, ' ')) AS w
+          FROM documents),
+        per_doc AS (SELECT doc_id, count(*) AS n_tok FROM tok GROUP BY 1),
+        firstd AS (SELECT w, min(doc_id) AS fd FROM tok GROUP BY 1),
+        new_types AS (SELECT fd AS doc_id, count(*) AS nt FROM firstd GROUP BY 1),
+        cum AS (
+          SELECT d.doc_id,
+            CAST(sum(d.n_tok) OVER (ORDER BY d.doc_id) AS BIGINT) AS cum_tokens,
+            CAST(sum(coalesce(t.nt, 0)) OVER (ORDER BY d.doc_id) AS BIGINT) AS cum_types
+          FROM per_doc d LEFT JOIN new_types t ON d.doc_id = t.doc_id),
+        pts AS (
+          SELECT round(ln(CAST(cum_tokens AS DOUBLE)), 6) AS lx,
+            round(ln(CAST(cum_types AS DOUBLE)), 6) AS ly
+          FROM cum),
+        m AS (${graft.ops.Stats.oracleMomentsCte("pts", Seq("'all' AS g"),
+          "lx", "ly")})
+        SELECT g, ${graft.ops.Stats.oracleSelect}
+        FROM m ORDER BY 1"""))(
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val tok = T(s, dir, "documents")
+          .select(col("doc_id"),
+            explode(split(TextAnalysis.normalizeText(col("text")), " ")).as("w"))
+        val perDoc = tok.groupBy("doc_id").agg(count(lit(1)).as("n_tok"))
+        val newTypes = tok.groupBy("w").agg(min(col("doc_id")).as("doc_id"))
+          .groupBy("doc_id").agg(count(lit(1)).as("nt"))
+        val w = Window.orderBy(col("doc_id"))
+        val cum = perDoc.join(newTypes, Seq("doc_id"), "left_outer")
+          .select(col("doc_id"),
+            sum(col("n_tok")).over(w).as("cum_tokens"),
+            sum(coalesce(col("nt"), lit(0L))).over(w).as("cum_types"))
+        val pts = cum.select(
+          round(log(col("cum_tokens").cast("double")), 6).as("lx"),
+          round(log(col("cum_types").cast("double")), 6).as("ly"))
+        graft.ops.Stats.corrRegr(pts, Seq(lit("all").as("g")),
+            col("lx"), col("ly"))
+          .orderBy("g")
+      }),
+
+    // Zipf's law fit over the top-1000 token frequencies: ln(freq) vs
+    // ln(rank) OLS — the rank window runs over the vocab frame (bounded
+    // by corpus vocabulary, never corpus size), ties broken by token so
+    // the ranking is total and engine-identical.
+    Q("q180_zipf_slope", Q.sql(s"""
+        WITH tok AS (
+          SELECT unnest(string_split($normSql, ' ')) AS w FROM documents),
+        freq AS (SELECT w, count(*) AS f FROM tok GROUP BY 1),
+        top AS (
+          SELECT f, rnk FROM (
+            SELECT f, row_number() OVER (ORDER BY f DESC, w) AS rnk
+            FROM freq) t
+          WHERE rnk <= 1000),
+        pts AS (
+          SELECT round(ln(CAST(rnk AS DOUBLE)), 6) AS lx,
+            round(ln(CAST(f AS DOUBLE)), 6) AS ly
+          FROM top),
+        m AS (${graft.ops.Stats.oracleMomentsCte("pts", Seq("'all' AS g"),
+          "lx", "ly")})
+        SELECT g, ${graft.ops.Stats.oracleSelect}
+        FROM m ORDER BY 1"""))(
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val freq = T(s, dir, "documents")
+          .select(explode(split(
+            TextAnalysis.normalizeText(col("text")), " ")).as("w"))
+          .groupBy("w").agg(count(lit(1)).as("f"))
+        val top = freq
+          .select(col("f"), row_number()
+            .over(Window.orderBy(col("f").desc, col("w").asc)).as("rnk"))
+          .where(col("rnk") <= 1000)
+        val pts = top.select(
+          round(log(col("rnk").cast("double")), 6).as("lx"),
+          round(log(col("f").cast("double")), 6).as("ly"))
+        graft.ops.Stats.corrRegr(pts, Seq(lit("all").as("g")),
+            col("lx"), col("ly"))
+          .orderBy("g")
+      })
   )
 }
