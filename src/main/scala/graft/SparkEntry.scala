@@ -33,7 +33,8 @@ object SparkEntry {
       CurationQueries.all ++ QualityQueries.all ++ MiningQueries.all ++
       SelectionQueries.all ++ TrendQueries.all ++ EvalQueries.all ++
       ClassicQueries.all ++ DepthQueries.all ++ RobustQueries.all ++
-      DriftQueries.all
+      DriftQueries.all ++ TailQueries.all ++ FeatureQueries.all ++
+      AuditQueries.all ++ RankQueries.all ++ GrowthQueries.all
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0.
     * Full slice: scan -> filter -> broadcast-join -> agg -> window top-k.

@@ -57,6 +57,28 @@ object IoQueries {
         sample(s, dir).write.json(path)
         Readers.jsonLines(s, path, Some(schema))
           .orderBy("l_orderkey", "l_linenumber")
+      }),
+
+    // ORC sink + reader round-trip: the second columnar format (striped,
+    // splittable, predicate-pushdown-capable like parquet) — Spark's
+    // native orc reader/writer, oracled against the parquet source.
+    Q("q201_orc_roundtrip", Q.sql(oracle))(
+      (s, dir) => {
+        val path = scratch(s, "orc", dir)
+        sample(s, dir).write.orc(path)
+        s.read.schema(schema).orc(path)
+          .orderBy("l_orderkey", "l_linenumber")
+      }),
+
+    // Parquet + zstd codec round-trip: compression is a per-write codec
+    // choice (zstd ≈ gzip ratio at snappy-class speed — the 100 TB
+    // default worth flipping); the read path is codec-transparent.
+    Q("q202_zstd_roundtrip", Q.sql(oracle))(
+      (s, dir) => {
+        val path = scratch(s, "zstd", dir)
+        sample(s, dir).write.option("compression", "zstd").parquet(path)
+        s.read.parquet(path)
+          .orderBy("l_orderkey", "l_linenumber")
       })
   )
 }

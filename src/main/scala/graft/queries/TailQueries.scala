@@ -1,0 +1,319 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.PortableSql
+import graft.ops.Relational.dsum
+import graft.sketch.Hll
+import graft.text.TextAnalysis
+
+/** Round-5 batch 13: sketch-algebra set intersection (HLL
+  * inclusion-exclusion), one-way ANOVA, the Gini coefficient,
+  * least-squares mean-shift changepoint, and the Hill tail-index
+  * estimator — each oracle-checked bit-for-bit vs DuckDB.
+  */
+object TailQueries {
+
+  private def T(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  private val normSql = "lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))"
+
+  /** HLL precision for the vocab-overlap sketches (2^8 = 256 buckets —
+    * ±6.5% standard error, plenty to rank overlaps; the point is the
+    * ALGEBRA: intersection estimated from three sketches, no rescan).
+    */
+  private val P = 8
+
+  private val HillK = 500
+
+  def all: Seq[Q] = Seq(
+
+    // HLL set intersection via inclusion-exclusion: vocabulary overlap
+    // of two document sources from THREE sketches (A, B, max-merged
+    // union) — |A∩B| ≈ est(A)+est(B)−est(A∪B), plus the sketch Jaccard.
+    // Exact values computed alongside for calibration. At 100 TB the
+    // sketches are 2^p rows each, built in one pass, mergeable shard-by-
+    // shard; the exact path exists only because the fixture is small.
+    Q("q186_hll_intersect", {
+      val m = (1 << P).toDouble
+      val alpha = 0.7213 / (1.0 + 1.079 / m)
+      val alphaM2 = PortableSql.doubleLit(alpha * m * m)
+      val mi = 1 << P
+      val maxRho = 48 - P + 1
+      Q.sql(s"""
+        WITH tok AS (
+          SELECT source, unnest(string_split($normSql, ' ')) AS w
+          FROM documents WHERE source IN ('src0', 'src1')),
+        dw AS (SELECT DISTINCT source, w FROM tok),
+        h AS (
+          SELECT source, ${PortableSql.hexToLong("md5(w)", 12)} AS h
+          FROM dw),
+        b AS (
+          SELECT source, h % $mi AS bucket,
+            CAST(floor(h / $mi) AS BIGINT) AS w
+          FROM h),
+        r AS (
+          SELECT source, bucket,
+            max(CASE WHEN w = 0 THEN $maxRho
+                     ELSE CAST(bit_count((w & (-w)) - 1) AS BIGINT) + 1 END) AS max_rho
+          FROM b GROUP BY 1, 2),
+        ar AS (
+          SELECT source AS scope, bucket, max_rho FROM r
+          UNION ALL
+          SELECT 'UNION', bucket, max(max_rho) FROM r GROUP BY 2),
+        ${Hll.oracleEstimatorCtes("hx", "ar", "scope", P)},
+        w_est AS (
+          SELECT
+            max(CASE WHEN scope = 'src0' THEN est END) AS est_a,
+            max(CASE WHEN scope = 'src1' THEN est END) AS est_b,
+            max(CASE WHEN scope = 'UNION' THEN est END) AS est_u
+          FROM hx),
+        exact AS (
+          SELECT
+            count(DISTINCT CASE WHEN source = 'src0' THEN w END) AS exact_a,
+            count(DISTINCT CASE WHEN source = 'src1' THEN w END) AS exact_b,
+            count(DISTINCT w) AS exact_u
+          FROM dw)
+        SELECT round(est_a, 6) AS est_a, round(est_b, 6) AS est_b,
+          round(est_u, 6) AS est_union,
+          round(est_a + est_b - est_u, 6) AS est_intersect,
+          round((est_a + est_b - est_u) / est_u, 6) AS jaccard_est,
+          exact_a, exact_b, exact_u AS exact_union,
+          exact_a + exact_b - exact_u AS exact_intersect
+        FROM w_est CROSS JOIN exact""")
+    })(
+      (s, dir) => {
+        val dw = T(s, dir, "documents")
+          .where(col("source").isin("src0", "src1"))
+          .select(col("source"), explode(split(
+            TextAnalysis.normalizeText(col("text")), " ")).as("w"))
+          .distinct()
+        val r = Hll.registersBy(dw, col("w"), Seq("source"), P)
+        val ar = r.select(col("source").as("scope"), col("bucket"), col("max_rho"))
+          .unionAll(Hll.mergeBy(r, Nil)
+            .select(lit("UNION").as("scope"), col("bucket"), col("max_rho")))
+        val est = Hll.estimateBy(ar, Seq("scope"), P)
+        val wEst = est.agg(
+          max(when(col("scope") === "src0", col("hll_est"))).as("est_a"),
+          max(when(col("scope") === "src1", col("hll_est"))).as("est_b"),
+          max(when(col("scope") === "UNION", col("hll_est"))).as("est_u"))
+        val exact = dw.agg(
+          countDistinct(when(col("source") === "src0", col("w"))).as("exact_a"),
+          countDistinct(when(col("source") === "src1", col("w"))).as("exact_b"),
+          countDistinct(col("w")).as("exact_u"))
+        wEst.crossJoin(broadcast(exact))
+          .select(round(col("est_a"), 6).as("est_a"),
+            round(col("est_b"), 6).as("est_b"),
+            round(col("est_u"), 6).as("est_union"),
+            round(col("est_a") + col("est_b") - col("est_u"), 6).as("est_intersect"),
+            round((col("est_a") + col("est_b") - col("est_u")) / col("est_u"), 6)
+              .as("jaccard_est"),
+            col("exact_a"), col("exact_b"), col("exact_u").as("exact_union"),
+            (col("exact_a") + col("exact_b") - col("exact_u")).as("exact_intersect"))
+      }),
+
+    // One-way ANOVA: does mean daily revenue differ by weekday? F from
+    // per-group decimal-exact moments (ONE agg over the day frame);
+    // between/within sums-of-squares are rounded per-group terms,
+    // decimal-summed — order-free on both engines. DuckDB dayofweek is
+    // 0=Sunday vs Spark 1=Sunday: the oracle adds 1. Revenue is scaled
+    // to MILLIONS first (SS in (M$)²): DuckDB's round(x, s) goes
+    // through x·10^s in binary double, so rounded values must stay ≲1e9
+    // or the two engines' roundings drift — keep every moment small.
+    Q("q187_anova_weekday", Q.sql("""
+        WITH daily AS (
+          SELECT CAST(o_orderdate AS DATE) AS day,
+            round(CAST(sum(CAST(o_totalprice AS DECIMAL(27,4))) AS DOUBLE)
+              / CAST(1000000 AS DOUBLE), 10) AS rev
+          FROM orders GROUP BY 1),
+        g AS (
+          SELECT dayofweek(day) + 1 AS dow, count(*) AS n_g,
+            CAST(sum(CAST(rev AS DECIMAL(27,10)) ) AS DOUBLE) AS s1,
+            CAST(sum(CAST(round(rev * rev, 10) AS DECIMAL(27,10))) AS DOUBLE) AS s2
+          FROM daily GROUP BY 1),
+        tot AS (
+          SELECT CAST(sum(n_g) AS BIGINT) AS n, count(*) AS k,
+            CAST(sum(CAST(s1 AS DECIMAL(27,10))) AS DOUBLE) AS gsum
+          FROM g),
+        parts AS (
+          SELECT
+            CAST(sum(CAST(round(s1 * s1 / n_g, 6) AS DECIMAL(27,6))) AS DOUBLE) AS sum_sq_over_n,
+            CAST(sum(CAST(round(s2 - s1 * s1 / n_g, 6) AS DECIMAL(27,6))) AS DOUBLE) AS ssw
+          FROM g)
+        SELECT k, n,
+          round(sum_sq_over_n - gsum * gsum / n, 6) AS ssb,
+          round(ssw, 6) AS ssw,
+          round(((sum_sq_over_n - gsum * gsum / n) / (k - 1)) / (ssw / (n - k)), 6) AS f_stat
+        FROM parts CROSS JOIN tot"""))(
+      (s, dir) => {
+        val daily = T(s, dir, "orders")
+          .groupBy(to_date(col("o_orderdate")).as("day"))
+          .agg(round(dsum(col("o_totalprice"), 4) /
+            lit(1000000).cast("double"), 10).as("rev"))
+        val g = daily.groupBy(dayofweek(col("day")).as("dow"))
+          .agg(count(lit(1)).as("n_g"),
+            dsum(col("rev"), 10).as("s1"),
+            dsum(round(col("rev") * col("rev"), 10), 10).as("s2"))
+        val tot = g.agg(sum(col("n_g")).as("n"), count(lit(1)).as("k"),
+          dsum(col("s1"), 10).as("gsum"))
+        val parts = g.agg(
+          sum(round(col("s1") * col("s1") / col("n_g"), 6)
+            .cast("decimal(27,6)")).cast("double").as("sum_sq_over_n"),
+          sum(round(col("s2") - col("s1") * col("s1") / col("n_g"), 6)
+            .cast("decimal(27,6)")).cast("double").as("ssw"))
+        parts.crossJoin(broadcast(tot))
+          .select(col("k"), col("n"),
+            round(col("sum_sq_over_n") - col("gsum") * col("gsum") / col("n"), 6)
+              .as("ssb"),
+            round(col("ssw"), 6).as("ssw"),
+            round(((col("sum_sq_over_n") - col("gsum") * col("gsum") / col("n")) /
+              (col("k") - 1)) / (col("ssw") / (col("n") - col("k"))), 6)
+              .as("f_stat"))
+      }),
+
+    // Gini coefficient of customer revenue concentration via the exact
+    // rank formula G = (2·Σi·xᵢ − (n+1)·Σx)/(n·Σx) on ascending-sorted
+    // integer cents — every term integer-exact (rank·cents products
+    // decimal(38,0)-summed), ONE final double division. The rank window
+    // runs over the per-customer frame.
+    Q("q188_gini", Q.sql("""
+        WITH cr AS (
+          SELECT o_custkey,
+            CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS cents
+          FROM orders GROUP BY 1),
+        rk AS (
+          SELECT cents,
+            row_number() OVER (ORDER BY cents, o_custkey) AS i
+          FROM cr),
+        s AS (
+          SELECT count(*) AS n,
+            CAST(sum(cents) AS DECIMAL(38,0)) AS sx,
+            CAST(sum(i * cents) AS DECIMAL(38,0)) AS six
+          FROM rk)
+        SELECT n,
+          round(CAST(sx AS DOUBLE) / n / CAST(100 AS DOUBLE), 6) AS mean_revenue,
+          round(CAST(2 * six - (n + 1) * sx AS DOUBLE) /
+            CAST(n * sx AS DOUBLE), 6) AS gini
+        FROM s"""))(
+      (s, dir) => {
+        val cr = T(s, dir, "orders")
+          .groupBy(col("o_custkey"))
+          .agg(sum(round(col("o_totalprice") * 100, 0).cast("long"))
+            .as("cents"))
+        val rk = cr.select(col("cents"),
+          row_number().over(Window.orderBy(col("cents"), col("o_custkey")))
+            .cast("long").as("i"))
+        val sm = rk.agg(count(lit(1)).as("n"),
+          sum(col("cents").cast("decimal(38,0)")).as("sx"),
+          sum((col("i") * col("cents")).cast("decimal(38,0)")).as("six"))
+        sm.select(col("n"),
+          round(col("sx").cast("double") / col("n") / lit(100).cast("double"), 6)
+            .as("mean_revenue"),
+          round((lit(2) * col("six") - (col("n") + 1) * col("sx")).cast("double") /
+            (col("n") * col("sx")).cast("double"), 6).as("gini"))
+      }),
+
+    // Least-squares mean-shift changepoint over the daily revenue
+    // series: the split maximizing L²/t + R²/(n−t) (equivalently the
+    // max between-segment sum of squares). Prefix sums are integer
+    // cents over the DAY frame; the scan is one window pass + one
+    // ranked selection, tie-break earliest day.
+    Q("q189_mean_shift", Q.sql("""
+        WITH daily AS (
+          SELECT CAST(o_orderdate AS DATE) AS day,
+            CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS cents
+          FROM orders GROUP BY 1),
+        tot AS (
+          SELECT CAST(sum(cents) AS BIGINT) AS g, count(*) AS n FROM daily),
+        cum AS (
+          SELECT day,
+            CAST(sum(cents) OVER (ORDER BY day) AS BIGINT) AS l,
+            row_number() OVER (ORDER BY day) AS t
+          FROM daily),
+        sc AS (
+          SELECT day, t, l, g, n,
+            CAST(l AS DOUBLE) * l / t + CAST(g - l AS DOUBLE) * (g - l) / (n - t) AS score
+          FROM cum CROSS JOIN tot WHERE t < n),
+        best AS (
+          SELECT * FROM (
+            SELECT *, row_number() OVER (ORDER BY score DESC, day) AS rn FROM sc) b
+          WHERE rn = 1)
+        SELECT day AS split_day, t AS n_left, n - t AS n_right,
+          round(CAST(l AS DOUBLE) / t / CAST(100 AS DOUBLE), 6) AS mean_left,
+          round(CAST(g - l AS DOUBLE) / (n - t) / CAST(100 AS DOUBLE), 6) AS mean_right,
+          round(CAST(g - l AS DOUBLE) / (n - t) / CAST(100 AS DOUBLE)
+            - CAST(l AS DOUBLE) / t / CAST(100 AS DOUBLE), 6) AS shift
+        FROM best"""))(
+      (s, dir) => {
+        val daily = T(s, dir, "orders")
+          .groupBy(to_date(col("o_orderdate")).as("day"))
+          .agg(sum(round(col("o_totalprice") * 100, 0).cast("long"))
+            .as("cents"))
+        val tot = daily.agg(sum(col("cents")).as("g"), count(lit(1)).as("n"))
+        val w = Window.orderBy(col("day"))
+        val cum = daily.select(col("day"),
+          sum(col("cents")).over(w).as("l"),
+          row_number().over(w).cast("long").as("t"))
+        val sc = cum.crossJoin(broadcast(tot))
+          .where(col("t") < col("n"))
+          .select(col("day"), col("t"), col("l"), col("g"), col("n"),
+            (col("l").cast("double") * col("l") / col("t") +
+              (col("g") - col("l")).cast("double") * (col("g") - col("l")) /
+                (col("n") - col("t"))).as("score"))
+        val best = sc
+          .withColumn("rn", row_number()
+            .over(Window.orderBy(col("score").desc, col("day").asc)))
+          .where(col("rn") === 1)
+        best.select(col("day").as("split_day"),
+          col("t").as("n_left"), (col("n") - col("t")).as("n_right"),
+          round(col("l").cast("double") / col("t") / lit(100).cast("double"), 6)
+            .as("mean_left"),
+          round((col("g") - col("l")).cast("double") / (col("n") - col("t")) /
+            lit(100).cast("double"), 6).as("mean_right"),
+          round((col("g") - col("l")).cast("double") / (col("n") - col("t")) /
+            lit(100).cast("double") -
+            col("l").cast("double") / col("t") / lit(100).cast("double"), 6)
+            .as("shift"))
+      }),
+
+    // Hill tail-index estimator over the top-k order statistics of
+    // o_totalprice: H = mean(ln xᵢ − ln x₍ₖ₊₁₎), α̂ = 1/H — the
+    // heavy-tail exponent behind capacity planning and power-law
+    // checks. Rank window + rounded-log decimal sum; k is fixed so the
+    // tail frame is constant-bounded at any scale.
+    Q("q190_hill_tail", Q.sql(s"""
+        WITH rk AS (
+          SELECT o_totalprice AS x,
+            row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS r
+          FROM orders),
+        xk1 AS (SELECT x AS xk FROM rk WHERE r = ${HillK + 1}),
+        tail AS (
+          SELECT round(ln(x) - ln(xk), 8) AS lterm
+          FROM rk CROSS JOIN xk1 WHERE r <= $HillK)
+        SELECT $HillK AS k, round(max(xk), 6) AS x_k1,
+          round(CAST(sum(CAST(lterm AS DECIMAL(27,8))) AS DOUBLE) / $HillK, 6) AS hill_h,
+          round(CAST($HillK AS DOUBLE) /
+            CAST(sum(CAST(lterm AS DECIMAL(27,8))) AS DOUBLE), 6) AS tail_alpha
+        FROM tail CROSS JOIN xk1"""))(
+      (s, dir) => {
+        val rk = T(s, dir, "orders")
+          .select(col("o_totalprice").as("x"),
+            row_number().over(Window.orderBy(col("o_totalprice").desc,
+              col("o_orderkey"))).cast("long").as("r"))
+        val xk1 = rk.where(col("r") === HillK + 1).select(col("x").as("xk"))
+        val tail = rk.where(col("r") <= HillK)
+          .crossJoin(broadcast(xk1))
+          .select(round(log(col("x")) - log(col("xk")), 8).as("lterm"),
+            col("xk"))
+        tail.agg(
+            sum(col("lterm").cast("decimal(27,8)")).cast("double").as("sl"),
+            max(col("xk")).as("xk"))
+          .select(lit(HillK).as("k"), round(col("xk"), 6).as("x_k1"),
+            round(col("sl") / HillK, 6).as("hill_h"),
+            round(lit(HillK).cast("double") / col("sl"), 6).as("tail_alpha"))
+      }))
+}
