@@ -69,8 +69,11 @@ object EvalQueries {
             col("text"), Bm25Terms)
           .join(T(s, dir, "documents").select(col("doc_id").as("id"),
             when(col("lang") === "en", 1).otherwise(0).as("rel")), "id")
-        val ranked = scored.select(col("rel"),
-          row_number().over(Window.orderBy(col("score").desc, col("id"))).as("r"))
+        // materialize: both the dcg agg and the ideal re-rank consume this
+        // frame — without the barrier the full BM25 scoring pass runs twice
+        val ranked = graft.ops.Frames.materialize(
+          scored.select(col("rel"),
+            row_number().over(Window.orderBy(col("score").desc, col("id"))).as("r")))
         val ideal = ranked.select(col("rel"),
           row_number().over(Window.orderBy(col("rel").desc, col("r"))).as("ri"))
         def term(rank: org.apache.spark.sql.Column, k: Int) =

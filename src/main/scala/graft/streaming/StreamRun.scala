@@ -98,13 +98,24 @@ object StreamRun {
   def runToTable(name: String, stream: DataFrame, mode: OutputMode): DataFrame = {
     val spark = stream.sparkSession
     spark.catalog.dropTempView(name)
-    val q = stream.writeStream
-      .format("memory")
-      .queryName(name)
-      .outputMode(mode)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    // Stateful operators create one state-store instance per shuffle
+    // partition PER micro-batch, and each pays a commit (checkpoint
+    // write) regardless of row count — at replay scale the per-partition
+    // overhead dominates the actual data. 8 partitions is plenty for the
+    // fixture volumes; production unbounded runs size this to the
+    // cluster instead. The conf is read at query START, so the
+    // set/restore brackets only this stream's lifetime.
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = stream.writeStream
+        .format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
     spark.table(name)
   }
 }
