@@ -55,7 +55,12 @@ object PageRank {
     // (node, deg) is consumed by every iteration — pin it. Its key set is
     // exactly the node set (no-dangling contract), so the rank vector
     // seeds from it and the node count is one driver scalar off it.
-    val deg = materialize(e.groupBy("src").agg(count(lit(1)).as("deg")))
+    // The (node, scalar) frames are model-sized — coalesce before each
+    // barrier so per-round cost isn't 32 near-empty tasks + 32 block
+    // writes per checkpoint (local replay; at cluster scale size to the
+    // rank vector, not the default shuffle width).
+    val deg = materialize(
+      e.groupBy("src").agg(count(lit(1)).as("deg")).coalesce(4))
     val n = deg.count()
     val base = (1.0 - damping) / n
     def bc(df: DataFrame): DataFrame = if (broadcastRanks) broadcast(df) else df
@@ -80,7 +85,7 @@ object PageRank {
       // Truncate the recurrence per round ((node, pr) rows only): without
       // this, executing rank(k) re-executes every prior round's join.
       // The last round stays lazy — the caller's action materializes it.
-      rank = if (it < iters) materialize(next) else next
+      rank = if (it < iters) materialize(next.coalesce(4)) else next
     }
     rank
   }
