@@ -34,7 +34,8 @@ object SparkEntry {
       SelectionQueries.all ++ TrendQueries.all ++ EvalQueries.all ++
       ClassicQueries.all ++ DepthQueries.all ++ RobustQueries.all ++
       DriftQueries.all ++ TailQueries.all ++ FeatureQueries.all ++
-      AuditQueries.all ++ RankQueries.all ++ GrowthQueries.all
+      AuditQueries.all ++ RankQueries.all ++ GrowthQueries.all ++
+      DiagQueries.all
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0.
     * Full slice: scan -> filter -> broadcast-join -> agg -> window top-k.
