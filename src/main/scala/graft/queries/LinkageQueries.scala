@@ -1,0 +1,173 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.StringSim
+import graft.ops.Relational.dsum
+import graft.text.TextAnalysis
+
+/** Round-5 batch 20: record linkage + subword statistics — blocked
+  * Levenshtein matching, Jaro-Winkler vocabulary linkage via the native
+  * [[graft.functions.StringSim.JaroWinkler]] expression, BPE first-merge
+  * pair statistics, and Jensen-Shannon source-vs-corpus divergence —
+  * each oracle-checked bit-for-bit vs DuckDB.
+  */
+object LinkageQueries {
+
+  private def T(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  private val normSql = "lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))"
+
+  def all: Seq[Q] = Seq(
+
+    // Blocked Levenshtein linkage over part names: candidate pairs are
+    // generated only inside a (brand, size) block — the classic linkage
+    // blocking that turns O(n²) into Σ block², each block dimension-
+    // bounded — then scored with the codegen'd edit distance both
+    // engines implement identically. At 100 TB the block key is the
+    // shuffle key; no cross-block pair ever materializes.
+    Q("q219_lev_linkage", Q.sql("""
+        SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+          a.p_name AS name_a, b.p_name AS name_b,
+          CAST(levenshtein(a.p_name, b.p_name) AS INT) AS dist
+        FROM part a JOIN part b
+          ON a.p_brand = b.p_brand AND a.p_size = b.p_size
+          AND a.p_partkey < b.p_partkey
+        WHERE levenshtein(a.p_name, b.p_name) <= 4
+        ORDER BY 1, 2"""))(
+      (s, dir) => {
+        val p = T(s, dir, "part")
+        val a = p.select(col("p_partkey").as("id_a"), col("p_name").as("name_a"),
+          col("p_brand").as("brand"), col("p_size").as("size"))
+        val b = p.select(col("p_partkey").as("id_b"), col("p_name").as("name_b"),
+          col("p_brand").as("brand"), col("p_size").as("size"))
+        a.join(b, Seq("brand", "size"))
+          .where(col("id_a") < col("id_b"))
+          .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
+          .where(col("dist") <= 4)
+          .select("id_a", "id_b", "name_a", "name_b", "dist")
+          .orderBy("id_a", "id_b")
+      }),
+
+    // Jaro-Winkler linkage across the corpus vocabulary: every distinct
+    // token pair (vocab is corpus-bounded, never corpus-sized) scored
+    // with the native expression — codegen semantics verified against
+    // DuckDB's jaro_winkler_similarity (0.7 boost threshold, prefix 4,
+    // weight 0.1). The near-identical pairs are tokenizer-merge /
+    // typo-unification candidates.
+    Q("q220_jw_linkage", Q.sql(s"""
+        WITH v AS (
+          SELECT DISTINCT unnest(string_split_regex($normSql, '\\s+')) AS tok
+          FROM documents)
+        SELECT a.tok AS tok_a, b.tok AS tok_b,
+          round(jaro_winkler_similarity(a.tok, b.tok), 6) AS jw
+        FROM v a JOIN v b ON a.tok < b.tok
+        WHERE round(jaro_winkler_similarity(a.tok, b.tok), 6) >= 0.7
+        ORDER BY 1, 2"""))(
+      (s, dir) => {
+        val v = T(s, dir, "documents")
+          .select(explode(TextAnalysis.tokens(
+            TextAnalysis.normalizeText(col("text")))).as("tok"))
+          .distinct()
+        val a = v.select(col("tok").as("tok_a"))
+        val b = v.select(col("tok").as("tok_b"))
+        a.join(b, col("tok_a") < col("tok_b"))
+          .withColumn("jw",
+            round(StringSim.jaroWinklerCol(col("tok_a"), col("tok_b")), 6))
+          .where(col("jw") >= 0.7)
+          .orderBy("tok_a", "tok_b")
+      }),
+
+    // BPE first-merge statistics: the frequency of every adjacent
+    // character pair across the corpus, weighted by token occurrence —
+    // the exact quantity byte-pair-encoding training maximizes at each
+    // merge step. Two bounded frames: token counts (vocab-bounded hash
+    // agg over the corpus) then pair explosion over the VOCAB (never the
+    // corpus) — at 100 TB only the first agg touches the data.
+    Q("q221_bpe_pairs", Q.sql(s"""
+        WITH toks AS (
+          SELECT tok, count(*) AS n FROM (
+            SELECT unnest(string_split_regex($normSql, '\\s+')) AS tok
+            FROM documents) t
+          WHERE length(tok) >= 2 GROUP BY 1),
+        pairs AS (
+          SELECT substr(tok, CAST(i AS INT), 2) AS pair, n
+          FROM toks, unnest(range(1, length(tok))) AS r(i)),
+        agg AS (
+          SELECT pair, CAST(sum(n) AS BIGINT) AS n_occ,
+            CAST(count(*) AS BIGINT) AS n_types
+          FROM pairs GROUP BY 1)
+        SELECT pair, n_occ, n_types FROM agg
+        ORDER BY n_occ DESC, pair LIMIT 40"""))(
+      (s, dir) =>
+        T(s, dir, "documents")
+          .select(explode(TextAnalysis.tokens(
+            TextAnalysis.normalizeText(col("text")))).as("tok"))
+          .where(length(col("tok")) >= 2)
+          .groupBy("tok").agg(count(lit(1)).as("n"))
+          .select(col("n"),
+            explode(expr("transform(sequence(1, length(tok) - 1), i -> substring(tok, i, 2))"))
+              .as("pair"))
+          .groupBy("pair")
+          .agg(sum(col("n")).as("n_occ"), count(lit(1)).as("n_types"))
+          .orderBy(col("n_occ").desc, col("pair").asc)
+          .limit(40)),
+
+    // Jensen-Shannon divergence of each source's token distribution vs
+    // the whole corpus — the bounded-[0, ln 2] drift score used to spot
+    // outlier shards/domains before training. Laplace-smoothed over the
+    // corpus vocab (source×vocab spine is sources·vocab, data-free);
+    // per-cell log terms rounded then decimal-summed, like q182's PSI.
+    Q("q222_jsd_sources", Q.sql(s"""
+        WITH toks AS (
+          SELECT source, unnest(string_split_regex($normSql, '\\s+')) AS tok
+          FROM documents),
+        cnt AS (SELECT source, tok, count(*) AS c FROM toks GROUP BY 1, 2),
+        vocab AS (SELECT tok, CAST(sum(c) AS BIGINT) AS cg FROM cnt GROUP BY 1),
+        srcn AS (SELECT source, CAST(sum(c) AS BIGINT) AS ns FROM cnt GROUP BY 1),
+        tot AS (SELECT CAST(sum(cg) AS BIGINT) AS ng,
+          CAST(count(*) AS BIGINT) AS nv FROM vocab),
+        dense AS (
+          SELECT s.source,
+            (CAST(coalesce(c.c, 0) AS DOUBLE) + 1) / (CAST(s.ns AS DOUBLE) + t.nv) AS p,
+            (CAST(v.cg AS DOUBLE) + 1) / (CAST(t.ng AS DOUBLE) + t.nv) AS q
+          FROM srcn s CROSS JOIN vocab v CROSS JOIN tot t
+          LEFT JOIN cnt c ON c.source = s.source AND c.tok = v.tok),
+        terms AS (
+          SELECT source,
+            round(0.5 * p * ln(p / ((p + q) / 2))
+              + 0.5 * q * ln(q / ((p + q) / 2)), 9) AS term
+          FROM dense)
+        SELECT source, round(CAST(sum(CAST(term AS DECIMAL(27,9))) AS DOUBLE), 6) AS jsd
+        FROM terms GROUP BY 1 ORDER BY 1"""))(
+      (s, dir) => {
+        val cnt = T(s, dir, "documents")
+          .select(col("source"), explode(TextAnalysis.tokens(
+            TextAnalysis.normalizeText(col("text")))).as("tok"))
+          .groupBy("source", "tok").agg(count(lit(1)).as("c"))
+        val vocab = cnt.groupBy("tok").agg(sum(col("c")).as("cg"))
+        val srcn = cnt.groupBy("source").agg(sum(col("c")).as("ns"))
+        val tot = vocab.agg(sum(col("cg")).as("ng"), count(lit(1)).as("nv"))
+        val spine = srcn.crossJoin(broadcast(vocab)).crossJoin(broadcast(tot))
+        val dense = spine
+          .join(cnt, Seq("source", "tok"), "left_outer")
+          .select(col("source"),
+            ((coalesce(col("c"), lit(0L)).cast("double") + 1) /
+              (col("ns").cast("double") + col("nv"))).as("p"),
+            ((col("cg").cast("double") + 1) /
+              (col("ng").cast("double") + col("nv"))).as("q"))
+        dense
+          .select(col("source"),
+            round(lit(0.5) * col("p") * log(col("p") / ((col("p") + col("q")) / 2)) +
+              lit(0.5) * col("q") * log(col("q") / ((col("p") + col("q")) / 2)), 9)
+              .as("term"))
+          .groupBy("source")
+          .agg(sum(col("term").cast("decimal(27,9)")).cast("double").as("jsd"))
+          .select(col("source"), round(col("jsd"), 6).as("jsd"))
+          .orderBy("source")
+      })
+  )
+}

@@ -1,0 +1,202 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.ops.Relational.dsum
+
+/** Round-5 batch 19: the remaining canonical TPC-H shapes adapted to the
+  * driver fixtures — Q7 (bidirectional volume shipping), Q13 (customer
+  * order-count distribution), Q17 (small-quantity revenue), Q19
+  * (disjunctive pushdown), Q22 (global-threshold anti-join) — each
+  * oracle-checked bit-for-bit vs DuckDB.
+  *
+  * Adaptations (fixture lacks l_shipmode/l_container/c_phone/partsupp):
+  * Q13's comment filter becomes a priority filter, Q17's container
+  * predicate becomes p_type, Q22's phone country code becomes the last
+  * two digits of c_name.
+  */
+object TpchQueries {
+
+  private def T(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  def all: Seq[Q] = Seq(
+
+    // TPC-H Q7 (volume shipping): revenue flowing between two nations in
+    // either direction, by shipment year. The fact joins supplier and
+    // (via orders) customer, then each side's nation — all four dims
+    // broadcast, so the 100 TB fact never shuffles for the join; the
+    // nation-pair filter collapses the aggregate to 2 nations × 2 years.
+    Q("q214_tpch_q7", Q.sql("""
+        SELECT supp_nation, cust_nation, l_year,
+          CAST(sum(CAST(volume AS DECIMAL(27,8))) AS DOUBLE) AS revenue
+        FROM (
+          SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+            year(CAST(l_shipdate AS DATE)) AS l_year,
+            l_extendedprice * (1 - l_discount) AS volume
+          FROM lineitem
+          JOIN orders ON o_orderkey = l_orderkey
+          JOIN supplier ON s_suppkey = l_suppkey
+          JOIN customer ON c_custkey = o_custkey
+          JOIN nation n1 ON s_nationkey = n1.n_nationkey
+          JOIN nation n2 ON c_nationkey = n2.n_nationkey
+          WHERE ((n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_11')
+              OR (n1.n_name = 'NATION_11' AND n2.n_name = 'NATION_2'))
+            AND year(CAST(l_shipdate AS DATE)) BETWEEN 1996 AND 1997
+        ) shipping
+        GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"""))(
+      (s, dir) => {
+        val n1 = broadcast(T(s, dir, "nation")
+          .select(col("n_nationkey").as("n1_key"), col("n_name").as("supp_nation")))
+        val n2 = broadcast(T(s, dir, "nation")
+          .select(col("n_nationkey").as("n2_key"), col("n_name").as("cust_nation")))
+        T(s, dir, "lineitem")
+          .where(year(to_date(col("l_shipdate"))).between(1996, 1997))
+          .join(T(s, dir, "orders"), col("o_orderkey") === col("l_orderkey"))
+          .join(broadcast(T(s, dir, "supplier")), col("s_suppkey") === col("l_suppkey"))
+          .join(broadcast(T(s, dir, "customer")), col("c_custkey") === col("o_custkey"))
+          .join(n1, col("s_nationkey") === col("n1_key"))
+          .join(n2, col("c_nationkey") === col("n2_key"))
+          .where((col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_11") ||
+            (col("supp_nation") === "NATION_11" && col("cust_nation") === "NATION_2"))
+          .groupBy(col("supp_nation"), col("cust_nation"),
+            year(to_date(col("l_shipdate"))).as("l_year"))
+          .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 8)
+            .as("revenue"))
+          .orderBy("supp_nation", "cust_nation", "l_year")
+      }),
+
+    // TPC-H Q13 (customer distribution): histogram of customers by order
+    // count, keeping zero-order customers via the LEFT join. The
+    // groupBy(custkey) is key-bounded (|customer|); the histogram frame
+    // is count-bounded (≤ max orders per customer) — both tiny at 100 TB.
+    Q("q215_tpch_q13", Q.sql("""
+        SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+        FROM (
+          SELECT c_custkey, count(o_orderkey) AS c_count
+          FROM customer
+          LEFT JOIN orders ON c_custkey = o_custkey
+            AND o_orderpriority <> '1-URGENT'
+          GROUP BY 1
+        ) c_orders
+        GROUP BY 1 ORDER BY custdist DESC, c_count DESC"""))(
+      (s, dir) =>
+        T(s, dir, "customer")
+          .join(T(s, dir, "orders").where(col("o_orderpriority") =!= "1-URGENT"),
+            col("c_custkey") === col("o_custkey"), "left")
+          .groupBy("c_custkey")
+          .agg(count(col("o_orderkey")).as("c_count"))
+          .groupBy("c_count")
+          .agg(count(lit(1)).as("custdist"))
+          .orderBy(col("custdist").desc, col("c_count").desc)),
+
+    // TPC-H Q17 (small-quantity-order revenue): lines whose quantity is
+    // under 20% of their part's average, for one brand/type slice.
+    // Spark-first: the correlated scalar subquery becomes a per-part
+    // aggregate joined back — the threshold frame is part-bounded and
+    // broadcastable. avg stays exact because l_quantity is integral
+    // (exact double sum) over an exact count — one final IEEE division
+    // both engines agree on.
+    Q("q216_tpch_q17", Q.sql("""
+        WITH thresholds AS (
+          SELECT l_partkey AS t_partkey,
+            0.2 * (sum(l_quantity) / count(*)) AS qty_cut
+          FROM lineitem GROUP BY 1)
+        SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(27,8))) / 7.0
+            AS DOUBLE) AS avg_yearly,
+          CAST(count(*) AS BIGINT) AS n_lines
+        FROM lineitem
+        JOIN part ON p_partkey = l_partkey
+        JOIN thresholds ON t_partkey = l_partkey
+        WHERE p_brand = 'Brand#23' AND p_type = 'SMALL'
+          AND l_quantity < qty_cut"""))(
+      (s, dir) => {
+        val li = T(s, dir, "lineitem")
+        val thresholds = li.groupBy(col("l_partkey").as("t_partkey"))
+          .agg((lit(0.2) * (sum(col("l_quantity")) / count(lit(1))))
+            .as("qty_cut"))
+        li.join(broadcast(T(s, dir, "part"))
+            .where(col("p_brand") === "Brand#23" && col("p_type") === "SMALL"),
+            col("p_partkey") === col("l_partkey"))
+          .join(thresholds, col("t_partkey") === col("l_partkey"))
+          .where(col("l_quantity") < col("qty_cut"))
+          .agg((sum(col("l_extendedprice").cast("decimal(27,8)")) / lit(7.0))
+            .cast("double").as("avg_yearly"),
+            count(lit(1)).as("n_lines"))
+      }),
+
+    // TPC-H Q19 (discounted revenue, disjunctive predicate): three
+    // brand/size/quantity OR-blocks. The brand/size arms push to the
+    // part scan and the quantity envelope (1..30) pushes to the fact
+    // scan BEFORE the join — the OR only evaluates on join survivors.
+    Q("q217_tpch_q19", Q.sql("""
+        SELECT CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+            AS DECIMAL(27,8))) AS DOUBLE) AS revenue,
+          CAST(count(*) AS BIGINT) AS n_lines
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+            AND l_quantity BETWEEN 1 AND 11)
+           OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+            AND l_quantity BETWEEN 10 AND 20)
+           OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35
+            AND l_quantity BETWEEN 20 AND 30)"""))(
+      (s, dir) => {
+        val arm1 = col("p_brand") === "Brand#12" &&
+          col("p_size").between(1, 15) && col("l_quantity").between(1, 11)
+        val arm2 = col("p_brand") === "Brand#23" &&
+          col("p_size").between(1, 25) && col("l_quantity").between(10, 20)
+        val arm3 = col("p_brand") === "Brand#34" &&
+          col("p_size").between(1, 35) && col("l_quantity").between(20, 30)
+        T(s, dir, "lineitem")
+          .where(col("l_quantity").between(1, 30)) // pushdown envelope
+          .join(broadcast(T(s, dir, "part")
+            .where(col("p_brand").isin("Brand#12", "Brand#23", "Brand#34") &&
+              col("p_size").between(1, 35))),
+            col("p_partkey") === col("l_partkey"))
+          .where(arm1 || arm2 || arm3)
+          .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 8)
+            .as("revenue"), count(lit(1)).as("n_lines"))
+      }),
+
+    // TPC-H Q22 (global-threshold anti-join): customers from selected
+    // "country codes" (last two digits of c_name) with above-average
+    // positive balance and no recent orders (every fixture customer
+    // orders eventually, so the anti-join is on the trailing window).
+    // The scalar threshold is one exact decimal-sum aggregate broadcast
+    // into the filter; the inactivity test is a left-anti join.
+    Q("q218_tpch_q22", Q.sql("""
+        WITH threshold AS (
+          SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+            / count(*) AS avg_bal
+          FROM customer WHERE c_acctbal > 0.0)
+        SELECT substr(c_name, length(c_name) - 1, 2) AS cntrycode,
+          CAST(count(*) AS BIGINT) AS numcust,
+          CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+        FROM customer, threshold
+        WHERE substr(c_name, length(c_name) - 1, 2)
+            IN ('13', '31', '23', '29', '30', '18', '17')
+          AND c_acctbal > avg_bal
+          AND c_custkey NOT IN (SELECT o_custkey FROM orders
+            WHERE CAST(o_orderdate AS DATE) >= DATE '1999-01-01')
+        GROUP BY 1 ORDER BY 1"""))(
+      (s, dir) => {
+        val cust = T(s, dir, "customer")
+          .withColumn("cntrycode", substring(col("c_name"), -2, 2))
+          .where(col("cntrycode").isin("13", "31", "23", "29", "30", "18", "17"))
+        val threshold = T(s, dir, "customer").where(col("c_acctbal") > 0.0)
+          .agg((sum(col("c_acctbal").cast("decimal(18,2)")).cast("double")
+            / count(lit(1))).as("avg_bal"))
+        cust.crossJoin(broadcast(threshold))
+          .where(col("c_acctbal") > col("avg_bal"))
+          .join(T(s, dir, "orders")
+            .where(to_date(col("o_orderdate")) >= lit("1999-01-01")),
+            col("c_custkey") === col("o_custkey"), "left_anti")
+          .groupBy("cntrycode")
+          .agg(count(lit(1)).as("numcust"),
+            dsum(col("c_acctbal"), 2).as("totacctbal"))
+          .orderBy("cntrycode")
+      })
+  )
+}
