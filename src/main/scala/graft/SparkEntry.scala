@@ -35,7 +35,8 @@ object SparkEntry {
       ClassicQueries.all ++ DepthQueries.all ++ RobustQueries.all ++
       DriftQueries.all ++ TailQueries.all ++ FeatureQueries.all ++
       AuditQueries.all ++ RankQueries.all ++ GrowthQueries.all ++
-      DiagQueries.all ++ TpchQueries.all ++ LinkageQueries.all
+      DiagQueries.all ++ TpchQueries.all ++ LinkageQueries.all ++
+      WarehouseQueries.all
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0.
     * Full slice: scan -> filter -> broadcast-join -> agg -> window top-k.

@@ -1,0 +1,243 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.graph.CoPurchase
+import graft.ops.Frames.materialize
+import graft.ops.Relational.dsum
+
+/** Round-5 batch 21: warehouse-modeling depth — explicit GROUPING SETS,
+  * SCD Type-2 dimension building, weighted shortest paths (Bellman-Ford
+  * rounds), and semi-additive balance carry-forward — each oracle-checked
+  * bit-for-bit vs DuckDB.
+  */
+object WarehouseQueries {
+
+  private def T(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  private val BfRounds = 3
+
+  /** Fixed relaxation rounds as chained MATERIALIZED CTEs (the SQL mirror
+    * of the Spark loop; inlining would re-expand the edge scan per round).
+    */
+  private def bellmanFordCtes(rounds: Int): String =
+    (1 to rounds).map { i =>
+      s"""d$i AS MATERIALIZED (
+           SELECT v, min(dist) AS dist FROM (
+             SELECT v, dist FROM d${i - 1}
+             UNION ALL
+             SELECT adj.v, p.dist + adj.w AS dist
+             FROM adj JOIN d${i - 1} p ON adj.u = p.v) c
+           GROUP BY 1)"""
+    }.mkString(",\n")
+
+  def all: Seq[Q] = Seq(
+
+    // Explicit GROUPING SETS: one pass produces the (status, priority)
+    // matrix, the status margin, and the priority margin — but NOT the
+    // grand total (the asymmetry rollup/cube can't express). grouping()
+    // flags disambiguate margin rows from genuine NULL keys. One shuffle
+    // produces all three granularities — at 100 TB this replaces three
+    // separate scans.
+    Q("q223_grouping_sets", Q.sql("""
+        SELECT o_orderstatus, o_orderpriority,
+          CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+          CAST(GROUPING(o_orderpriority) AS INT) AS g_priority,
+          CAST(sum(CAST(o_totalprice AS DECIMAL(27,4))) AS DOUBLE) AS revenue,
+          CAST(count(*) AS BIGINT) AS n_orders
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+          (o_orderstatus), (o_orderpriority))
+        ORDER BY 3, 4, 1, 2"""))(
+      (s, dir) =>
+        T(s, dir, "orders")
+          .groupingSets(
+            Seq(Seq(col("o_orderstatus"), col("o_orderpriority")),
+              Seq(col("o_orderstatus")), Seq(col("o_orderpriority"))),
+            col("o_orderstatus"), col("o_orderpriority"))
+          .agg(grouping(col("o_orderstatus")).cast("int").as("g_status"),
+            grouping(col("o_orderpriority")).cast("int").as("g_priority"),
+            dsum(col("o_totalprice"), 4).as("revenue"),
+            count(lit(1)).as("n_orders"))
+          .select("o_orderstatus", "o_orderpriority", "g_status",
+            "g_priority", "revenue", "n_orders")
+          .orderBy("g_status", "g_priority", "o_orderstatus", "o_orderpriority")),
+
+    // SCD Type-2 dimension build: each user's event_type history becomes
+    // versioned rows with [valid_from, valid_to) day intervals and a
+    // current flag. Day-granularity state = last event of the day
+    // (row_number tie-broken on ts, event_id); change detection via lag;
+    // interval ends via lead. Everything shuffles ONCE on user_id —
+    // the three windows share the partitioning.
+    Q("q224_scd2_build", Q.sql("""
+        WITH daily AS (
+          SELECT user_id, CAST(ts AS DATE) AS day, event_type AS state
+          FROM (
+            SELECT user_id, ts, event_type,
+              row_number() OVER (
+                PARTITION BY user_id, CAST(ts AS DATE)
+                ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events) t
+          WHERE rn = 1),
+        changes AS (
+          SELECT user_id, day, state,
+            lag(state) OVER w AS prev_state
+          FROM daily WINDOW w AS (PARTITION BY user_id ORDER BY day)),
+        versions AS (
+          SELECT user_id, day AS valid_from, state,
+            row_number() OVER w AS version,
+            lead(day) OVER w AS valid_to
+          FROM changes
+          WHERE prev_state IS NULL OR state <> prev_state
+          WINDOW w AS (PARTITION BY user_id ORDER BY day))
+        SELECT user_id, version, state, valid_from, valid_to,
+          CAST(valid_to IS NULL AS INT) AS is_current
+        FROM versions ORDER BY user_id, version"""))(
+      (s, dir) => {
+        val byUserDay = Window.partitionBy(col("user_id"), to_date(col("ts")))
+          .orderBy(col("ts").desc, col("event_id").desc)
+        val byUser = Window.partitionBy(col("user_id")).orderBy(col("day"))
+        val daily = T(s, dir, "events")
+          .withColumn("rn", row_number().over(byUserDay))
+          .where(col("rn") === 1)
+          .select(col("user_id"), to_date(col("ts")).as("day"),
+            col("event_type").as("state"))
+        daily
+          .withColumn("prev_state", lag(col("state"), 1).over(byUser))
+          .where(col("prev_state").isNull || col("state") =!= col("prev_state"))
+          .withColumn("version", row_number().over(byUser))
+          .withColumn("valid_to", lead(col("day"), 1).over(byUser))
+          .select(col("user_id"), col("version"), col("state"),
+            col("day").as("valid_from"), col("valid_to"),
+            col("valid_to").isNull.cast("int").as("is_current"))
+          .orderBy("user_id", "version")
+      }),
+
+    // Weighted shortest paths (Bellman-Ford, 3 relaxation rounds) from
+    // the hub of the co-purchase graph, edge weight 1/support (frequent
+    // co-purchase = close). Each round is one join + one min-agg,
+    // frontier materialized to truncate lineage — q183's BFS upgraded
+    // with weights; double min/add chains are replayed identically by
+    // the oracle.
+    Q("q225_bellman_ford", Q.sql(s"""
+        WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        pr AS (
+          SELECT a.p AS a, b.p AS b, count(*) AS n
+          FROM li a JOIN li b ON a.o = b.o AND a.p < b.p
+          GROUP BY 1, 2),
+        we AS (SELECT a, b, round(1.0 / n, 9) AS w FROM pr WHERE n >= 2),
+        adj AS MATERIALIZED (
+          SELECT a AS v, b AS u, w FROM we UNION ALL SELECT b, a, w FROM we),
+        deg AS (SELECT v, count(*) AS dg FROM adj GROUP BY 1),
+        src AS (SELECT v FROM deg ORDER BY dg DESC, v LIMIT 1),
+        d0 AS MATERIALIZED (SELECT v, CAST(0.0 AS DOUBLE) AS dist FROM src),
+        ${bellmanFordCtes(BfRounds)}
+        SELECT v, round(dist, 9) AS dist FROM d$BfRounds ORDER BY v"""))(
+      (s, dir) => {
+        // pair-gen via collect_set expansion (CoPurchase.edges's 2-shuffle
+        // shape — the oracle's DISTINCT self-join counts the same pairs)
+        val sets = T(s, dir, "lineitem").groupBy(col("l_orderkey"))
+          .agg(collect_set(col("l_partkey")).as("ps"))
+        val pairCol = flatten(transform(col("ps"), x =>
+          transform(filter(col("ps"), y => y > x),
+            y => struct(x.as("a"), y.as("b")))))
+        val pr = sets.select(explode(pairCol).as("pr"))
+          .select(col("pr.a").as("a"), col("pr.b").as("b"))
+          .groupBy("a", "b").agg(count(lit(1)).as("n"))
+          .where(col("n") >= 2)
+          .withColumn("w", round(lit(1.0) / col("n"), 9))
+        // model-sized frames: keep the per-round shuffles narrow
+        val adj = materialize(
+          pr.select(col("a").as("v"), col("b").as("u"), col("w"))
+            .unionAll(pr.select(col("b"), col("a"), col("w"))).coalesce(8))
+        val src = adj.groupBy("v").agg(count(lit(1)).as("dg"))
+          .orderBy(col("dg").desc, col("v").asc).limit(1)
+        var dist = src.select(col("v"), lit(0.0).as("dist"))
+        for (_ <- 1 to BfRounds) {
+          dist = materialize(
+            dist.unionAll(
+              adj.join(dist.withColumnRenamed("v", "x")
+                  .withColumnRenamed("dist", "pdist"),
+                col("u") === col("x"))
+                .select(col("v"), (col("pdist") + col("w")).as("dist")))
+              .groupBy("v").agg(min(col("dist")).as("dist")).coalesce(8))
+        }
+        dist.select(col("v"), round(col("dist"), 9).as("dist")).orderBy("v")
+      }),
+
+    // Semi-additive balance carry-forward: month-end account balance per
+    // customer (running decimal cumsum), carried across silent months
+    // with last-non-null over the customer×month spine, then summed per
+    // month — the warehouse pattern for balances/inventory where SUM
+    // over time is meaningless. The spine is customers×months (never
+    // order-sized); the cumsum shuffles once on custkey.
+    Q("q226_semi_additive", Q.sql("""
+        WITH bal AS (
+          SELECT o_custkey AS cust,
+            (year(CAST(o_orderdate AS DATE)) * 12
+              + month(CAST(o_orderdate AS DATE)) - 1) AS mser,
+            CAST(sum(CAST(o_totalprice AS DECIMAL(27,4))) OVER (
+              PARTITION BY o_custkey
+              ORDER BY CAST(o_orderdate AS DATE), o_orderkey
+              ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS run_bal,
+            row_number() OVER (
+              PARTITION BY o_custkey,
+                year(CAST(o_orderdate AS DATE)) * 12
+                  + month(CAST(o_orderdate AS DATE)) - 1
+              ORDER BY CAST(o_orderdate AS DATE) DESC, o_orderkey DESC) AS rn
+          FROM orders),
+        eom AS (SELECT cust, mser, run_bal FROM bal WHERE rn = 1),
+        bounds AS (SELECT min(mser) AS lo, max(mser) AS hi FROM eom),
+        spine AS (
+          SELECT c.cust, CAST(m.mser AS BIGINT) AS mser
+          FROM (SELECT DISTINCT cust FROM eom) c
+          CROSS JOIN (SELECT unnest(range((SELECT lo FROM bounds),
+            (SELECT hi FROM bounds) + 1)) AS mser FROM bounds) m),
+        filled AS (
+          SELECT s.mser,
+            last_value(e.run_bal IGNORE NULLS) OVER (
+              PARTITION BY s.cust ORDER BY s.mser
+              ROWS UNBOUNDED PRECEDING) AS bal
+          FROM spine s LEFT JOIN eom e ON e.cust = s.cust AND e.mser = s.mser)
+        SELECT make_date(CAST(mser // 12 AS INT), CAST(mser % 12 AS INT) + 1, 1) AS month,
+          CAST(count(bal) AS BIGINT) AS n_accounts,
+          CAST(sum(CAST(bal AS DECIMAL(27,4))) AS DOUBLE) AS total_balance
+        FROM filled GROUP BY 1 ORDER BY 1"""))(
+      (s, dir) => {
+        val d = to_date(col("o_orderdate"))
+        val mser = (year(d) * 12 + month(d) - 1).cast("bigint")
+        val byCust = Window.partitionBy(col("o_custkey"))
+          .orderBy(d, col("o_orderkey"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val bal = T(s, dir, "orders")
+          .select(col("o_custkey").as("cust"), mser.as("mser"), d.as("d"),
+            col("o_orderkey").as("okey"),
+            sum(col("o_totalprice").cast("decimal(27,4)")).over(byCust)
+              .cast("double").as("run_bal"))
+        // last-in-month via struct-max hash agg ((d, okey) is unique):
+        // partial-aggregates map-side instead of a second window sort
+        val eom = bal.groupBy("cust", "mser")
+          .agg(max(struct(col("d"), col("okey"), col("run_bal")))
+            .getField("run_bal").as("run_bal"))
+        val bounds = eom.agg(min(col("mser")).as("lo"), max(col("mser")).as("hi"))
+        val spine = eom.select("cust").distinct()
+          .crossJoin(broadcast(bounds))
+          .select(col("cust"), explode(sequence(col("lo"), col("hi"))).as("mser"))
+        val carry = Window.partitionBy(col("cust")).orderBy(col("mser"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        spine
+          .join(eom, Seq("cust", "mser"), "left_outer")
+          .select(col("mser"), last(col("run_bal"), ignoreNulls = true)
+            .over(carry).as("bal"))
+          .groupBy(make_date((col("mser") / 12).cast("int"),
+            (col("mser") % 12).cast("int") + 1, lit(1)).as("month"))
+          .agg(count(col("bal")).as("n_accounts"),
+            dsum(col("bal"), 4).as("total_balance"))
+          .orderBy("month")
+      })
+  )
+}
