@@ -7,10 +7,11 @@ import graft.Tables
 import graft.ops.Relational.dsum
 
 /** Round-5 batch 19: the remaining canonical TPC-H shapes adapted to the
-  * driver fixtures — Q7 (bidirectional volume shipping), Q13 (customer
-  * order-count distribution), Q17 (small-quantity revenue), Q19
-  * (disjunctive pushdown), Q22 (global-threshold anti-join) — each
-  * oracle-checked bit-for-bit vs DuckDB.
+  * driver fixtures — Q7 (bidirectional volume shipping), Q8 (national
+  * market share), Q13 (customer order-count distribution), Q15 (top
+  * supplier), Q17 (small-quantity revenue), Q19 (disjunctive pushdown),
+  * Q22 (global-threshold anti-join) — each oracle-checked bit-for-bit
+  * vs DuckDB.
   *
   * Adaptations (fixture lacks l_shipmode/l_container/c_phone/partsupp):
   * Q13's comment filter becomes a priority filter, Q17's container
@@ -158,6 +159,95 @@ object TpchQueries {
           .where(arm1 || arm2 || arm3)
           .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 8)
             .as("revenue"), count(lit(1)).as("n_lines"))
+      }),
+
+    // TPC-H Q8 (national market share): one supplier nation's share of
+    // the revenue that one region's customers spend on one part type,
+    // by order year. Share = conditional decimal sum / total decimal
+    // sum in a single aggregation pass; all five dims broadcast, the
+    // fact filtered by the (pushed-down) type join before any shuffle.
+    Q("q230_tpch_q8", Q.sql("""
+        SELECT o_year,
+          round(CAST(sum(CASE WHEN supp_nation = 'NATION_2'
+              THEN CAST(volume AS DECIMAL(27,8)) ELSE 0 END) AS DOUBLE)
+            / CAST(sum(CAST(volume AS DECIMAL(27,8))) AS DOUBLE), 6)
+            AS mkt_share,
+          CAST(count(*) AS BIGINT) AS n_lines
+        FROM (
+          SELECT year(CAST(o_orderdate AS DATE)) AS o_year,
+            l_extendedprice * (1 - l_discount) AS volume,
+            sn.n_name AS supp_nation
+          FROM lineitem
+          JOIN part ON p_partkey = l_partkey
+          JOIN orders ON o_orderkey = l_orderkey
+          JOIN customer ON c_custkey = o_custkey
+          JOIN nation cn ON c_nationkey = cn.n_nationkey
+          JOIN region ON cn.n_regionkey = r_regionkey
+          JOIN supplier ON s_suppkey = l_suppkey
+          JOIN nation sn ON s_nationkey = sn.n_nationkey
+          WHERE r_name = 'ASIA' AND p_type = 'ECONOMY'
+        ) shares
+        GROUP BY 1 ORDER BY 1"""))(
+      (s, dir) => {
+        val cn = broadcast(T(s, dir, "nation")
+          .select(col("n_nationkey").as("cn_key"), col("n_regionkey").as("cn_region")))
+        val sn = broadcast(T(s, dir, "nation")
+          .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation")))
+        val vol = col("l_extendedprice") * (lit(1) - col("l_discount"))
+        T(s, dir, "lineitem")
+          .join(broadcast(T(s, dir, "part")
+            .where(col("p_type") === "ECONOMY")),
+            col("p_partkey") === col("l_partkey"))
+          .join(T(s, dir, "orders"), col("o_orderkey") === col("l_orderkey"))
+          .join(broadcast(T(s, dir, "customer")), col("c_custkey") === col("o_custkey"))
+          .join(cn, col("c_nationkey") === col("cn_key"))
+          .join(broadcast(T(s, dir, "region")
+            .where(col("r_name") === "ASIA")),
+            col("cn_region") === col("r_regionkey"))
+          .join(broadcast(T(s, dir, "supplier")), col("s_suppkey") === col("l_suppkey"))
+          .join(sn, col("s_nationkey") === col("sn_key"))
+          .groupBy(year(to_date(col("o_orderdate"))).as("o_year"))
+          .agg(round(
+            sum(when(col("supp_nation") === "NATION_2",
+              vol.cast("decimal(27,8)")).otherwise(lit(0))).cast("double") /
+              sum(vol.cast("decimal(27,8)")).cast("double"), 6).as("mkt_share"),
+            count(lit(1)).as("n_lines"))
+          .orderBy("o_year")
+      }),
+
+    // TPC-H Q15 (top supplier): quarterly revenue per supplier, keep the
+    // supplier(s) achieving the maximum. The max is computed on the
+    // EXACT decimal (no double cast before the equality join — ties must
+    // be exact); the scalar max broadcasts into the filter.
+    Q("q231_tpch_q15", Q.sql("""
+        WITH revenue AS (
+          SELECT l_suppkey AS supplier_no,
+            sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,8)))
+              AS total_rev
+          FROM lineitem
+          WHERE CAST(l_shipdate AS DATE) >= DATE '1997-01-01'
+            AND CAST(l_shipdate AS DATE) < DATE '1997-04-01'
+          GROUP BY 1)
+        SELECT s_suppkey, s_name,
+          CAST(total_rev AS DOUBLE) AS total_revenue
+        FROM supplier JOIN revenue ON s_suppkey = supplier_no
+        WHERE total_rev = (SELECT max(total_rev) FROM revenue)
+        ORDER BY s_suppkey"""))(
+      (s, dir) => {
+        val revenue = T(s, dir, "lineitem")
+          .where(to_date(col("l_shipdate")) >= lit("1997-01-01") &&
+            to_date(col("l_shipdate")) < lit("1997-04-01"))
+          .groupBy(col("l_suppkey").as("supplier_no"))
+          .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .cast("decimal(27,8)")).as("total_rev"))
+        val maxRev = revenue.agg(max(col("total_rev")).as("max_rev"))
+        broadcast(T(s, dir, "supplier"))
+          .join(revenue, col("s_suppkey") === col("supplier_no"))
+          .crossJoin(broadcast(maxRev))
+          .where(col("total_rev") === col("max_rev"))
+          .select(col("s_suppkey"), col("s_name"),
+            col("total_rev").cast("double").as("total_revenue"))
+          .orderBy("s_suppkey")
       }),
 
     // TPC-H Q22 (global-threshold anti-join): customers from selected
