@@ -318,6 +318,78 @@ object ArrayMath {
       copy(first = newFirst, second = newSecond, third = newThird)
   }
 
+  /** `graft_upper_tri(a)`: the dim·(dim+1)/2 upper-triangle products
+    * x_i·x_j (i ≤ j, row-major by i) of a numeric array, as one
+    * array<double> built in a single generated loop. The covariance
+    * one-pass (q232) explodes this instead of nested `transform`
+    * lambdas, which evaluate interpreted per element (~5× slower);
+    * rounding stays OUTSIDE (standard `round(p, 9)` on the exploded
+    * column) so oracle semantics are untouched.
+    */
+  case class UpperTriProducts(child: Expression) extends UnaryExpression {
+
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      child.dataType match {
+        case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+        case other =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+            s"graft_upper_tri needs array<float|double>, got ${other.simpleString}")
+      }
+    override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+    override def prettyName: String = "graft_upper_tri"
+
+    private def getter: String = elementGetter(child.dataType)
+
+    override def nullSafeEval(a: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]
+      val isFloat = child.dataType match {
+        case ArrayType(FloatType, _) => true
+        case _ => false
+      }
+      val n = x.numElements()
+      val out = new Array[Double](n * (n + 1) / 2)
+      var k = 0
+      var i = 0
+      while (i < n) {
+        val xi = if (isFloat) x.getFloat(i).toDouble else x.getDouble(i)
+        var j = i
+        while (j < n) {
+          out(k) = xi * (if (isFloat) x.getFloat(j).toDouble else x.getDouble(j))
+          k += 1; j += 1
+        }
+        i += 1
+      }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+    }
+
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a => {
+        val i = ctx.freshName("i")
+        val j = ctx.freshName("j")
+        val k = ctx.freshName("k")
+        val n = ctx.freshName("n")
+        val xi = ctx.freshName("xi")
+        val out = ctx.freshName("out")
+        val g = getter
+        s"""
+           |int $n = $a.numElements();
+           |double[] $out = new double[$n * ($n + 1) / 2];
+           |int $k = 0;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  double $xi = (double) $a.$g($i);
+           |  for (int $j = $i; $j < $n; $j++) {
+           |    $out[$k++] = $xi * (double) $a.$g($j);
+           |  }
+           |}
+           |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+         """.stripMargin
+      })
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   /** Column-level API (classic-session bridge between public Columns and
     * catalyst Expressions).
     */
@@ -335,4 +407,7 @@ object ArrayMath {
                books: Array[Array[Array[Double]]]): Column =
     GraftSqlBridge.column(PqSubDot(GraftSqlBridge.expression(a),
       GraftSqlBridge.expression(m), GraftSqlBridge.expression(code), books))
+
+  def upperTriProducts(a: Column): Column =
+    GraftSqlBridge.column(UpperTriProducts(GraftSqlBridge.expression(a)))
 }

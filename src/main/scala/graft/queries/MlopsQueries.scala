@@ -1,0 +1,144 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.ArrayMath
+import graft.multimodal.Multimodal
+import graft.ops.Relational.dsum
+
+/** Round-5 batch 23: ML-ops depth — one-pass embedding covariance (the
+  * PCA/whitening precursor), exponential time-decay scoring, and the
+  * multimodal frame-sampling plan — each oracle-checked bit-for-bit vs
+  * DuckDB.
+  */
+object MlopsQueries {
+
+  private def T(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  private val Dim = 64
+  private val FrameStride = 256
+  private val MaxFrames = 8
+
+  def all: Seq[Q] = Seq(
+
+    // Covariance matrix of the embedding space in ONE pass: raw second
+    // moments E[x_i·x_j] for the 2080 upper-triangle cells + per-dim
+    // means, cov = m2/n − μ_i·μ_j assembled on the cell frame. The
+    // explode fans dim²/2 per row but partial aggregation collapses it
+    // to cells×partitions before any shuffle — mergeable across shards,
+    // so the 100 TB form is the same single scan. (Beyond ~100 dims the
+    // explode form yields to a vector Aggregator; the dataflow — one
+    // pass, cell-bounded shuffle — is unchanged.) Products are rounded
+    // then decimal-summed: bit-identical on both engines.
+    Q("q232_embed_covariance", Q.sql(s"""
+        WITH idx AS (SELECT CAST(unnest(range(1, ${Dim + 1})) AS INT) AS i),
+        pr AS (SELECT a.i AS i, b.i AS j FROM idx a JOIN idx b ON b.i >= a.i),
+        m2 AS (
+          SELECT i, j,
+            CAST(sum(CAST(round(CAST(embedding[i] AS DOUBLE)
+              * CAST(embedding[j] AS DOUBLE), 9) AS DECIMAL(27,9))) AS DOUBLE) AS s2,
+            count(*) AS n
+          FROM embeddings CROSS JOIN pr GROUP BY 1, 2),
+        mean AS (
+          SELECT i,
+            CAST(sum(CAST(round(CAST(embedding[i] AS DOUBLE), 9)
+              AS DECIMAL(27,9))) AS DOUBLE) / count(*) AS mu
+          FROM embeddings CROSS JOIN idx GROUP BY 1)
+        SELECT m2.i, m2.j, round(s2 / n - ma.mu * mb.mu, 6) AS cov
+        FROM m2 JOIN mean ma ON ma.i = m2.i JOIN mean mb ON mb.i = m2.j
+        ORDER BY 1, 2"""))(
+      (s, dir) => {
+        // spread: the embeddings file is one scan partition — without the
+        // round-robin the entire dim²/2 explode runs on one core
+        val emb = graft.ops.Frames.spread(T(s, dir, "embeddings"))
+        // flat pos → (i, j) of the row-major upper triangle (dim-bounded,
+        // broadcast); the products array comes from ONE generated loop
+        // (ArrayMath.UpperTriProducts), rounded with the standard round()
+        // the oracle mirrors
+        val ij = {
+          import s.implicits._
+          (for { i <- 1 to Dim; j <- i to Dim } yield (i, j))
+            .zipWithIndex.map { case ((i, j), pos) => (pos, i, j) }
+            .toDF("pos", "i", "j")
+        }
+        val cells = emb
+          .select(posexplode(ArrayMath.upperTriProducts(col("embedding")))
+            .as(Seq("pos", "praw")))
+          .select(col("pos"), round(col("praw"), 9).as("p"))
+          .groupBy("pos")
+          .agg(sum(col("p").cast("decimal(27,9)")).cast("double").as("s2"),
+            count(lit(1)).as("n"))
+          .join(broadcast(ij), "pos")
+        val mean = emb.select(posexplode(col("embedding")).as(Seq("i0", "x")))
+          .groupBy((col("i0") + 1).as("i"))
+          .agg((sum(round(col("x").cast("double"), 9).cast("decimal(27,9)"))
+            .cast("double") / count(lit(1))).as("mu"))
+        cells
+          .join(broadcast(mean.select(col("i"), col("mu").as("mu_i"))), "i")
+          .join(broadcast(mean.select(col("i").as("j"), col("mu").as("mu_j"))), "j")
+          .select(col("i"), col("j"),
+            round(col("s2") / col("n") - col("mu_i") * col("mu_j"), 6).as("cov"))
+          .orderBy("i", "j")
+      }),
+
+    // Exponential time-decay spend scoring: each order weighted by
+    // exp(−days_ago/365) from the corpus's latest order date — the
+    // recency-weighted feature that replaces arbitrary "last N days"
+    // cutoffs. The anchor is one scalar agg broadcast into the scan;
+    // decayed terms are rounded then decimal-summed per customer.
+    Q("q233_time_decay_score", Q.sql("""
+        WITH anchor AS (SELECT max(CAST(o_orderdate AS DATE)) AS d0 FROM orders),
+        terms AS (
+          SELECT o_custkey,
+            round(o_totalprice * round(exp(-(d0 - CAST(o_orderdate AS DATE))
+              / 365.0), 9), 4) AS term
+          FROM orders CROSS JOIN anchor)
+        SELECT o_custkey,
+          round(CAST(sum(CAST(term AS DECIMAL(27,4))) AS DOUBLE), 4) AS decayed_spend
+        FROM terms GROUP BY 1
+        ORDER BY decayed_spend DESC, o_custkey LIMIT 50"""))(
+      (s, dir) => {
+        val anchor = T(s, dir, "orders")
+          .agg(max(to_date(col("o_orderdate"))).as("d0"))
+        T(s, dir, "orders").crossJoin(broadcast(anchor))
+          .select(col("o_custkey"),
+            round(col("o_totalprice") *
+              round(exp(-datediff(col("d0"), to_date(col("o_orderdate"))) / lit(365.0)), 9),
+              4).as("term"))
+          .groupBy("o_custkey")
+          .agg(round(sum(col("term").cast("decimal(27,4)")).cast("double"), 4)
+            .as("decayed_spend"))
+          .orderBy(col("decayed_spend").desc, col("o_custkey"))
+          .limit(50)
+      }),
+
+    // Frame-sampling plan for (fake) video payloads: every 256th byte
+    // offset up to 8 frames, via Multimodal.frameOffsets — the
+    // deterministic batch plan a real frame sampler executes; the oracle
+    // replays the plan arithmetic. Pure projection: no shuffle at any
+    // scale.
+    Q("q234_frame_plan", Q.sql(s"""
+        SELECT doc_id, strlen(text) AS n_bytes,
+          CAST(least($MaxFrames, (strlen(text) - 1) // $FrameStride + 1) AS INT)
+            AS n_frames,
+          0 AS first_off,
+          CAST((least($MaxFrames, (strlen(text) - 1) // $FrameStride + 1) - 1)
+            * $FrameStride AS INT) AS last_off
+        FROM documents WHERE strlen(text) > 0
+        ORDER BY doc_id"""))(
+      (s, dir) =>
+        T(s, dir, "documents")
+          .where(octet_length(col("text")) > 0)
+          .select(col("doc_id"), octet_length(col("text")).as("n_bytes"),
+            Multimodal.frameOffsets(octet_length(col("text")),
+              FrameStride, MaxFrames).as("offs"))
+          .select(col("doc_id"), col("n_bytes"),
+            size(col("offs")).as("n_frames"),
+            element_at(col("offs"), 1).cast("int").as("first_off"),
+            element_at(col("offs"), -1).cast("int").as("last_off"))
+          .orderBy("doc_id"))
+  )
+}

@@ -124,6 +124,21 @@ class SimilaritySpec extends SparkSpec {
     adc(2L) shouldBe r6(exactAdc(picks(0), picks(2))) +- 1e-9
   }
 
+  test("UpperTriProducts emits the row-major upper triangle, codegen == interpreted") {
+    val df = Seq(Tuple1(Array(1.0f, 2.0f, 3.0f))).toDF("a")
+    val expected = Seq(1.0, 2.0, 3.0, 4.0, 6.0, 9.0) // x1x1,x1x2,x1x3,x2x2,x2x3,x3x3
+    df.select(ArrayMath.upperTriProducts($"a").as("p"))
+      .as[Seq[Double]].head() shouldBe expected
+    withCodegenDisabled {
+      df.select(ArrayMath.upperTriProducts($"a").as("p"))
+        .as[Seq[Double]].head() shouldBe expected
+    }
+    // null propagates
+    Seq(Tuple1(Option.empty[Array[Float]])).toDF("a")
+      .select(ArrayMath.upperTriProducts($"a").as("p"))
+      .head().isNullAt(0) shouldBe true
+  }
+
   private def withCodegenDisabled[T](body: => T): T = {
     val conf = spark.conf
     val prev = conf.get("spark.sql.codegen.wholeStage", "true")
