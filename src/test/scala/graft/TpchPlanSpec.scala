@@ -1,0 +1,48 @@
+package graft
+
+/** Physical-plan assertions for the round-5 TPC-H shapes: the plans the
+  * 100 TB story depends on, pinned so a regression (lost pushdown, join
+  * flip to shuffle) fails fast rather than silently degrading.
+  */
+class TpchPlanSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(q: String): String =
+    SparkEntry.queries(q)(spark, dir).queryExecution.executedPlan.toString
+
+  test("q217 (Q19): quantity envelope reaches the lineitem parquet scan") {
+    val p = plan("q217_tpch_q19")
+    // the 1..30 envelope must appear as pushed filters on the fact scan,
+    // not merely as a post-scan Filter
+    p should include("PushedFilters")
+    p.linesIterator.filter(_.contains("lineitem"))
+      .mkString should include regex "GreaterThanOrEqual\\(l_quantity,1.0\\)"
+  }
+
+  test("q214 (Q7) joins every dimension via broadcast — fact never shuffles for the join") {
+    val p = plan("q214_tpch_q7")
+    p should include("BroadcastHashJoin")
+    // orders is the only other fact-sized input; supplier/customer/nation
+    // sides must not appear behind a shuffle-exchange hash join
+    p should not include "SortMergeJoin"
+  }
+
+  test("q216 (Q17): per-part threshold joined back without a cartesian or SMJ on the fact") {
+    val p = plan("q216_tpch_q17")
+    p should include("BroadcastHashJoin")
+    p should not include "CartesianProduct"
+  }
+
+  test("q231 (Q15): exact-decimal max compared via broadcast scalar, no global sort") {
+    val p = plan("q231_tpch_q15")
+    withClue(p.linesIterator.filter(l =>
+      l.contains("Join") || l.contains("Exchange")).mkString("\n", "\n", "\n")) {
+      // Catalyst rewrites the broadcast-scalar cross join + equality
+      // filter into an equality BroadcastHashJoin on max_rev — pin that
+      p should include("BroadcastHashJoin")
+      p should not include "CartesianProduct"
+      p should not include "SortMergeJoin"
+    }
+  }
+}
