@@ -36,7 +36,8 @@ object SparkEntry {
       DriftQueries.all ++ TailQueries.all ++ FeatureQueries.all ++
       AuditQueries.all ++ RankQueries.all ++ GrowthQueries.all ++
       DiagQueries.all ++ TpchQueries.all ++ LinkageQueries.all ++
-      WarehouseQueries.all ++ PrivacyQueries.all ++ MlopsQueries.all
+      WarehouseQueries.all ++ PrivacyQueries.all ++ MlopsQueries.all ++
+      SeriesQueries.all
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0.
     * Full slice: scan -> filter -> broadcast-join -> agg -> window top-k.

@@ -81,6 +81,34 @@ object LinkageQueries {
           .orderBy("tok_a", "tok_b")
       }),
 
+    // Damerau-Levenshtein linkage over the vocabulary: UNRESTRICTED
+    // transposition-tolerant edit distance (native codegen expression,
+    // Lowrance-Wagner DP — "ca"→"abc" is 2, matching DuckDB's
+    // damerau_levenshtein), catching swapped-letter typos plain edit
+    // distance over-counts. Same vocab-bounded pair frame as q220.
+    Q("q235_dl_linkage", Q.sql(s"""
+        WITH v AS (
+          SELECT DISTINCT unnest(string_split_regex($normSql, '\\s+')) AS tok
+          FROM documents)
+        SELECT a.tok AS tok_a, b.tok AS tok_b,
+          CAST(damerau_levenshtein(a.tok, b.tok) AS INT) AS dl
+        FROM v a JOIN v b ON a.tok < b.tok
+        WHERE damerau_levenshtein(a.tok, b.tok) <= 2
+        ORDER BY 1, 2"""))(
+      (s, dir) => {
+        val v = T(s, dir, "documents")
+          .select(explode(TextAnalysis.tokens(
+            TextAnalysis.normalizeText(col("text")))).as("tok"))
+          .distinct()
+        val a = v.select(col("tok").as("tok_a"))
+        val b = v.select(col("tok").as("tok_b"))
+        a.join(b, col("tok_a") < col("tok_b"))
+          .withColumn("dl",
+            StringSim.damerauLevenshteinCol(col("tok_a"), col("tok_b")))
+          .where(col("dl") <= 2)
+          .orderBy("tok_a", "tok_b")
+      }),
+
     // BPE first-merge statistics: the frequency of every adjacent
     // character pair across the corpus, weighted by token occurrence —
     // the exact quantity byte-pair-encoding training maximizes at each

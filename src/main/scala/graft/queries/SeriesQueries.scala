@@ -1,0 +1,93 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.ops.Relational.dsum
+
+/** Round-5 batch 24: time-series repair — linear interpolation of gaps in
+  * a sparse daily series over its calendar spine — oracle-checked
+  * bit-for-bit vs DuckDB.
+  */
+object SeriesQueries {
+
+  private def T(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  def all: Seq[Q] = Seq(
+
+    // Linear-interpolation gap-fill of one brand's daily revenue (~45%
+    // of calendar days have no sale): bracketing neighbors via
+    // last/first IGNORE NULLS frames over the date spine, value =
+    // prev + (next−prev)·(day−prev_day)/(next_day−prev_day). The heavy
+    // aggregation shuffles normally; the windows run over the
+    // calendar-bounded spine (days, never rows). Edge days outside the
+    // observed range stay NULL-filled with observed = 0.
+    Q("q236_interpolate_gaps", Q.sql("""
+        WITH daily AS (
+          SELECT CAST(l_shipdate AS DATE) AS day,
+            round(CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+              AS DECIMAL(27,8))) AS DOUBLE), 6) AS rev
+          FROM lineitem JOIN part ON p_partkey = l_partkey
+          WHERE p_brand = 'Brand#13'
+          GROUP BY 1),
+        bounds AS (SELECT min(day) AS lo, max(day) AS hi FROM daily),
+        spine AS (
+          SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS day
+          FROM bounds),
+        joined AS (
+          SELECT s.day, d.rev,
+            CAST(d.rev IS NOT NULL AS INT) AS observed,
+            last_value(d.rev IGNORE NULLS) OVER
+              (ORDER BY s.day ROWS UNBOUNDED PRECEDING) AS prev_val,
+            last_value(CASE WHEN d.rev IS NOT NULL THEN s.day END IGNORE NULLS)
+              OVER (ORDER BY s.day ROWS UNBOUNDED PRECEDING) AS prev_day,
+            first_value(d.rev IGNORE NULLS) OVER
+              (ORDER BY s.day ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+              AS next_val,
+            first_value(CASE WHEN d.rev IS NOT NULL THEN s.day END IGNORE NULLS)
+              OVER (ORDER BY s.day ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+              AS next_day
+          FROM spine s LEFT JOIN daily d ON d.day = s.day)
+        SELECT day, observed,
+          round(CASE WHEN rev IS NOT NULL THEN rev
+            ELSE prev_val + (next_val - prev_val)
+              * CAST(day - prev_day AS DOUBLE)
+              / CAST(next_day - prev_day AS DOUBLE) END, 6) AS rev_filled
+        FROM joined ORDER BY day"""))(
+      (s, dir) => {
+        val daily = T(s, dir, "lineitem")
+          .join(broadcast(T(s, dir, "part")
+            .where(col("p_brand") === "Brand#13")),
+            col("p_partkey") === col("l_partkey"))
+          .groupBy(to_date(col("l_shipdate")).as("day"))
+          .agg(round(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 8),
+            6).as("rev"))
+        val bounds = daily.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+        val spine = bounds
+          .select(explode(sequence(col("lo"), col("hi"),
+            expr("interval 1 day"))).as("day"))
+        val past = Window.orderBy(col("day"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val future = Window.orderBy(col("day"))
+          .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        val obsDay = when(col("rev").isNotNull, col("day"))
+        spine.join(daily, Seq("day"), "left_outer")
+          .select(col("day"), col("rev"),
+            col("rev").isNotNull.cast("int").as("observed"),
+            last(col("rev"), ignoreNulls = true).over(past).as("prev_val"),
+            last(obsDay, ignoreNulls = true).over(past).as("prev_day"),
+            first(col("rev"), ignoreNulls = true).over(future).as("next_val"),
+            first(obsDay, ignoreNulls = true).over(future).as("next_day"))
+          .select(col("day"), col("observed"),
+            round(when(col("rev").isNotNull, col("rev"))
+              .otherwise(col("prev_val") + (col("next_val") - col("prev_val")) *
+                datediff(col("day"), col("prev_day")).cast("double") /
+                datediff(col("next_day"), col("prev_day")).cast("double")), 6)
+              .as("rev_filled"))
+          .orderBy("day")
+      })
+  )
+}

@@ -31,6 +31,30 @@ class StringSimSpec extends SparkSpec {
     jw("a", "a") shouldBe 1.0
   }
 
+  private def dl(a: String, b: String): Int =
+    StringSim.damerauLevenshtein(UTF8String.fromString(a), UTF8String.fromString(b))
+
+  test("damerauLevenshtein is UNRESTRICTED (DuckDB semantics), not OSA") {
+    dl("kitten", "sitting") shouldBe 3
+    dl("ab", "ba") shouldBe 1
+    dl("ca", "abc") shouldBe 2 // OSA would say 3 — transposed pair edited again
+    dl("", "abc") shouldBe 3
+    dl("abc", "") shouldBe 3
+    dl("same", "same") shouldBe 0
+    dl("spark", "sprak") shouldBe 1
+  }
+
+  test("DamerauLevenshtein column: codegen equals interpreted, filters work") {
+    val v = Seq("table", "tabel", "cable", "bale").toDF("tok")
+    val pairs = v.select(col("tok").as("a"))
+      .join(v.select(col("tok").as("b")), col("a") < col("b"))
+      .withColumn("d", StringSim.damerauLevenshteinCol(col("a"), col("b")))
+      .where(col("d") <= 1)
+      .select("a", "b").as[(String, String)].collect().toSet
+    pairs should contain(("tabel", "table")) // one transposition
+    pairs should not contain (("bale", "table"))
+  }
+
   test("JaroWinkler column: codegen path equals interpreted eval, null-safe") {
     val df = Seq(
       (Option("martha"), Option("marhta")),
