@@ -5,7 +5,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.ArrayMath
+import graft.functions.{ArrayMath, StringSim}
 
 /** SQL-surface registration for the engine's custom expressions, two ways:
   *
@@ -16,7 +16,10 @@ import graft.functions.ArrayMath
   *     infra that owns the builder (spark-submit, Thrift server).
   *
   * After either, SQL users get `graft_dot(a, b)` (native codegen dot
-  * product, [[ArrayMath.DotProduct]]).
+  * product, [[ArrayMath.DotProduct]]), `graft_jaro_winkler(a, b)` /
+  * `graft_damerau_levenshtein(a, b)` ([[StringSim]], DuckDB-compatible
+  * record-linkage metrics), and `graft_upper_tri(a)`
+  * ([[ArrayMath.UpperTriProducts]], the one-pass covariance kernel).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit =
@@ -34,6 +37,25 @@ object GraftFunctions {
       (exprs: Seq[Expression]) => {
         require(exprs.length == 2, "graft_dot(arrayA, arrayB) takes 2 arguments")
         ArrayMath.DotProduct(exprs(0), exprs(1))
+      }), (
+      "graft_jaro_winkler",
+      new ExpressionInfo(classOf[StringSim.JaroWinkler].getName, "graft_jaro_winkler"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2, "graft_jaro_winkler(a, b) takes 2 arguments")
+        StringSim.JaroWinkler(exprs(0), exprs(1))
+      }), (
+      "graft_damerau_levenshtein",
+      new ExpressionInfo(classOf[StringSim.DamerauLevenshtein].getName,
+        "graft_damerau_levenshtein"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2, "graft_damerau_levenshtein(a, b) takes 2 arguments")
+        StringSim.DamerauLevenshtein(exprs(0), exprs(1))
+      }), (
+      "graft_upper_tri",
+      new ExpressionInfo(classOf[ArrayMath.UpperTriProducts].getName, "graft_upper_tri"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 1, "graft_upper_tri(array) takes 1 argument")
+        ArrayMath.UpperTriProducts(exprs(0))
       }))
 
   /** Register the functions on a live session. */

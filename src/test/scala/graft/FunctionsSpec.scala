@@ -30,6 +30,18 @@ class FunctionsSpec extends SparkSpec {
       Aggregators.WeightedAvg.merge(r2, r1)
   }
 
+  test("string-sim + upper-tri functions callable from SQL after registration") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      "SELECT graft_jaro_winkler('martha', 'marhta') AS jw, " +
+        "graft_damerau_levenshtein('ca', 'abc') AS dl, " +
+        "size(graft_upper_tri(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)))) AS n")
+      .head()
+    r.getDouble(0) shouldBe 0.9611111111111111 +- 1e-15
+    r.getInt(1) shouldBe 2
+    r.getInt(2) shouldBe 3
+  }
+
   test("graft_dot is callable from SQL after registration") {
     GraftFunctions.register(spark)
     val d = spark.sql(
