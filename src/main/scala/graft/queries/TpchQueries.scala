@@ -250,6 +250,64 @@ object TpchQueries {
           .orderBy("s_suppkey")
       }),
 
+    // TPC-H Q9 (product-type profit): profit per nation and order year
+    // for parts matching a name pattern. The fixture has no partsupp, so
+    // supply cost is proxied by p_retailprice·quantity — the shape under
+    // test (fact × 2 facts × 3 broadcast dims, per-line arithmetic,
+    // nation×year aggregate) is Q9's. Lineitem is filtered by the
+    // broadcast part-name join BEFORE touching orders.
+    Q("q238_tpch_q9", Q.sql("""
+        SELECT n_name AS nation, year(CAST(o_orderdate AS DATE)) AS o_year,
+          CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+            - p_retailprice * l_quantity AS DECIMAL(27,8))) AS DOUBLE)
+            AS sum_profit,
+          CAST(count(*) AS BIGINT) AS n_lines
+        FROM lineitem
+        JOIN part ON p_partkey = l_partkey
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN orders ON o_orderkey = l_orderkey
+        WHERE p_name LIKE '%gear%'
+        GROUP BY 1, 2 ORDER BY 1, 2 DESC"""))(
+      (s, dir) =>
+        T(s, dir, "lineitem")
+          .join(broadcast(T(s, dir, "part")
+            .where(col("p_name").contains("gear"))),
+            col("p_partkey") === col("l_partkey"))
+          .join(broadcast(T(s, dir, "supplier")), col("s_suppkey") === col("l_suppkey"))
+          .join(broadcast(T(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
+          .join(T(s, dir, "orders"), col("o_orderkey") === col("l_orderkey"))
+          .groupBy(col("n_name").as("nation"),
+            year(to_date(col("o_orderdate"))).as("o_year"))
+          .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")) -
+            col("p_retailprice") * col("l_quantity"), 8).as("sum_profit"),
+            count(lit(1)).as("n_lines"))
+          .orderBy(col("nation"), col("o_year").desc)),
+
+    // TPC-H Q16 (supplier relationship count): distinct suppliers per
+    // (brand, type, size) slice, excluding one brand and restricting to
+    // an IN-list of sizes — the distinct-count-after-anti-filter shape.
+    // The (part, supplier) pairs come from lineitem (fixture has no
+    // partsupp); the distinct-agg frame is catalog-bounded.
+    Q("q239_tpch_q16", Q.sql("""
+        SELECT p_brand, p_type, p_size,
+          CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE p_brand <> 'Brand#13'
+          AND p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+        GROUP BY 1, 2, 3
+        ORDER BY supplier_cnt DESC, p_brand, p_type, p_size"""))(
+      (s, dir) =>
+        T(s, dir, "lineitem")
+          .join(broadcast(T(s, dir, "part")
+            .where(col("p_brand") =!= "Brand#13" &&
+              col("p_size").isin(1, 9, 14, 19, 23, 36, 45, 49))),
+            col("p_partkey") === col("l_partkey"))
+          .groupBy("p_brand", "p_type", "p_size")
+          .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+          .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
+            col("p_size"))),
+
     // TPC-H Q22 (global-threshold anti-join): customers from selected
     // "country codes" (last two digits of c_name) with above-average
     // positive balance and no recent orders (every fixture customer
