@@ -8,8 +8,13 @@ class TpchPlanSpec extends SparkSpec {
 
   private val dir = "/root/testdata/sf0.001"
 
-  private def plan(q: String): String =
+  private def plan(q: String): String = {
+    // other suites leave fixture frames cached; a cached subtree would
+    // substitute an InMemoryTableScan (no PushedFilters) into the plan —
+    // the same per-query isolation Verify applies
+    spark.catalog.clearCache()
     SparkEntry.queries(q)(spark, dir).queryExecution.executedPlan.toString
+  }
 
   test("q217 (Q19): quantity envelope reaches the lineitem parquet scan") {
     val p = plan("q217_tpch_q19")
