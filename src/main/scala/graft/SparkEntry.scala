@@ -35,7 +35,8 @@ object SparkEntry {
       ClassicQueries.all ++ DepthQueries.all ++ RobustQueries.all ++
       DriftQueries.all ++ TailQueries.all ++ FeatureQueries.all ++
       AuditQueries.all ++ RankQueries.all ++ GrowthQueries.all ++
-      DiagQueries.all ++ TpchQueries.all ++ LinkageQueries.all ++
+      DiagQueries.all ++ TpchQueries.all ++ TpchFinalQueries.all ++
+      LinkageQueries.all ++
       WarehouseQueries.all ++ PrivacyQueries.all ++ MlopsQueries.all ++
       SeriesQueries.all
 

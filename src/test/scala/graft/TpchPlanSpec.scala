@@ -39,6 +39,29 @@ class TpchPlanSpec extends SparkSpec {
     p should not include "CartesianProduct"
   }
 
+  test("q240 (Q2): one fact shuffle (the cost rollup); scope + min-cost join back via broadcast") {
+    val p = plan("q240_tpch_q2")
+    p should include("BroadcastHashJoin")
+    // part / supplier / nation / region / per-part-min frames are all
+    // catalog-bounded — none may fall back to a shuffle join
+    p should not include "SortMergeJoin"
+    p should not include "CartesianProduct"
+  }
+
+  test("q244 (Q21): EXISTS/NOT EXISTS decorrelate to semi + anti equi-joins") {
+    val p = plan("q244_tpch_q21")
+    p should include("LeftSemi")
+    p should include("LeftAnti")
+    p should not include "CartesianProduct"
+    p should not include "BroadcastNestedLoopJoin"
+  }
+
+  test("q243 (Q20): nested agg reuses the rollup; membership is a semi join") {
+    val p = plan("q243_tpch_q20")
+    p should include("LeftSemi")
+    p should not include "CartesianProduct"
+  }
+
   test("q231 (Q15): exact-decimal max compared via broadcast scalar, no global sort") {
     val p = plan("q231_tpch_q15")
     withClue(p.linesIterator.filter(l =>
