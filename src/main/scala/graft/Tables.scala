@@ -16,18 +16,25 @@ object Tables {
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {
-      // The events fixture stores `ts` as parquet TIMESTAMP(NANOS), which
-      // Spark refuses by default (PARQUET_TYPE_ILLEGAL). Read the nanos as
-      // a long and rebuild a µs-precision timestamp (truncation — matches
-      // DuckDB's epoch_us on its native TIMESTAMP_NS read).
-      // The nanosAsLong flag is also pinned at session creation in every
-      // main and in TestSpark, so read behavior never depends on whether
-      // an events query ran first; this set() covers externally-built
-      // sessions.
+      // Fixture generations have stored `ts` two ways: parquet
+      // TIMESTAMP(NANOS) (read as a long via nanosAsLong, rebuilt at µs
+      // precision) and plain TIMESTAMP(MICROS) (read as TIMESTAMP_NTZ).
+      // Normalize both to session-zone TIMESTAMP (UTC everywhere in this
+      // library) so downstream queries see one type regardless of which
+      // fixture generation is on disk.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$dir/$name.parquet")
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      normalizeTs(spark.read.parquet(s"$dir/$name.parquet"))
     } else {
       spark.read.parquet(s"$dir/$name.parquet")
+    }
+
+  /** ts(long ns | TIMESTAMP_NTZ µs | TIMESTAMP) → TIMESTAMP, µs precision. */
+  def normalizeTs(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => df
     }
 }

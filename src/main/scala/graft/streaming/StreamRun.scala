@@ -45,8 +45,7 @@ object StreamRun {
                          known: Option[org.apache.spark.sql.types.StructType] = None): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = known.getOrElse(spark.read.parquet(schemaFrom).schema)
-    spark.readStream.schema(schema).parquet(globPath)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    graft.Tables.normalizeTs(spark.readStream.schema(schema).parquet(globPath))
   }
 
   /** The events fixture as a stream PLUS a far-future sentinel event
@@ -82,10 +81,17 @@ object StreamRun {
       new org.apache.hadoop.fs.Path(src).getFileSystem(conf), new org.apache.hadoop.fs.Path(src),
       tfs, new org.apache.hadoop.fs.Path(tmp, "events.parquet"),
       false, conf)
-    // sentinel: ts in raw fixture units (ns since epoch; 2100-01-01 UTC)
+    // sentinel: ts in raw fixture units (2100-01-01 UTC) — ns-long or
+    // µs-timestamp depending on which fixture generation is on disk
+    val sentinelTs: Any = schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => 4102444800000000000L
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        java.time.LocalDateTime.of(2100, 1, 1, 0, 0, 0)
+      case _ => java.time.Instant.parse("2100-01-01T00:00:00Z")
+    }
     val sentinel = spark.createDataFrame(
       java.util.Arrays.asList(
-        org.apache.spark.sql.Row(-1L, 4102444800000000000L, -1L, "sentinel", 0.0, "{}")),
+        org.apache.spark.sql.Row(-1L, sentinelTs, -1L, "sentinel", 0.0, "{}")),
       schema)
     sentinel.write.mode("append").parquet(tmp)
     streamFrom(spark, tmp, tmp, Some(schema))
