@@ -479,6 +479,38 @@ object Dedup {
       .select(col("id"), coalesce(col("cluster_size"), lit(1L)).as("cluster_size"))
   }
 
+  /** Quality-aware near-dup collapse: like [[dedupByComponents]] but the
+    * surviving representative of each cluster is the member with the
+    * HIGHEST `scoreCol` (ties to the lowest id) instead of the lowest id
+    * — a training pipeline keeps the best-quality copy, not an arbitrary
+    * one. Output: (keep_id, cluster_size, rep_score) for survivors
+    * (clustered reps + all unpaired documents).
+    *
+    * Scale: identical to [[dedupByComponents]] — the component frame is
+    * near-dup-rate-sized, so the argmax window runs over a small frame
+    * partitioned by component (never the corpus), and the singleton pass
+    * is one anti-join against the same small frame.
+    */
+  def dedupByBest(docs: DataFrame, idCol: Column, scoreCol: Column,
+                  pairs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val comp = components(pairs)
+    val scored = comp.join(
+      docs.select(idCol.as("id"), scoreCol.as("rep_score")), Seq("id"))
+    val w = Window.partitionBy("component")
+    val ranked = scored
+      .withColumn("rn",
+        row_number().over(w.orderBy(col("rep_score").desc, col("id"))))
+      .withColumn("cluster_size", count(lit(1)).over(w))
+    val reps = ranked.where(col("rn") === 1)
+      .select(col("id").as("keep_id"), col("cluster_size"), col("rep_score"))
+    val singles = docs.select(idCol.as("id"), scoreCol.as("rep_score"))
+      .join(comp.select("id"), Seq("id"), "left_anti")
+      .select(col("id").as("keep_id"), lit(1L).as("cluster_size"),
+        col("rep_score"))
+    reps.unionByName(singles)
+  }
+
   /** SimHash fingerprint (2^bits-space, default 16 bits so the portable
     * hex-to-int stays in safe integer range): per token, take the first 4
     * hex chars of md5 as a 16-bit hash; per bit, sum +1/-1 over tokens;

@@ -41,6 +41,35 @@ object Events {
       .withColumn("ws", col("window.start"))
       .drop("window")
 
+  /** Temporal train/test split audit: split events at `boundary` (train =
+    * strictly before) and report, per event type, the split sizes plus
+    * how many users LEAK across the boundary (appear on both sides for
+    * that type) — the contamination check run before training on
+    * time-split behavioral data. Output: (event_type, n_train, n_test,
+    * n_leak_users).
+    *
+    * Scale: the split counts are one hash aggregation over indicator
+    * sums; the leak count aggregates the (type, user) frame — bounded by
+    * distinct users × types, not events — produced by the same shuffle
+    * key family. No driver state, no second scan of the fact.
+    */
+  def temporalSplitAudit(events: DataFrame, boundary: Column): DataFrame = {
+    val flagged = graft.ops.Frames.cached(events.select(col("event_type"),
+      col("user_id"),
+      when(col("ts") < boundary, 1L).otherwise(0L).as("is_train")))
+    val sizes = flagged.groupBy("event_type")
+      .agg(sum(col("is_train")).as("n_train"),
+        sum(lit(1L) - col("is_train")).as("n_test"))
+    val leaks = flagged.groupBy("event_type", "user_id")
+      .agg(sum(col("is_train")).as("tr"),
+        sum(lit(1L) - col("is_train")).as("te"))
+      .where(col("tr") > 0 && col("te") > 0)
+      .groupBy("event_type").agg(count(lit(1)).as("n_leak_users"))
+    sizes.join(leaks, Seq("event_type"), "left")
+      .select(col("event_type"), col("n_train"), col("n_test"),
+        coalesce(col("n_leak_users"), lit(0L)).as("n_leak_users"))
+  }
+
   /** Gaps-and-islands sessionization: a new session starts when the gap to
     * the previous event of the same user exceeds `gapSeconds`. Session id =
     * running count of session-starts per user (deterministic: ordered by

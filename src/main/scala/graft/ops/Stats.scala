@@ -100,6 +100,32 @@ object Stats {
       round((col("sy") - (cov / vx) * col("sx")) / n, 6).as("intercept")): _*)
   }
 
+  /** Cohen's kappa agreement between two binary labelers (0/1 columns) —
+    * the inter-rater check run when two heuristic annotators (or a
+    * heuristic and a model) label the same corpus. Output: one row with
+    * (n, n_both, n_neither, po, pe, kappa); po = observed agreement,
+    * pe = chance agreement, kappa = (po-pe)/(1-pe).
+    *
+    * Scale: ONE partial+final hash aggregation over integer indicator
+    * sums — the contingency table is 4 numbers; everything after is
+    * constant-sized driver-free arithmetic. Sums are exact integers, the
+    * po/pe/kappa doubles are single fixed-order IEEE expressions —
+    * engine-exact and shard-mergeable.
+    */
+  def cohensKappa(df: DataFrame, a: Column, b: Column): DataFrame = {
+    val agg = df.select(a.cast("long").as("a"), b.cast("long").as("b"))
+      .agg(count(lit(1)).as("n"), sum(col("a")).as("na"),
+        sum(col("b")).as("nb"),
+        sum(col("a") * col("b")).as("n_both"),
+        sum((lit(1L) - col("a")) * (lit(1L) - col("b"))).as("n_neither"))
+    val po = (col("n_both") + col("n_neither")) * lit(1.0) / col("n")
+    val pe = (col("na") * col("nb") + (col("n") - col("na")) *
+      (col("n") - col("nb"))) * lit(1.0) / (col("n") * col("n"))
+    agg.select(col("n"), col("n_both"), col("n_neither"),
+      round(po, 6).as("po"), round(pe, 6).as("pe"),
+      round((po - pe) / (lit(1.0) - pe), 6).as("kappa"))
+  }
+
   /** DuckDB select-list fragment computing corr/slope/intercept from a
     * moments CTE with columns (n, sx, sy, sxx, syy, sxy) — the exact
     * expression shape of [[corrRegr]].

@@ -136,4 +136,52 @@ object Corpus {
     scored.unpersist()
     packed
   }
+
+  /** Token-budget curriculum selection: walk the corpus in `orderCols`
+    * order (best-first; must be a unique total order) accumulating
+    * `tokensCol`, and keep every document whose RUNNING total stays
+    * within `budget` — "take the best N tokens", the data-constrained
+    * scaling recipe's selection step. Output: input columns plus the
+    * running `cum_tokens`.
+    *
+    * Scale: the global running sum is [[graft.ops.Prefix.runningTotal]]
+    * — range-partition + parallel local sums + P-row offset prefix, so
+    * NO single-partition window touches the corpus. The budget filter is
+    * then embarrassingly parallel.
+    */
+  def budgetSelect(docs: DataFrame, orderCols: Seq[org.apache.spark.sql.Column],
+                   tokensCol: org.apache.spark.sql.Column,
+                   budget: Long): DataFrame =
+    Prefix.runningTotal(docs, orderCols, tokensCol, out = "cum_tokens")
+      .where(col("cum_tokens") <= budget)
+
+  /** Padding-waste profile for fixed-length training batches: each
+    * document rounds up to the smallest sequence length in `seqLens`
+    * that fits (longer docs land in `overflowLen`), and the report gives
+    * per-bucket document count, real tokens, padding tokens, and the
+    * padded-slot waste ratio — the table that decides bucketed-batching
+    * configs. Output: (seq_len, n_docs, total_tokens, total_padding,
+    * waste_ratio).
+    *
+    * Scale: one projection + one hash aggregation over at most
+    * |seqLens|+1 groups; integer arithmetic throughout, the ratio is a
+    * single rounded division of exact sums.
+    */
+  def paddingWaste(docs: DataFrame, tokensCol: org.apache.spark.sql.Column,
+                   seqLens: Seq[Int], overflowLen: Int): DataFrame = {
+    require(seqLens.nonEmpty && seqLens == seqLens.sorted,
+      s"seqLens must be ascending, got $seqLens")
+    val t = tokensCol.cast("long")
+    val bucket = seqLens.foldRight(lit(overflowLen.toLong)) {
+      case (len, other) => when(t <= len, lit(len.toLong)).otherwise(other)
+    }
+    docs.select(bucket.as("seq_len"), t.as("n_tokens"))
+      .groupBy("seq_len")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        sum(col("seq_len") - col("n_tokens")).as("total_padding"))
+      .withColumn("waste_ratio",
+        round(col("total_padding") * lit(1.0) /
+          (col("total_tokens") + col("total_padding")), 6))
+  }
 }

@@ -385,6 +385,90 @@ object DedupQueries {
             T(s, dir, "documents"), col("doc_id"),
             Dedup.simhashNearDups(T(s, dir, "documents"),
               col("doc_id"), col("text"), maxDist = 3, bits = SimhashBits))
-          .orderBy("id"))
+          .orderBy("id")),
+
+    // Quality-aware cluster collapse: same simhash component graph as
+    // q84, but each cluster keeps its HIGHEST-n_chars member (ties to the
+    // lowest id) instead of the min-id one — the retention policy a
+    // training pipeline actually wants (keep the best copy, not an
+    // arbitrary one). Singletons pass through with cluster_size 1.
+    Q("q247_best_rep_dedup", Q.sql(s"""
+        WITH RECURSIVE $componentCtes,
+        m AS (
+          SELECT c.component, c.id, d.n_chars,
+            row_number() OVER (
+              PARTITION BY c.component ORDER BY d.n_chars DESC, c.id) AS rn,
+            count(*) OVER (PARTITION BY c.component) AS cluster_size
+          FROM comp c JOIN documents d ON d.doc_id = c.id)
+        SELECT id AS keep_id, cluster_size, n_chars AS rep_score
+        FROM m WHERE rn = 1
+        UNION ALL
+        SELECT d.doc_id, CAST(1 AS BIGINT), d.n_chars
+        FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+        WHERE c.id IS NULL
+        ORDER BY keep_id"""))(
+      (s, dir) =>
+        Dedup.dedupByBest(T(s, dir, "documents"), col("doc_id"),
+            col("n_chars"),
+            Dedup.simhashNearDups(T(s, dir, "documents"),
+              col("doc_id"), col("text"), maxDist = 3, bits = SimhashBits))
+          .orderBy("keep_id")),
+
+    // Near-dup-aware train/test split: the split key is the doc's near-dup
+    // COMPONENT representative (itself when unpaired), so every member of
+    // a near-dup cluster lands on the same side — the leakage guard plain
+    // per-doc hash splits (q56) cannot give. Split stays a pure function
+    // of content, so any engine/run reproduces it.
+    Q("q252_component_split", {
+      val rep = "coalesce(c.component, d.doc_id)"
+      Q.sql(s"""
+        WITH RECURSIVE $componentCtes
+        SELECT d.doc_id, $rep AS rep_id,
+          CASE WHEN ${PortableSql.hexToLong(
+            s"md5(CAST($rep AS VARCHAR) || 'cs')", 12)} % 1000 < 900
+            THEN 'train' ELSE 'test' END AS split
+        FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+        ORDER BY d.doc_id""")
+    })(
+      (s, dir) => {
+        val docs = T(s, dir, "documents")
+        val comp = Dedup.components(
+          Dedup.simhashNearDups(docs, col("doc_id"), col("text"),
+            maxDist = 3, bits = SimhashBits))
+        val withRep = docs.select(col("doc_id"))
+          .join(comp.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+          .withColumn("rep_id", coalesce(col("component"), col("doc_id")))
+        graft.ops.Sampling.split(withRep, col("rep_id"), trainPm = 900,
+            valPm = 0, salt = "cs")
+          .select("doc_id", "rep_id", "split")
+          .orderBy("doc_id")
+      }),
+
+    // Per-source duplication profile: how much of each source survives
+    // exact dedup — the report that decides which crawls/sources are
+    // worth re-ingesting. One aggregation over (source, fingerprint).
+    Q("q255_dedup_report", Q.sql("""
+        SELECT source, count(*) AS n_docs,
+          count(DISTINCT md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))))
+            AS n_unique,
+          CAST(count(*) -
+            count(DISTINCT md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))))
+            AS BIGINT) AS n_dup_docs,
+          round((count(*) -
+            count(DISTINCT md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g')))))
+            * 1.0 / count(*), 6) AS dup_ratio
+        FROM documents
+        GROUP BY 1 ORDER BY 1"""))(
+      (s, dir) =>
+        T(s, dir, "documents")
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            countDistinct(TextAnalysis.fingerprint(col("text")))
+              .as("n_unique"))
+          .withColumn("n_dup_docs", col("n_docs") - col("n_unique"))
+          .withColumn("dup_ratio",
+            round((col("n_docs") - col("n_unique")) * lit(1.0) /
+              col("n_docs"), 6))
+          .orderBy("source"))
   )
 }

@@ -139,6 +139,54 @@ object MlopsQueries {
             size(col("offs")).as("n_frames"),
             element_at(col("offs"), 1).cast("int").as("first_off"),
             element_at(col("offs"), -1).cast("int").as("last_off"))
-          .orderBy("doc_id"))
+          .orderBy("doc_id")),
+
+    // Top principal direction of the embedding space by power iteration:
+    // 3 matrix-vector rounds over the one-pass raw second-moment matrix
+    // (q232's derivation), starting from the unit vector (1/8,...,1/8).
+    // After the single corpus scan every round runs on the 64×64 model
+    // frame — the iterative-linear-algebra-on-model-frames pattern
+    // (PageRank/Bellman-Ford) applied to PCA. Products are rounded then
+    // decimal-summed each round, so all three iterations are bit-exact
+    // on both engines.
+    Q("q253_top_eigvec", {
+      def it(prev: String, w: String): String =
+        s"""$w AS (
+          SELECT f.i AS i,
+            CAST(sum(CAST(round(f.m * $prev.v, 9) AS DECIMAL(27,9)))
+              AS DOUBLE) AS w
+          FROM mfull f JOIN $prev ON $prev.i = f.j GROUP BY 1)"""
+      def nrm(w: String, n: String): String =
+        s"""$n AS (
+          SELECT sqrt(CAST(sum(CAST(round(w * w, 9) AS DECIMAL(27,9)))
+            AS DOUBLE)) AS nr FROM $w)"""
+      Q.sql(s"""
+        WITH idx AS (SELECT CAST(unnest(range(1, ${Dim + 1})) AS INT) AS i),
+        pr AS (SELECT a.i AS i, b.i AS j FROM idx a JOIN idx b ON b.i >= a.i),
+        m2 AS (
+          SELECT i, j,
+            CAST(sum(CAST(round(CAST(embedding[i] AS DOUBLE)
+              * CAST(embedding[j] AS DOUBLE), 9) AS DECIMAL(27,9))) AS DOUBLE) AS s2,
+            count(*) AS n
+          FROM embeddings CROSS JOIN pr GROUP BY 1, 2),
+        mfull AS (
+          SELECT i, j, s2 / n AS m FROM m2
+          UNION ALL
+          SELECT j AS i, i AS j, s2 / n AS m FROM m2 WHERE i <> j),
+        v0 AS (SELECT i, 0.125 AS v FROM idx),
+        ${it("v0", "w1")}, ${nrm("w1", "n1")},
+        v1 AS (SELECT i, w / nr AS v FROM w1, n1),
+        ${it("v1", "w2")}, ${nrm("w2", "n2")},
+        v2 AS (SELECT i, w / nr AS v FROM w2, n2),
+        ${it("v2", "w3")}, ${nrm("w3", "n3")},
+        v3 AS (SELECT i, w / nr AS v FROM w3, n3)
+        SELECT v3.i AS dim, round(v3.v, 6) AS loading,
+          round(n3.nr, 6) AS eigval
+        FROM v3, n3 ORDER BY dim""")
+    })(
+      (s, dir) =>
+        graft.similarity.Similarity
+          .topEigvec(T(s, dir, "embeddings"), dim = Dim, iters = 3)
+          .orderBy("dim"))
   )
 }

@@ -19,6 +19,7 @@ object SimilarityQueries {
   private val Dim = 64
   private val LshBits = 8
   private val IvfK = 8
+  private val RecallBits = 4
 
   private def T(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
@@ -220,7 +221,70 @@ object SimilarityQueries {
         Similarity.centroidDistances(T(s, dir, "embeddings"),
             col("vec_id"), col("embedding"))
           .orderBy("id"))
-  ) ++ pqQueries
+  ) ++ pqQueries ++ evalQueries
+
+  /** ANN quality evals over the same deterministic index constants. */
+  private def evalQueries: Seq[Q] = Seq(
+
+    // Recall@5 of single-probe LSH candidates vs the exact cosine top-5,
+    // per query vector — the index-quality eval run before trusting an
+    // ANN path for retrieval/dedup. 4 hyperplanes (16 buckets) so the
+    // candidate lists are non-trivial at fixture scale; the planes are
+    // the same md5-derived constants as q41, embedded as literals.
+    Q("q245_ann_recall", {
+      val bucket = Similarity.planes(RecallBits, Dim).zipWithIndex.map {
+        case (plane, p) =>
+          s"(CASE WHEN ${PortableSql.dotConst("embedding", plane)} >= 0" +
+            s" THEN ${1L << p} ELSE 0 END)"
+      }.mkString("(", " + ", ")")
+      Q.sql(s"""
+        WITH r AS (
+          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+            row_number() OVER (
+              PARTITION BY q.vec_id
+              ORDER BY ${cosSql("q.embedding", "c.embedding")} DESC, c.vec_id) AS rn
+          FROM embeddings q, embeddings c
+          WHERE q.vec_id < 20 AND q.vec_id <> c.vec_id),
+        topk AS (SELECT query_id, neighbor_id FROM r WHERE rn <= 5),
+        b AS (SELECT vec_id, CAST($bucket AS BIGINT) AS bucket FROM embeddings),
+        cand AS (
+          SELECT x.vec_id AS query_id, y.vec_id AS neighbor_id
+          FROM b x JOIN b y ON x.bucket = y.bucket
+          WHERE x.vec_id < 20 AND x.vec_id <> y.vec_id)
+        SELECT t.query_id, count(c.query_id) AS n_hit,
+          round(count(c.query_id) * 1.0 / 5, 6) AS recall_at_k
+        FROM topk t LEFT JOIN cand c
+          ON c.query_id = t.query_id AND c.neighbor_id = t.neighbor_id
+        GROUP BY 1
+        ORDER BY 1""")
+    })(
+      (s, dir) =>
+        Similarity.annRecallLsh(T(s, dir, "embeddings"), dim = Dim,
+            nBits = RecallBits, k = 5, nQueries = 20)
+          .orderBy("query_id")),
+
+    // Reciprocal top-3 pairs: both directions must rank each other in
+    // their exact cosine top-3 — the mutual-NN criterion that suppresses
+    // hub vectors in embedding-space linkage.
+    Q("q246_mutual_knn", Q.sql(s"""
+        WITH p AS (
+          SELECT a.vec_id AS ia, b.vec_id AS ib,
+            ${cosSql("a.embedding", "b.embedding")} AS cs
+          FROM embeddings a, embeddings b
+          WHERE a.vec_id <> b.vec_id),
+        r AS (
+          SELECT ia, ib, cs, row_number() OVER (
+            PARTITION BY ia ORDER BY cs DESC, ib) AS rn
+          FROM p),
+        k AS (SELECT ia, ib, cs FROM r WHERE rn <= 3)
+        SELECT x.ia AS id_a, x.ib AS id_b, x.cs AS cos_sim
+        FROM k x JOIN k y ON y.ia = x.ib AND y.ib = x.ia
+        WHERE x.ia < x.ib
+        ORDER BY id_a, id_b"""))(
+      (s, dir) =>
+        Similarity.mutualKnn(T(s, dir, "embeddings"), k = 3, dim = Dim)
+          .orderBy("id_a", "id_b"))
+  )
 
   // PQ sub-codebooks shared by q121/q122: 8 subspaces × 16 codes over
   // the 64-dim embeddings (one byte per subspace — 32× compression).

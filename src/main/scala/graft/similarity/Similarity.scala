@@ -185,6 +185,131 @@ object Similarity {
         coalesce(!col("_dropped"), lit(true)).as("kept"))
   }
 
+  /** Recall@k of single-probe LSH candidate generation against the exact
+    * cosine top-k — the standard eval a pipeline runs before trusting an
+    * ANN index for retrieval/dedup. For each query vector (`vec_id <
+    * nQueries`): exact top-k via [[knnBruteForce]], candidate set = other
+    * vectors sharing the query's sign-bit bucket, recall = |topk ∩
+    * candidates| / k. Output: (query_id, n_hit, recall_at_k).
+    *
+    * Scale shape: the exact side is the documented O(n·q) baseline
+    * (broadcast query side); the candidate side is the same bucket
+    * equi-join as [[knnLsh]]. The final hit-join runs on the k·q-row
+    * top-k frame — model-sized, broadcastable. At 100 TB the exact side
+    * runs on a held-out sample (q queries, not the corpus), which is
+    * exactly this shape.
+    */
+  def annRecallLsh(emb: DataFrame, dim: Int, nBits: Int, k: Int,
+                   nQueries: Int): DataFrame = {
+    val exact = knnBruteForce(emb.where(col("vec_id") < nQueries), emb, k, dim)
+      .select(col("query_id"), col("neighbor_id"))
+    val bucketed = lshBucketed(emb, dim, nBits)
+    val q = bucketed.select(col("bucket"), col("vec_id").as("query_id"))
+      .where(col("query_id") < nQueries)
+    val c = bucketed.select(col("bucket"), col("vec_id").as("neighbor_id"))
+    val cand = q.join(c, Seq("bucket"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id")).distinct()
+      .withColumn("hit", lit(1))
+    exact.join(cand, Seq("query_id", "neighbor_id"), "left")
+      .groupBy("query_id")
+      .agg(count(col("hit")).as("n_hit"))
+      .withColumn("recall_at_k", round(col("n_hit") * lit(1.0) / lit(k), 6))
+  }
+
+  /** Reciprocal top-k pairs: (a, b) with a < b where b is in a's exact
+    * cosine top-k AND a is in b's — the mutual-nearest-neighbour
+    * criterion that cuts hub-dominated false matches in embedding-space
+    * linkage. Output: (id_a, id_b, cos_sim).
+    *
+    * Scale: the all-pairs kNN here is the small-SF baseline (one O(n²)
+    * scored join, norms hoisted, then a self-join of the k·n-row top-k
+    * frame on its composite key); at corpus scale the same mutual filter
+    * composes over [[knnLsh]] candidates instead of the exact kNN.
+    */
+  def mutualKnn(emb: DataFrame, k: Int, dim: Int = 64): DataFrame = {
+    val knn = graft.ops.Frames.cached(
+      knnBruteForce(emb, emb, k, dim)
+        .select(col("query_id"), col("neighbor_id"), col("cos_sim")))
+    val fwd = knn.select(col("query_id").as("id_a"),
+      col("neighbor_id").as("id_b"), col("cos_sim"))
+    val rev = knn.select(col("neighbor_id").as("id_a"),
+      col("query_id").as("id_b"))
+    fwd.where(col("id_a") < col("id_b"))
+      .join(rev, Seq("id_a", "id_b"), "left_semi")
+      .select("id_a", "id_b", "cos_sim")
+  }
+
+  /** Top principal direction of the embedding space by power iteration
+    * over the raw second-moment matrix E[x_i·x_j]: ONE corpus pass builds
+    * the dim×dim moment frame (upper-triangle generated-loop products,
+    * rounded then decimal-summed — engine-exact), then `iters`
+    * matrix-vector rounds run entirely on that model-sized frame,
+    * starting from the constant vector (1/8, ..., 1/8). Output:
+    * (dim, loading, eigval), loadings rounded at 6, eigval = the final
+    * iterate's norm (the Rayleigh-quotient estimate of λ₁).
+    *
+    * Scale: the corpus cost is the single moment aggregation (partial
+    * aggregation collapses the dim²/2 explode before the shuffle); each
+    * iteration joins the CACHED dim²-row matrix against a broadcast
+    * dim-row vector — the iterative-linear-algebra-on-model-frames
+    * pattern (PageRank, Bellman-Ford) applied to PCA.
+    */
+  def topEigvec(emb: DataFrame, dim: Int, iters: Int = 3): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val ij = (for { i <- 1 to dim; j <- i to dim } yield (i, j))
+      .zipWithIndex.map { case ((i, j), pos) => (pos, i, j) }
+      .toDF("pos", "i", "j")
+    val m2 = spread(emb)
+      .select(posexplode(ArrayMath.upperTriProducts(col("embedding")))
+        .as(Seq("pos", "praw")))
+      .select(col("pos"), round(col("praw"), 9).as("p"))
+      .groupBy("pos")
+      .agg(sum(col("p").cast("decimal(27,9)")).cast("double").as("s2"),
+        count(lit(1)).as("n"))
+      .join(broadcast(ij), "pos")
+      .select(col("i"), col("j"), (col("s2") / col("n")).as("m"))
+    // The moment matrix is MODEL-sized (dim²·8 bytes — 32 KB at dim 64),
+    // so the iteration runs driver-side on the collected cells (the
+    // Ivf.train precedent: collect is bounded by model size, never data).
+    // Arithmetic replicates the engine expressions bit-for-bit:
+    // round-half-up at scale 9 on the double's DECIMAL string form
+    // (Spark round / DuckDB round), exact decimal accumulation (the
+    // DECIMAL(27,9) sum), IEEE sqrt/divide.
+    val mat = Array.ofDim[Double](dim, dim)
+    m2.collect().foreach { r =>
+      val (i, j, m) = (r.getInt(0) - 1, r.getInt(1) - 1, r.getDouble(2))
+      mat(i)(j) = m
+      mat(j)(i) = m
+    }
+    def round9(x: Double): Double =
+      java.math.BigDecimal.valueOf(x)
+        .setScale(9, java.math.RoundingMode.HALF_UP).doubleValue()
+    var v = Array.fill(dim)(0.125)
+    var nr = 0.0
+    for (_ <- 1 to iters) {
+      val w = Array.tabulate(dim) { i =>
+        var acc = java.math.BigDecimal.ZERO
+        for (j <- 0 until dim)
+          acc = acc.add(java.math.BigDecimal.valueOf(round9(mat(i)(j) * v(j))))
+        acc.doubleValue()
+      }
+      var s = java.math.BigDecimal.ZERO
+      for (i <- 0 until dim)
+        s = s.add(java.math.BigDecimal.valueOf(round9(w(i) * w(i))))
+      nr = math.sqrt(s.doubleValue())
+      v = w.map(_ / nr)
+    }
+    val rows = (0 until dim).map(i => (i + 1, round9to6(v(i)), round9to6(nr)))
+    rows.toDF("dim", "loading", "eigval")
+  }
+
+  private def round9to6(x: Double): Double =
+    java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+
   /** Distance-from-centroid outlier scoring: each vector's Euclidean
     * distance to the global mean vector — the embedding-space quality
     * filter that flags out-of-distribution rows before training.

@@ -168,4 +168,20 @@ class DedupSpec extends SparkSpec {
     comp.values.toSet shouldBe Set(1L)
     comp.keySet shouldBe (1L to 12L).toSet
   }
+
+  test("dedupByBest keeps the max-score member per cluster, singletons pass") {
+    val scored = Seq(
+      (1L, "a", 10L), (2L, "a", 30L), (3L, "a", 30L), // cluster {1,2,3}
+      (4L, "b", 7L))                                  // singleton
+      .toDF("doc_id", "grp", "score")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val out = Dedup.dedupByBest(scored, $"doc_id", $"score", pairs)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    // max score 30 is tied between 2 and 3 -> lowest id (2) wins
+    out shouldBe Map(2L -> ((3L, 30L)), 4L -> ((1L, 7L)))
+    // survivor count matches the min-id policy's count
+    Dedup.dedupByBest(scored, $"doc_id", $"score", pairs).count() shouldBe
+      Dedup.dedupByComponents(scored, $"doc_id", pairs).count()
+  }
 }

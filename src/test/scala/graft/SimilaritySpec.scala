@@ -69,6 +69,71 @@ class SimilaritySpec extends SparkSpec {
     lsh should contain((0L, 3L))
   }
 
+  test("mutualKnn keeps exactly the reciprocal top-k pairs") {
+    // top-1 of 0 is 3 (cos 1.0) and vice versa; 1's top-1 is 0 but 0's
+    // top-1 is NOT 1 -> only (0,3) is mutual at k=1
+    val m1 = Similarity.mutualKnn(emb, k = 1, dim = 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    m1 shouldBe Set((0L, 3L))
+    // every mutual pair must appear (in both directions) in the full kNN
+    val k = 2
+    val knn = Similarity.knnBruteForce(emb, emb, k, dim = 3)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val m2 = Similarity.mutualKnn(emb, k, dim = 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+    m2.foreach { case (a, b) =>
+      knn should contain((a, b))
+      knn should contain((b, a))
+    }
+  }
+
+  test("annRecallLsh: identical vectors share every bucket -> recall 1") {
+    val same = Seq.tabulate(5)(i => (i.toLong, Array(0.6f, 0.8f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val r = Similarity.annRecallLsh(same, dim = 3, nBits = 4, k = 2,
+      nQueries = 3).collect()
+    r.length shouldBe 3
+    r.foreach { row =>
+      row.getLong(1) shouldBe 2L          // n_hit == k
+      row.getDouble(2) shouldBe 1.0       // recall_at_k
+    }
+  }
+
+  test("annRecallLsh n_hit equals an independent topk∩candidates count") {
+    val exact = Similarity.knnBruteForce(emb.where($"vec_id" < 4), emb,
+        k = 2, dim = 3)
+      .select($"query_id", $"neighbor_id")
+    val bucketed = emb.select($"vec_id",
+      Similarity.lshBucket($"embedding", 3, 4).as("bucket"))
+    val cands = bucketed.select($"bucket", $"vec_id".as("query_id"))
+      .join(bucketed.select($"bucket", $"vec_id".as("neighbor_id")), "bucket")
+      .where($"query_id" =!= $"neighbor_id")
+      .select("query_id", "neighbor_id")
+    val expected = exact.join(cands, Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy("query_id").count()
+      .as[(Long, Long)].collect().toMap
+    Similarity.annRecallLsh(emb, dim = 3, nBits = 4, k = 2, nQueries = 4)
+      .collect().foreach { row =>
+        row.getLong(1) shouldBe expected.getOrElse(row.getLong(0), 0L)
+      }
+  }
+
+  test("topEigvec recovers a dominant axis exactly") {
+    // all mass on axis 1: M = diag(1, 0, 0) -> loading (1, 0, 0), λ₁ = 1
+    val axis = Seq.tabulate(4)(i => (i.toLong, Array(1.0f, 0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.topEigvec(axis, dim = 3).orderBy("dim").collect()
+    out.map(_.getDouble(1)).toSeq shouldBe Seq(1.0, 0.0, 0.0)
+    out.head.getDouble(2) shouldBe 1.0 // eigval
+  }
+
+  test("topEigvec loadings are unit-norm on mixed data") {
+    val out = Similarity.topEigvec(emb, dim = 3).collect()
+    val norm2 = out.map(r => r.getDouble(1) * r.getDouble(1)).sum
+    norm2 shouldBe 1.0 +- 1e-4
+    out.foreach(_.getDouble(2) should be > 0.0)
+  }
+
   test("centroidDistances matches the hand-computed Euclidean distance") {
     // exact-decimal floats so the decimal routing is lossless and the
     // hand computation is bit-exact: centroid = (0.625, 0.375, 0.0)
