@@ -92,6 +92,49 @@ object Prefix {
       .drop("__pid", "__local", "__off", "__v")
   }
 
+  /** `out` = running MAXIMUM of `valueCol` over the global `orderCols`
+    * order — the same three-phase shape as [[runningTotal]] with max as
+    * the associative combiner (per-partition running max, then each
+    * partition offset by the max of all PRECEDING partitions' maxima).
+    * `orderCols` must be a unique key. Partition 0 has no preceding
+    * partition: its offset is null, and `greatest` skips null arms, so
+    * its rows keep their local running max (the coalesce is belt and
+    * braces for an all-null value column).
+    *
+    * Motivating use: event-log out-of-orderness profiling (running max
+    * of event time in ARRIVAL order minus own event time = how late each
+    * event is) — the measurement that sizes a streaming watermark delay.
+    */
+  def runningMax(df: DataFrame, orderCols: Seq[Column], valueCol: Column,
+                 out: String): DataFrame = {
+    val reserved = Seq("__pid", "__local", "__v", "__pmax", "__offmax")
+    val clash = df.columns.intersect(reserved)
+    require(clash.isEmpty,
+      s"runningMax reserves internal column names ${reserved.mkString(", ")}; " +
+        s"input already has ${clash.mkString(", ")} — rename before calling")
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    val withLocal = {
+      val ranged = df.repartitionByRange(p, orderCols: _*)
+        .withColumn("__pid", spark_partition_id())
+      val wLocal = Window.partitionBy(col("__pid"))
+        .orderBy(orderCols: _*)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Frames.materialize(ranged
+        .withColumn("__local", max(valueCol).over(wLocal))
+        .withColumn("__v", valueCol))
+    }
+    val wOffsets = Window.orderBy(col("__pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = withLocal.groupBy(col("__pid"))
+      .agg(max(col("__v")).as("__pmax"))
+      .withColumn("__offmax", max(col("__pmax")).over(wOffsets))
+      .select(col("__pid"), col("__offmax"))
+    withLocal.join(broadcast(offsets), "__pid")
+      .withColumn(out,
+        coalesce(greatest(col("__local"), col("__offmax")), col("__local")))
+      .drop("__pid", "__local", "__v", "__offmax")
+  }
+
   /** Pack rows into fixed-budget shards: rows in global `orderCols`
     * order accumulate `sizeCol` (e.g. token counts); a row's shard is
     * `exclusivePrefix div budget` — shard k holds the rows whose

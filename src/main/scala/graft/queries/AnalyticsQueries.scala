@@ -184,6 +184,33 @@ object AnalyticsQueries {
           .select(col("c_mktsegment"), col("c_custkey"),
             percent_rank().over(w).as("pr"), cume_dist().over(w).as("cd"))
           .orderBy("c_mktsegment", "c_custkey")
-      })
+      }),
+
+    // Record-breaking orders: orders whose total matches the running
+    // maximum over the (orderdate, orderkey) timeline — the "new
+    // all-time high" report. The global running max is
+    // Prefix.runningMax's three-phase distributed form (range partition
+    // → parallel local maxima → P-row offset prefix); no value
+    // arithmetic, so the comparison is engine-exact by construction.
+    Q("q257_record_orders", Q.sql("""
+        WITH o AS (
+          SELECT o_orderkey, CAST(o_orderdate AS DATE) AS d, o_totalprice,
+            max(o_totalprice) OVER (
+              ORDER BY o_orderdate, o_orderkey
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS runmax
+          FROM orders)
+        SELECT o_orderkey, d, o_totalprice
+        FROM o WHERE o_totalprice = runmax
+        ORDER BY d, o_orderkey"""))(
+      (s, dir) =>
+        graft.ops.Prefix.runningMax(
+            T(s, dir, "orders").select(col("o_orderkey"),
+              col("o_orderdate"), col("o_totalprice")),
+            orderCols = Seq(col("o_orderdate"), col("o_orderkey")),
+            valueCol = col("o_totalprice"), out = "runmax")
+          .where(col("o_totalprice") === col("runmax"))
+          .select(col("o_orderkey"), to_date(col("o_orderdate")).as("d"),
+            col("o_totalprice"))
+          .orderBy("d", "o_orderkey"))
   )
 }

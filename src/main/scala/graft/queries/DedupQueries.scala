@@ -469,6 +469,44 @@ object DedupQueries {
           .withColumn("dup_ratio",
             round((col("n_docs") - col("n_unique")) * lit(1.0) /
               col("n_docs"), 6))
-          .orderBy("source"))
+          .orderBy("source")),
+
+    // Token-weighted dedup inflation per language: how many tokens the
+    // raw corpus carries vs its per-lang exact-dedup survivors — the
+    // "effective corpus size" number that decides whether dedup is worth
+    // a pipeline stage for that slice. Copies of a fingerprint share the
+    // token count, so the per-group one-copy count is max(n_tokens).
+    Q("q258_dup_inflation", Q.sql("""
+        WITH f AS (
+          SELECT doc_id, lang,
+            CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+              AS n_tokens,
+            md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
+          FROM documents),
+        g AS (
+          SELECT lang, fp, count(*) AS cnt,
+            CAST(sum(n_tokens) AS BIGINT) AS tok_total,
+            max(n_tokens) AS tok_one
+          FROM f GROUP BY 1, 2)
+        SELECT lang, CAST(sum(cnt) AS BIGINT) AS n_docs,
+          CAST(sum(tok_total) AS BIGINT) AS total_tokens,
+          CAST(sum(tok_one) AS BIGINT) AS unique_tokens,
+          round(sum(tok_total) * 1.0 / sum(tok_one), 6) AS inflation
+        FROM g GROUP BY 1 ORDER BY 1"""))(
+      (s, dir) =>
+        T(s, dir, "documents")
+          .select(col("doc_id"), col("lang"),
+            TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"),
+            TextAnalysis.fingerprint(col("text")).as("fp"))
+          .groupBy("lang", "fp")
+          .agg(count(lit(1)).as("cnt"), sum(col("n_tokens")).as("tok_total"),
+            max(col("n_tokens")).as("tok_one"))
+          .groupBy("lang")
+          .agg(sum(col("cnt")).as("n_docs"),
+            sum(col("tok_total")).as("total_tokens"),
+            sum(col("tok_one")).as("unique_tokens"))
+          .withColumn("inflation",
+            round(col("total_tokens") * lit(1.0) / col("unique_tokens"), 6))
+          .orderBy("lang"))
   )
 }

@@ -283,7 +283,61 @@ object SimilarityQueries {
         ORDER BY id_a, id_b"""))(
       (s, dir) =>
         Similarity.mutualKnn(T(s, dir, "embeddings"), k = 3, dim = Dim)
-          .orderBy("id_a", "id_b"))
+          .orderBy("id_a", "id_b")),
+
+    // Label-noise screen: majority vote of each vector's exact top-3
+    // neighbours' labels vs its own label, accuracy per label — low
+    // agreement flags mislabeled or boundary regions before training.
+    // The vote argmax is ONE hash aggregation (max(struct) with the
+    // smaller-label tiebreak), no second window over the corpus.
+    Q("q256_knn_label_eval", Q.sql(s"""
+        WITH p AS (
+          SELECT a.vec_id AS qid, a.label AS qlab, b.vec_id AS nid,
+            b.label AS nlab,
+            ${cosSql("a.embedding", "b.embedding")} AS cs
+          FROM embeddings a, embeddings b
+          WHERE a.vec_id <> b.vec_id),
+        r AS (
+          SELECT qid, qlab, nlab, row_number() OVER (
+            PARTITION BY qid ORDER BY cs DESC, nid) AS rn
+          FROM p),
+        votes AS (
+          SELECT qid, qlab, nlab, count(*) AS cnt
+          FROM r WHERE rn <= 3 GROUP BY 1, 2, 3),
+        pred AS (
+          SELECT qid, qlab, nlab AS plab FROM (
+            SELECT qid, qlab, nlab, row_number() OVER (
+              PARTITION BY qid ORDER BY cnt DESC, nlab) AS rn
+            FROM votes) t
+          WHERE rn = 1)
+        SELECT qlab AS label, count(*) AS n_vecs,
+          CAST(sum(CASE WHEN plab = qlab THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_correct,
+          round(sum(CASE WHEN plab = qlab THEN 1 ELSE 0 END) * 1.0
+            / count(*), 6) AS accuracy
+        FROM pred GROUP BY 1 ORDER BY 1"""))(
+      (s, dir) => {
+        val emb = T(s, dir, "embeddings")
+        val lab = emb.select(col("vec_id"), col("label"))
+        val knn = Similarity.knnBruteForce(emb, emb, k = 3, dim = Dim)
+        val votes = knn
+          .join(lab.select(col("vec_id").as("query_id"),
+            col("label").as("qlab")), "query_id")
+          .join(lab.select(col("vec_id").as("neighbor_id"),
+            col("label").as("nlab")), "neighbor_id")
+          .groupBy("query_id", "qlab", "nlab")
+          .agg(count(lit(1)).as("cnt"))
+        val pred = votes.groupBy("query_id", "qlab")
+          .agg(graft.ops.Stats.argmax(col("cnt"), -col("nlab"),
+            col("nlab")).as("plab"))
+        pred.groupBy(col("qlab").as("label"))
+          .agg(count(lit(1)).as("n_vecs"),
+            sum(when(col("plab") === col("qlab"), 1L).otherwise(0L))
+              .as("n_correct"))
+          .withColumn("accuracy",
+            round(col("n_correct") * lit(1.0) / col("n_vecs"), 6))
+          .orderBy("label")
+      })
   )
 
   // PQ sub-codebooks shared by q121/q122: 8 subspaces × 16 codes over

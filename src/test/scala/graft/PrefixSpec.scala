@@ -37,6 +37,22 @@ class PrefixSpec extends SparkSpec {
     plan should include("windowspecdefinition(__pid")
   }
 
+  test("runningMax equals the naive global window on out-of-order values") {
+    // values jump around so local maxima differ per range partition
+    val vals = (1L to 500L).map(i => (i, (i * 6007) % 991)).toDF("id", "v")
+    val naive = vals.withColumn("m",
+      max($"v").over(Window.orderBy($"id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select("id", "m").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val fast = Prefix.runningMax(vals, Seq($"id"), $"v", "m")
+      .select("id", "m").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    fast shouldBe naive
+    // and the data-sized window is partitioned, not global
+    val plan = Prefix.runningMax(vals, Seq($"id"), $"v", "m")
+      .queryExecution.optimizedPlan.toString
+    plan should include("windowspecdefinition(__pid")
+  }
+
   test("runningTotal with strata equals the naive per-stratum window") {
     val strat = rows.withColumn("grp",
       when($"id" % 3 === 0, lit("a")).when($"id" % 3 === 1, lit("b"))
