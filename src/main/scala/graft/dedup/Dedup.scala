@@ -479,6 +479,28 @@ object Dedup {
       .select(col("id"), coalesce(col("cluster_size"), lit(1L)).as("cluster_size"))
   }
 
+  /** Shingle novelty per document: the fraction of a document's distinct
+    * n-gram shingles that appear NOWHERE else in the corpus (global
+    * document frequency 1) — high novelty = fresh content, low novelty =
+    * boilerplate / near-copy / memorization risk. Output:
+    * (id, n_sh, n_novel, novelty), one row per document with ≥1 shingle.
+    *
+    * Scale: the shingle frame aggregates once for global df and once
+    * (joined back on the 48-bit hash) per document — two hash shuffles
+    * on the same key family, no corpus text in either.
+    */
+  def noveltyScores(df: DataFrame, idCol: Column, textCol: Column,
+                    n: Int): DataFrame = {
+    val sh = cached(shingleHashSet(df, idCol, textCol, n))
+    val gdf = sh.groupBy("shash").agg(count(lit(1)).as("df"))
+    sh.join(gdf, "shash")
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_sh"),
+        sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_novel"))
+      .withColumn("novelty",
+        round(col("n_novel") * lit(1.0) / col("n_sh"), 6))
+  }
+
   /** Quality-aware near-dup collapse: like [[dedupByComponents]] but the
     * surviving representative of each cluster is the member with the
     * HIGHEST `scoreCol` (ties to the lowest id) instead of the lowest id

@@ -507,6 +507,58 @@ object DedupQueries {
             sum(col("tok_one")).as("unique_tokens"))
           .withColumn("inflation",
             round(col("total_tokens") * lit(1.0) / col("unique_tokens"), 6))
-          .orderBy("lang"))
+          .orderBy("lang")),
+
+    // Shingle novelty: fraction of each doc's distinct 3-gram shingles
+    // with global document frequency 1 — low novelty flags boilerplate
+    // and near-copies the pairwise passes price individually; it is also
+    // the memorization-risk screen (how much of this doc exists nowhere
+    // else). Two hash shuffles on the shingle-hash key, no text moves.
+    Q("q259_novelty", Q.sql(s"""
+        $shingleCtes,
+        gdf AS (SELECT shash, count(*) AS df FROM sh GROUP BY 1)
+        SELECT sh.id AS doc_id, count(*) AS n_sh,
+          CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+          round(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) * 1.0 / count(*), 6)
+            AS novelty
+        FROM sh JOIN gdf USING (shash)
+        GROUP BY 1 ORDER BY 1"""))(
+      (s, dir) =>
+        Dedup.noveltyScores(T(s, dir, "documents"), col("doc_id"),
+            col("text"), n = 3)
+          .select(col("id").as("doc_id"), col("n_sh"), col("n_novel"),
+            col("novelty"))
+          .orderBy("doc_id")),
+
+    // N-gram diversity per source: distinct/total 3-gram ratio — the
+    // templated-content detector (low diversity = a source stamping the
+    // same boilerplate into many documents). One aggregation over the
+    // (source, shingle-hash) frame.
+    Q("q260_ngram_diversity", {
+      val h = PortableSql.hexToLong("md5(shingle)", 12)
+      Q.sql(s"""
+        WITH w AS (
+          SELECT source,
+            string_split(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')), ' ') AS ws
+          FROM documents),
+        shr AS (
+          SELECT source, ws[pos] || ' ' || ws[pos+1] || ' ' || ws[pos+2] AS shingle
+          FROM w, LATERAL (SELECT unnest(generate_series(1, greatest(len(ws) - 2, 0))) AS pos) t)
+        SELECT source, count(*) AS n_shingles,
+          count(DISTINCT $h) AS n_distinct,
+          round(count(DISTINCT $h) * 1.0 / count(*), 6) AS diversity
+        FROM shr GROUP BY 1 ORDER BY 1""")
+    })(
+      (s, dir) =>
+        Dedup.shinglesRaw(T(s, dir, "documents"), col("source"),
+            col("text"), 3)
+          .select(col("id").as("source"),
+            graft.functions.Hashing.hash48(col("shingle")).as("sh"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_shingles"),
+            countDistinct(col("sh")).as("n_distinct"))
+          .withColumn("diversity",
+            round(col("n_distinct") * lit(1.0) / col("n_shingles"), 6))
+          .orderBy("source"))
   )
 }

@@ -169,6 +169,20 @@ class DedupSpec extends SparkSpec {
     comp.keySet shouldBe (1L to 12L).toSet
   }
 
+  test("noveltyScores: exact copies score 0, unique text scores 1") {
+    val nov = Dedup.noveltyScores(docs, $"doc_id", $"text", n = 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    // docs 1 and 2 are identical -> every shingle has df >= 2 -> 0.0
+    nov(1L) shouldBe 0.0
+    nov(2L) shouldBe 0.0
+    // doc 4 shares no 3-gram with anything -> 1.0
+    nov(4L) shouldBe 1.0
+    // doc 3 shares a prefix with 1/2 but has its own tail -> strictly between
+    nov(3L) should (be > 0.0 and be < 1.0)
+    // doc 5 ("tiny") has no 3-gram -> no row
+    nov.contains(5L) shouldBe false
+  }
+
   test("dedupByBest keeps the max-score member per cluster, singletons pass") {
     val scored = Seq(
       (1L, "a", 10L), (2L, "a", 30L), (3L, "a", 30L), // cluster {1,2,3}
