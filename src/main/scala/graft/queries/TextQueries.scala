@@ -200,6 +200,40 @@ object TextQueries {
           .orderBy("doc_id"))
           ,
 
+    // The SAME curation pipeline as a Structured-Streaming job, proven
+    // equal to q50's batch oracle: documents arrive as a stream, per-row
+    // scoring (fingerprint/lang/quality) is stateless, and exact dedup
+    // becomes a streaming per-fingerprint aggregation in Complete mode.
+    // Copies share identical text, so min() over every copy equals the
+    // batch min-id-survivor's values regardless of arrival order or
+    // partitioning — no first-row-wins nondeterminism. At cluster scale
+    // the same pipeline runs unbounded with the memory sink swapped for
+    // a real one; the transform graph is unchanged.
+    Q("q261_stream_curate", Q.sql(s"""
+        WITH $corpusCurateCtes
+        SELECT doc_id, n_tokens, quality
+        FROM curated
+        ORDER BY doc_id"""))(
+      (s, dir) => {
+        val src = graft.streaming.StreamRun.tableStream(s, dir, "documents")
+        val scored = src.select(
+          col("doc_id"),
+          md5(TextAnalysis.normalizeText(col("text")).cast("binary")).as("fp"),
+          TextAnalysis.langId(col("text")).as("lang_pred"),
+          TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+          TextAnalysis.qualityScore(col("text")).as("quality"))
+        val perFp = scored.groupBy("fp").agg(
+          min(col("doc_id")).as("doc_id"),
+          min(col("lang_pred")).as("lang_pred"),
+          min(col("n_tokens")).as("n_tokens"),
+          min(col("quality")).as("quality"))
+        graft.streaming.StreamRun.runToTable("q261_sink", perFp,
+            org.apache.spark.sql.streaming.OutputMode.Complete())
+          .where(col("lang_pred") === "en" && col("quality") >= 0.5)
+          .select("doc_id", "n_tokens", "quality")
+          .orderBy("doc_id")
+      }),
+
     // TF-IDF keyword extraction: top-5 terms per document by
     // tf · ln(N/df), rounded to 6 decimals BEFORE ranking so ties break
     // on the token identically in both engines.

@@ -48,6 +48,17 @@ object StreamRun {
     graft.Tables.normalizeTs(spark.readStream.schema(schema).parquet(globPath))
   }
 
+  /** Any fixture table as a STREAMING source (schema from the parquet
+    * footer, bracket glob so FileStreamSource accepts the single file).
+    * No timestamp normalization — use [[eventsStream]] for events.
+    */
+  def tableStream(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val src = s"$dir/$name.parquet"
+    val schema = spark.read.parquet(src).schema
+    spark.readStream.schema(schema)
+      .parquet(s"$dir/[${name.head}]${name.tail}.parquet")
+  }
+
   /** The events fixture as a stream PLUS a far-future sentinel event
     * (user_id = -1, year 2100): staged into a fresh temp dir so that in
     * Append mode the closing watermark advances past every REAL window —
