@@ -471,6 +471,48 @@ object TextQueries {
             queryPred = _ % 97 === 0, k = 5)
           .orderBy("id_q", "rank")),
 
+    // Hashing-trick document vectors (64 md5 buckets, no dictionary
+    // pass) + sparse cosine top-3 — the text→vector bridge when no
+    // embedding model is in the loop. Counts and dot products are exact
+    // integers, so the result is aggregation-order-free on both engines
+    // without any decimal routing.
+    Q("q262_hashed_doc_knn", {
+      val bucket = s"${PortableSql.hexToLong("md5(tok)", 12)} % 64"
+      Q.sql(s"""
+        WITH toks AS (
+          SELECT doc_id AS id, unnest(string_split_regex($normSql, '\\s+')) AS tok
+          FROM documents),
+        b AS (SELECT id, $bucket AS bucket, count(*) AS cnt
+          FROM toks GROUP BY 1, 2),
+        n AS (SELECT id, sqrt(CAST(sum(cnt * cnt) AS DOUBLE)) AS nrm
+          FROM b GROUP BY 1),
+        d AS (
+          SELECT qa.id AS query_id, bb.id AS neighbor_id,
+            CAST(sum(qa.cnt * bb.cnt) AS BIGINT) AS dot
+          FROM b qa JOIN b bb
+            ON qa.bucket = bb.bucket AND qa.id < 10 AND qa.id <> bb.id
+          GROUP BY 1, 2),
+        c AS (
+          SELECT query_id, neighbor_id,
+            round(dot / (nq.nrm * nd.nrm), 6) AS cos_sim
+          FROM d
+          JOIN n nq ON nq.id = query_id
+          JOIN n nd ON nd.id = neighbor_id)
+        SELECT query_id, neighbor_id, cos_sim, rank FROM (
+          SELECT c.*, CAST(row_number() OVER (
+            PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS INT)
+            AS rank
+          FROM c) t
+        WHERE rank <= 3
+        ORDER BY query_id, rank""")
+    })(
+      (s, dir) =>
+        graft.text.TfIdf.hashedCosineTopK(
+            T(s, dir, "documents"), col("doc_id"), col("text"),
+            buckets = 64, queryPred = _ < 10, k = 3)
+          .select("query_id", "neighbor_id", "cos_sim", "rank")
+          .orderBy("query_id", "rank")),
+
     // Out-of-vocabulary rate against the corpus top-30 vocabulary — the
     // tokenizer-coverage report a training pipeline runs before switching
     // vocab/tokenizer. The vocab is a 30-row frame (broadcast side); the

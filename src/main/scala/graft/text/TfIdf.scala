@@ -56,6 +56,48 @@ object TfIdf {
       partitionCols = Seq(col("id")),
       order = Seq(col("tfidf").desc, col("tok").asc), k = k)
 
+  /** Hashing-trick document vectors + sparse cosine top-`k`: each
+    * document becomes a `buckets`-dimensional term-count vector (token →
+    * md5-hash bucket, NO dictionary pass — the one vectorizer whose cost
+    * doesn't grow with vocabulary), and each query document gets its k
+    * nearest others by cosine. All counts and dot products are exact
+    * integers — deterministic in any aggregation order on any engine —
+    * with doubles appearing only in the final norm division.
+    *
+    * Scale shape: the vector frame is (id × occupied-buckets)-sized (≤
+    * `buckets` rows per doc); similarity is the same inverted-index
+    * equi-join as [[sparseCosineTopK]], keyed on the bucket id.
+    */
+  def hashedCosineTopK(df: DataFrame, idCol: Column, textCol: Column,
+                       buckets: Int, queryPred: Column => Column,
+                       k: Int): DataFrame = {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    // Referenced three times (norms + both join sides).
+    val b = cached(spread(df)
+      .select(idCol.as("id"),
+        explode(TextAnalysis.tokens(TextAnalysis.normalizeText(textCol)))
+          .as("tok"))
+      .select(col("id"),
+        (graft.functions.Hashing.hash48(col("tok")) % buckets).as("bucket"))
+      .groupBy("id", "bucket").agg(count(lit(1)).as("cnt")))
+    val norms = b.groupBy("id")
+      .agg(sqrt(sum(col("cnt") * col("cnt")).cast("double")).as("nrm"))
+    val dots = broadcast(b.where(queryPred(col("id"))).as("a"))
+      .join(b.as("bb"),
+        col("a.bucket") === col("bb.bucket") && col("a.id") =!= col("bb.id"))
+      .groupBy(col("a.id").as("query_id"), col("bb.id").as("neighbor_id"))
+      .agg(sum(col("a.cnt") * col("bb.cnt")).as("dot"))
+    val cos = dots
+      .join(norms.select(col("id").as("query_id"), col("nrm").as("nrm_q")),
+        "query_id")
+      .join(norms.select(col("id").as("neighbor_id"), col("nrm").as("nrm_d")),
+        "neighbor_id")
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("dot") / (col("nrm_q") * col("nrm_d")), 6).as("cos_sim"))
+    Relational.topKPerGroup(cos, partitionCols = Seq(col("query_id")),
+      order = Seq(col("cos_sim").desc, col("neighbor_id").asc), k = k)
+  }
+
   /** Sparse TF-IDF cosine top-`k`: for each document satisfying
     * `queryPred` (on the id), the k most similar OTHER documents by
     * cosine over tf-idf term weights — the sparse counterpart of the

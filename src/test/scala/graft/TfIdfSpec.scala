@@ -51,6 +51,22 @@ class TfIdfSpec extends SparkSpec {
     out.keySet.map(_._1) shouldBe Set(1L, 2L)
   }
 
+  test("hashedCosineTopK: identical docs score 1.0, disjoint docs absent") {
+    val pair = Seq(
+      (1L, "alpha beta gamma"),
+      (2L, "alpha beta gamma"),
+      (3L, "alpha delta delta"),
+      (4L, "epsilon zeta eta")).toDF("doc_id", "text")
+    val out = TfIdf.hashedCosineTopK(pair, $"doc_id", $"text",
+      buckets = 64, queryPred = _ <= 1, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    out((1L, 2L)) shouldBe 1.0
+    // cosine bounded and the self pair excluded
+    out.keySet should not contain ((1L, 1L))
+    out.values.foreach(c => c should (be >= -1.0 and be <= 1.0))
+  }
+
   test("UnigramLm: repeated-common-token docs score higher than rare-token docs") {
     import graft.text.UnigramLm
     val corpus = Seq(
