@@ -70,6 +70,37 @@ object Events {
         coalesce(col("n_leak_users"), lit(0L)).as("n_leak_users"))
   }
 
+  /** Purged walk-forward cross-validation plan: for each test fold
+    * (week `fold` from `originUs`, width `foldUs`), count the events in
+    * train (strictly before the fold minus the embargo window), embargo
+    * (the `embargoUs` just before the fold — excluded from train so
+    * look-ahead features can't leak), and test (inside the fold) — the
+    * time-series CV discipline (de Prado's purged k-fold, walk-forward
+    * form). Output: (fold, n_train, n_embargo, n_test).
+    *
+    * Scale: one cross join against the |folds|-row broadcast spine and
+    * one indicator aggregation — exact integer microsecond comparisons,
+    * engine-portable by construction.
+    */
+  def purgedWalkForward(events: DataFrame, tsCol: Column, originUs: Long,
+                        foldUs: Long, embargoUs: Long,
+                        folds: Seq[Int]): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val us = col("us")
+    val fstart = lit(originUs) + col("fold") * lit(foldUs)
+    events.select(unix_micros(tsCol).as("us"))
+      .crossJoin(broadcast(folds.toDF("fold")))
+      .groupBy("fold")
+      .agg(
+        sum(when(us < fstart - lit(embargoUs), 1L).otherwise(0L))
+          .as("n_train"),
+        sum(when(us >= fstart - lit(embargoUs) && us < fstart, 1L)
+          .otherwise(0L)).as("n_embargo"),
+        sum(when(us >= fstart && us < fstart + lit(foldUs), 1L)
+          .otherwise(0L)).as("n_test"))
+  }
+
   /** Gaps-and-islands sessionization: a new session starts when the gap to
     * the previous event of the same user exceeds `gapSeconds`. Session id =
     * running count of session-starts per user (deterministic: ordered by

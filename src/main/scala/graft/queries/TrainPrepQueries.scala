@@ -164,6 +164,35 @@ object TrainPrepQueries {
             sum(col("n_tokens")).as("batch_tokens"),
             max(col("n_tokens")).as("max_tokens"))
           .orderBy("batch_id")
-      })
+      }),
+
+    // Purged walk-forward CV plan over the event log: weekly test folds
+    // from 2024-01-01, a 1-day embargo ahead of each fold excluded from
+    // train (de Prado's purged k-fold in walk-forward form) — the split
+    // discipline for time-series features. Exact integer µs comparisons.
+    Q("q263_purged_folds", {
+      // 2024-01-01 00:00:00 UTC in µs; 7-day folds; 1-day embargo
+      val origin = 1704067200000000L
+      val week = 604800000000L
+      val day = 86400000000L
+      Q.sql(s"""
+        WITH e AS (SELECT epoch_us(ts) AS us FROM events),
+        f AS (SELECT unnest([1, 2, 3, 4]) AS fold),
+        j AS (SELECT fold, us, $origin + fold * $week AS fstart
+          FROM e CROSS JOIN f)
+        SELECT fold,
+          CAST(sum(CASE WHEN us < fstart - $day THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_train,
+          CAST(sum(CASE WHEN us >= fstart - $day AND us < fstart
+            THEN 1 ELSE 0 END) AS BIGINT) AS n_embargo,
+          CAST(sum(CASE WHEN us >= fstart AND us < fstart + $week
+            THEN 1 ELSE 0 END) AS BIGINT) AS n_test
+        FROM j GROUP BY 1 ORDER BY 1""")
+    })(
+      (s, dir) =>
+        Events.purgedWalkForward(T(s, dir, "events"), col("ts"),
+            originUs = 1704067200000000L, foldUs = 604800000000L,
+            embargoUs = 86400000000L, folds = Seq(1, 2, 3, 4))
+          .orderBy("fold"))
   )
 }

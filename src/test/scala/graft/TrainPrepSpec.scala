@@ -53,6 +53,20 @@ class TrainPrepSpec extends SparkSpec {
       "view" -> ((0L, 1L, 0L)))
   }
 
+  test("purgedWalkForward: embargo sits between train and test, all exact") {
+    // origin 0, fold width 100us, embargo 10us; events at us 0..299
+    val ev = (0L until 300L).map(i => Tuple1(i)).toDF("us")
+      .withColumn("ts", timestamp_micros($"us"))
+    val out = Events.purgedWalkForward(ev, $"ts", originUs = 0L,
+        foldUs = 100L, embargoUs = 10L, folds = Seq(1, 2))
+      .collect().map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // fold 1: train [0, 90), embargo [90, 100), test [100, 200)
+    out(1) shouldBe ((90L, 10L, 100L))
+    // fold 2: train [0, 190), embargo [190, 200), test [200, 300)
+    out(2) shouldBe ((190L, 10L, 100L))
+  }
+
   test("budgetSelect equals the single-partition running-sum filter") {
     val docs = (1L to 40L).map(i => (i, i % 7 + 1, 100 - i))
       .toDF("id", "tokens", "quality")
