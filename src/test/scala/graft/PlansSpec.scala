@@ -15,6 +15,31 @@ class PlansSpec extends SparkSpec {
     (0 until n).flatMap(i =>
       g(Gen.Parameters.default.withSize(40), Seed(7L + i)))
 
+  test("hashedCosineTopK plans a broadcast inverted-index join, no cartesian") {
+    val docs = Seq((1L, "a b c"), (2L, "a b d"), (3L, "e f g"))
+      .toDF("doc_id", "text")
+    val plan = graft.text.TfIdf.hashedCosineTopK(docs, $"doc_id", $"text",
+        buckets = 64, queryPred = _ <= 1, k = 2)
+      .queryExecution.executedPlan.toString
+    plan should include("BroadcastHashJoin")
+    plan should not include "CartesianProduct"
+    // the non-broadcast nested-loop form would be the n² trap
+    plan should not include "BroadcastNestedLoopJoin"
+  }
+
+  test("annRecallLsh candidate side is an equi-join on the bucket (no cartesian)") {
+    val emb = Seq.tabulate(6)(i => (i.toLong, Array(1.0f, 0.0f, 0.5f)))
+      .toDF("vec_id", "embedding")
+    val plan = graft.similarity.Similarity.annRecallLsh(emb, dim = 3,
+        nBits = 4, k = 2, nQueries = 3)
+      .queryExecution.executedPlan.toString
+    plan should not include "CartesianProduct"
+    // exactly one BNLJ is expected: the documented broadcast-query exact
+    // kNN baseline; the candidate join must not add another
+    plan.sliding("BroadcastNestedLoopJoin".length)
+      .count(_ == "BroadcastNestedLoopJoin") shouldBe 1
+  }
+
   test("NativeTopK equals the window row_number form on generated data") {
     val rows = Gen.nonEmptyListOf(Gen.zip(
       Gen.chooseNum(0, 4), Gen.chooseNum(0, 50)))
