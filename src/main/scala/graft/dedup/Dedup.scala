@@ -479,6 +479,29 @@ object Dedup {
       .select(col("id"), coalesce(col("cluster_size"), lit(1L)).as("cluster_size"))
   }
 
+  /** Incremental ingest dedup: split `incoming` into the rows whose
+    * normalized-content fingerprint already exists in `existing` and the
+    * novel rest — the per-batch admission check an always-on ingest
+    * pipeline runs instead of re-deduping the whole corpus. Returns the
+    * incoming frame plus a `dup_of_existing` flag (batch-internal dups
+    * are NOT collapsed here — run [[exactGroups]] on the survivors).
+    *
+    * Scale: the existing side reduces to its distinct fingerprint set
+    * (hash-sized, bucketable/broadcastable when the corpus index is
+    * pre-built); the join key is the md5, so text never shuffles. At
+    * 100 TB the fingerprint index is a bucketed table maintained
+    * incrementally — each batch joins against it without a corpus scan.
+    */
+  def incrementalDedup(existing: DataFrame, incoming: DataFrame,
+                       idCol: Column, textCol: Column): DataFrame = {
+    val fp = graft.text.TextAnalysis.fingerprint(textCol)
+    val index = existing.select(fp.as("fp")).distinct()
+    incoming.select(idCol.as("id"), fp.as("fp"))
+      .join(index.withColumn("__hit", lit(true)), Seq("fp"), "left")
+      .select(col("id"), col("fp"),
+        coalesce(col("__hit"), lit(false)).as("dup_of_existing"))
+  }
+
   /** Shingle novelty per document: the fraction of a document's distinct
     * n-gram shingles that appear NOWHERE else in the corpus (global
     * document frequency 1) — high novelty = fresh content, low novelty =

@@ -559,6 +559,31 @@ object DedupQueries {
             countDistinct(col("sh")).as("n_distinct"))
           .withColumn("diversity",
             round(col("n_distinct") * lit(1.0) / col("n_shingles"), 6))
-          .orderBy("source"))
+          .orderBy("source")),
+
+    // Incremental ingest dedup: the batch with doc_id >= 400 admitted
+    // against the fingerprint index of the existing corpus (doc_id <
+    // 400) — the per-batch admission check an always-on pipeline runs
+    // instead of re-deduping everything. Text never shuffles; only the
+    // md5 key moves.
+    Q("q264_incremental_dedup", Q.sql("""
+        WITH idx AS (
+          SELECT DISTINCT md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
+          FROM documents WHERE doc_id < 400),
+        inc AS (
+          SELECT doc_id AS id,
+            md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
+          FROM documents WHERE doc_id >= 400)
+        SELECT inc.id, inc.fp, (idx.fp IS NOT NULL) AS dup_of_existing
+        FROM inc LEFT JOIN idx ON idx.fp = inc.fp
+        ORDER BY id"""))(
+      (s, dir) => {
+        val docs = T(s, dir, "documents")
+        Dedup.incrementalDedup(
+            existing = docs.where(col("doc_id") < 400),
+            incoming = docs.where(col("doc_id") >= 400),
+            col("doc_id"), col("text"))
+          .orderBy("id")
+      })
   )
 }

@@ -183,6 +183,17 @@ class DedupSpec extends SparkSpec {
     nov.contains(5L) shouldBe false
   }
 
+  test("incrementalDedup flags exactly the batch rows whose content exists") {
+    val existing = docs.where($"doc_id" <= 2) // holds doc 1/2's shared text
+    val incoming = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog"), // dup of existing
+      (11L, "entirely new content for this batch"))
+      .toDF("doc_id", "text")
+    val out = Dedup.incrementalDedup(existing, incoming, $"doc_id", $"text")
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    out shouldBe Map(10L -> true, 11L -> false)
+  }
+
   test("dedupByBest keeps the max-score member per cluster, singletons pass") {
     val scored = Seq(
       (1L, "a", 10L), (2L, "a", 30L), (3L, "a", 30L), // cluster {1,2,3}
