@@ -111,6 +111,33 @@ object StreamingQueries {
           .orderBy("event_type", "c_mktsegment")
       }),
 
+    // STREAM-STATIC ANTI join: documents stream through a decontamination
+    // filter that drops any row whose content fingerprint appears in the
+    // static blocklist (here: every 50th doc standing in for an eval
+    // set) — the online form of test-set decontamination. Stateless: the
+    // blocklist broadcasts per micro-batch, nothing accumulates.
+    Q("q265_stream_decontaminate", Q.sql("""
+        SELECT d.doc_id, d.source
+        FROM documents d
+        LEFT JOIN (
+          SELECT DISTINCT md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
+          FROM documents WHERE doc_id % 50 = 0) b
+          ON b.fp = md5(lower(regexp_replace(trim(d.text), '\s+', ' ', 'g')))
+        WHERE b.fp IS NULL
+        ORDER BY d.doc_id"""))(
+      (s, dir) => {
+        val fp = graft.text.TextAnalysis.fingerprint(col("text"))
+        val block = broadcast(Tables.load(s, dir, "documents")
+          .where(col("doc_id") % 50 === 0)
+          .select(fp.as("fp")).distinct())
+        val survivors = StreamRun.tableStream(s, dir, "documents")
+          .select(col("doc_id"), col("source"), fp.as("fp"))
+          .join(block, Seq("fp"), "left_anti")
+          .select("doc_id", "source")
+        StreamRun.runToTable("q265_sink", survivors, OutputMode.Append())
+          .orderBy("doc_id")
+      }),
+
     // STREAM-STREAM self range join: events within ±60s of each click,
     // via the same banded equi-join RangeJoin uses in batch (floor-bucket
     // the time axis, explode intervals to covered bands, equi-join on
