@@ -92,6 +92,49 @@ object Prefix {
       .drop("__pid", "__local", "__off", "__v")
   }
 
+  /** Several running totals over ONE global order in one pass: each
+    * (valueCol, outName) pair gets its own running sum, sharing a single
+    * range partition, local window, and offsets join — the multi-series
+    * form (e.g. the two empirical CDFs of a KS test). Same machinery and
+    * guarantees as [[runningTotal]].
+    */
+  def runningTotals(df: DataFrame, orderCols: Seq[Column],
+                    vals: Seq[(Column, String)]): DataFrame = {
+    require(vals.nonEmpty, "runningTotals needs at least one value column")
+    val reserved = Seq("__pid") ++
+      vals.indices.flatMap(i => Seq(s"__local$i", s"__v$i", s"__pt$i", s"__off$i"))
+    val clash = df.columns.intersect(reserved)
+    require(clash.isEmpty,
+      s"runningTotals reserves internal column names ${reserved.mkString(", ")}; " +
+        s"input already has ${clash.mkString(", ")} — rename before calling")
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    val wLocal = Window.partitionBy(col("__pid")).orderBy(orderCols: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // same boundary-pinning barrier as runningTotal (see comment there)
+    val withLocal = Frames.materialize(
+      vals.zipWithIndex.foldLeft(
+          df.repartitionByRange(p, orderCols: _*)
+            .withColumn("__pid", spark_partition_id())) {
+        case (acc, ((v, _), i)) =>
+          acc.withColumn(s"__v$i", v)
+            .withColumn(s"__local$i", sum(v).over(wLocal))
+      })
+    val wOffsets = Window.orderBy(col("__pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = withLocal.groupBy(col("__pid"))
+      .agg(vals.indices.map(i => sum(col(s"__v$i")).as(s"__pt$i")).head,
+        vals.indices.map(i => sum(col(s"__v$i")).as(s"__pt$i")).tail: _*)
+      .select(col("__pid") +: vals.indices.map(i =>
+        coalesce(sum(col(s"__pt$i")).over(wOffsets), lit(0L)).as(s"__off$i")): _*)
+    vals.zipWithIndex.foldLeft(
+        withLocal.join(broadcast(offsets), "__pid")) {
+      case (acc, ((_, out), i)) =>
+        acc.withColumn(out, col(s"__local$i") + col(s"__off$i"))
+    }.drop("__pid")
+      .drop(vals.indices.flatMap(i =>
+        Seq(s"__local$i", s"__v$i", s"__off$i")): _*)
+  }
+
   /** `out` = running MAXIMUM of `valueCol` over the global `orderCols`
     * order — the same three-phase shape as [[runningTotal]] with max as
     * the associative combiner (per-partition running max, then each

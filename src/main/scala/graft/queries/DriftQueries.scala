@@ -80,10 +80,11 @@ object DriftQueries {
         val n = u.agg(sum(col("c1")).as("n1"), sum(col("c2")).as("n2"))
         val vals = u.groupBy("val")
           .agg(sum(col("c1")).as("c1"), sum(col("c2")).as("c2"))
-        val w = Window.orderBy(col("val"))
-        val cum = vals.select(
-          sum(col("c1")).over(w).as("f1"),
-          sum(col("c2")).over(w).as("f2"))
+        // two running CDFs in one distributed prefix pass — a bare
+        // ORDER BY window would pull every distinct value to one task
+        val cum = graft.ops.Prefix.runningTotals(vals, Seq(col("val")),
+            Seq(col("c1") -> "f1", col("c2") -> "f2"))
+          .select("f1", "f2")
         val d = cum.crossJoin(broadcast(n))
           .agg(max(abs(col("f1").cast("double") / col("n1") -
             col("f2").cast("double") / col("n2"))).as("dmax"))

@@ -204,9 +204,11 @@ object TailQueries {
           .groupBy(col("o_custkey"))
           .agg(sum(round(col("o_totalprice") * 100, 0).cast("long"))
             .as("cents"))
-        val rk = cr.select(col("cents"),
-          row_number().over(Window.orderBy(col("cents"), col("o_custkey")))
-            .cast("long").as("i"))
+        // distributed global rank (three-phase prefix of 1s) — a bare
+        // row_number window here would move every customer to one task
+        val rk = graft.ops.Prefix.runningTotal(cr,
+            Seq(col("cents"), col("o_custkey")), lit(1L), out = "i")
+          .select(col("cents"), col("i"))
         val sm = rk.agg(count(lit(1)).as("n"),
           sum(col("cents").cast("decimal(38,0)")).as("sx"),
           sum((col("i") * col("cents")).cast("decimal(38,0)")).as("six"))
@@ -300,9 +302,16 @@ object TailQueries {
             CAST(sum(CAST(lterm AS DECIMAL(27,8))) AS DOUBLE), 6) AS tail_alpha
         FROM tail CROSS JOIN xk1"""))(
       (s, dir) => {
-        val rk = T(s, dir, "orders")
-          .select(col("o_totalprice").as("x"),
-            row_number().over(Window.orderBy(col("o_totalprice").desc,
+        // top-(k+1) via distributed sort-limit (TakeOrderedAndProject):
+        // ranking ALL orders globally for a fixed-k tail would be a
+        // single-partition sort of the fact table
+        val top = T(s, dir, "orders")
+          .select(col("o_totalprice").as("x"), col("o_orderkey"))
+          .orderBy(col("x").desc, col("o_orderkey"))
+          .limit(HillK + 1)
+        val rk = top
+          .select(col("x"),
+            row_number().over(Window.orderBy(col("x").desc,
               col("o_orderkey"))).cast("long").as("r"))
         val xk1 = rk.where(col("r") === HillK + 1).select(col("x").as("xk"))
         val tail = rk.where(col("r") <= HillK)

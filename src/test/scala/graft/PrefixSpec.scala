@@ -53,6 +53,21 @@ class PrefixSpec extends SparkSpec {
     plan should include("windowspecdefinition(__pid")
   }
 
+  test("runningTotals: several series share one pass, equal to naive windows") {
+    val vals = (1L to 300L).map(i => (i, i % 5, (i * 13) % 7)).toDF("id", "a", "b")
+    val w = Window.orderBy($"id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val naive = vals
+      .withColumn("ca", sum($"a").over(w)).withColumn("cb", sum($"b").over(w))
+      .select("id", "ca", "cb").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val fast = Prefix.runningTotals(vals, Seq($"id"),
+        Seq($"a" -> "ca", $"b" -> "cb"))
+      .select("id", "ca", "cb").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    fast shouldBe naive
+  }
+
   test("runningTotal with strata equals the naive per-stratum window") {
     val strat = rows.withColumn("grp",
       when($"id" % 3 === 0, lit("a")).when($"id" % 3 === 1, lit("b"))
