@@ -38,11 +38,15 @@ object Skyline {
   def pareto(df: DataFrame, mnCol: Column, mxCol: Column,
              broadcastFrontier: Boolean = true): DataFrame = {
     val groups = df.groupBy(mnCol.as("_mn")).agg(max(mxCol).as("_gmax"))
-    val w = Window.orderBy(col("_mn"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val frontier = groups
-      .withColumn("_run", max(col("_gmax")).over(w))
-      .where(col("_run").isNull || col("_gmax") > col("_run"))
+    // Frontier via the distributed INCLUSIVE running max (a bare
+    // exclusive-frame window would pull every distinct _mn to one task):
+    // a group beats all predecessors iff it equals the inclusive running
+    // max AND is the first (min _mn) group attaining that max value.
+    val run = graft.ops.Prefix.runningMax(groups, Seq(col("_mn")),
+      col("_gmax"), out = "_run")
+    val frontier = run.where(col("_gmax") === col("_run"))
+      .groupBy(col("_run")).agg(min(col("_mn")).as("_mn"))
+      .join(groups, Seq("_mn"))
       .select(col("_mn"), col("_gmax"))
     df.join(if (broadcastFrontier) broadcast(frontier) else frontier,
         mnCol === col("_mn") && mxCol === col("_gmax"))

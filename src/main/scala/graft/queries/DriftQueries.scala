@@ -265,17 +265,18 @@ object DriftQueries {
           .groupBy(col("o_custkey"))
           .agg(count(lit(1)).as("n_orders"),
             graft.ops.Relational.dsum(col("o_totalprice"), 4).as("rev"))
-        val rk = r.select(col("o_custkey"), col("n_orders"), col("rev"),
-          row_number().over(Window.orderBy(col("rev").desc, col("o_custkey")))
-            .cast("long").as("r_rev"),
-          row_number().over(Window.orderBy(col("n_orders").desc, col("o_custkey")))
-            .cast("long").as("r_cnt"))
+        // all three ranks via the distributed prefix (the customer frame
+        // is dimension-sized — still too big for one window task)
+        import graft.ops.Prefix.runningTotal
+        val rk = runningTotal(
+          runningTotal(r, Seq(col("rev").desc, col("o_custkey")),
+            lit(1L), out = "r_rev"),
+          Seq(col("n_orders").desc, col("o_custkey")), lit(1L), out = "r_cnt")
         val sc = rk.withColumn("rrf",
           round(lit(1).cast("double") / (lit(60) + col("r_rev")) +
             lit(1).cast("double") / (lit(60) + col("r_cnt")), 8))
-        sc.withColumn("fused_rank",
-            row_number().over(Window.orderBy(col("rrf").desc, col("o_custkey")))
-              .cast("long"))
+        runningTotal(sc, Seq(col("rrf").desc, col("o_custkey")), lit(1L),
+            out = "fused_rank")
           .where(col("fused_rank") <= 100)
           .orderBy("fused_rank")
       }))

@@ -69,13 +69,15 @@ object EvalQueries {
             col("text"), Bm25Terms)
           .join(T(s, dir, "documents").select(col("doc_id").as("id"),
             when(col("lang") === "en", 1).otherwise(0).as("rel")), "id")
-        // materialize: both the dcg agg and the ideal re-rank consume this
-        // frame — without the barrier the full BM25 scoring pass runs twice
-        val ranked = graft.ops.Frames.materialize(
-          scored.select(col("rel"),
-            row_number().over(Window.orderBy(col("score").desc, col("id"))).as("r")))
-        val ideal = ranked.select(col("rel"),
-          row_number().over(Window.orderBy(col("rel").desc, col("r"))).as("ri"))
+        // distributed ranks (runningTotal materializes internally, which
+        // also keeps the BM25 scoring pass from running once per consumer)
+        val ranked = graft.ops.Prefix.runningTotal(
+            scored.select(col("rel"), col("score"), col("id")),
+            Seq(col("score").desc, col("id")), lit(1L), out = "r")
+          .select(col("rel"), col("r"))
+        val ideal = graft.ops.Prefix.runningTotal(ranked,
+            Seq(col("rel").desc, col("r")), lit(1L), out = "ri")
+          .select(col("rel"), col("ri"))
         def term(rank: org.apache.spark.sql.Column, k: Int) =
           when(rank <= k, round(col("rel") / log2(rank + 1), 6)).otherwise(lit(0))
         val dcg = ranked.agg(
