@@ -205,10 +205,9 @@ object AuditQueries {
             round(col("n_ab").cast("double") / col("n_a"), 6).as("confidence"),
             round(col("n_ab").cast("double") * col("n_baskets") /
               (col("n_a").cast("double") * col("n_b")), 6).as("lift"))
-        rules
+        rules.orderBy(col("lift").desc, col("pa"), col("pb")).limit(20)
           .withColumn("rk", row_number().over(
             Window.orderBy(col("lift").desc, col("pa"), col("pb"))).cast("long"))
-          .where(col("rk") <= 20)
           .orderBy("rk")
       }),
 

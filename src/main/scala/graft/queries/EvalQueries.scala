@@ -184,10 +184,10 @@ object EvalQueries {
           .groupBy(col("l_partkey")).agg(count(lit(1)).as("cnt"))
         val stats = kc.agg(count(lit(1)).as("n_keys"),
           sum(col("cnt")).as("total"))
-        kc.select(col("l_partkey"), col("cnt"),
+        kc.orderBy(col("cnt").desc, col("l_partkey")).limit(10)
+          .select(col("l_partkey"), col("cnt"),
             row_number().over(Window.orderBy(col("cnt").desc, col("l_partkey")))
               .as("rank"))
-          .where(col("rank") <= 10)
           .crossJoin(broadcast(stats))
           .select(col("rank"), col("l_partkey"), col("cnt"),
             round(col("cnt").cast("double") / col("total"), 6).as("share"),

@@ -167,10 +167,13 @@ object RankQueries {
           .select(col("doc_id"),
             when(col("lang") === "en", 1).otherwise(0).as("pos"),
             TextAnalysis.qualityScore(col("text")).as("quality"))
-        val rk = scored.select(col("pos"),
-          avg(row_number().over(Window.orderBy(col("quality"), col("doc_id")))
-            .cast("long"))
-            .over(Window.partitionBy(col("quality"))).as("midrank"))
+        // global positions via the distributed prefix; the midrank
+        // window partitions by the tie value (tie-group-bounded)
+        val rk = graft.ops.Prefix.runningTotal(scored,
+            Seq(col("quality"), col("doc_id")), lit(1L), out = "rn")
+          .select(col("pos"),
+            avg(col("rn")).over(Window.partitionBy(col("quality")))
+              .as("midrank"))
         val agg = rk.agg(
           sum(col("pos")).as("n_pos"),
           sum(lit(1) - col("pos")).as("n_neg"),

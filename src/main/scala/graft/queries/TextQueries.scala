@@ -777,11 +777,14 @@ object TextQueries {
         val perDoc = tok.groupBy("doc_id").agg(count(lit(1)).as("n_tok"))
         val newTypes = tok.groupBy("w").agg(min(col("doc_id")).as("doc_id"))
           .groupBy("doc_id").agg(count(lit(1)).as("nt"))
-        val w = Window.orderBy(col("doc_id"))
-        val cum = perDoc.join(newTypes, Seq("doc_id"), "left_outer")
-          .select(col("doc_id"),
-            sum(col("n_tok")).over(w).as("cum_tokens"),
-            sum(coalesce(col("nt"), lit(0L))).over(w).as("cum_types"))
+        // both running sums in one distributed prefix pass (the per-doc
+        // frame is corpus-sized — too big for one window task)
+        val cum = graft.ops.Prefix.runningTotals(
+            perDoc.join(newTypes, Seq("doc_id"), "left_outer"),
+            Seq(col("doc_id")),
+            Seq(col("n_tok") -> "cum_tokens",
+              coalesce(col("nt"), lit(0L)) -> "cum_types"))
+          .select("doc_id", "cum_tokens", "cum_types")
         val pts = cum.select(
           round(log(col("cum_tokens").cast("double")), 6).as("lx"),
           round(log(col("cum_types").cast("double")), 6).as("ly"))
@@ -817,10 +820,11 @@ object TextQueries {
           .select(explode(split(
             TextAnalysis.normalizeText(col("text")), " ")).as("w"))
           .groupBy("w").agg(count(lit(1)).as("f"))
-        val top = freq
+        // distributed sort-limit first; the rank window then runs over
+        // at most 1000 rows
+        val top = freq.orderBy(col("f").desc, col("w").asc).limit(1000)
           .select(col("f"), row_number()
             .over(Window.orderBy(col("f").desc, col("w").asc)).as("rnk"))
-          .where(col("rnk") <= 1000)
         val pts = top.select(
           round(log(col("rnk").cast("double")), 6).as("lx"),
           round(log(col("f").cast("double")), 6).as("ly"))
