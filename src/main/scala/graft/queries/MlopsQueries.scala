@@ -47,7 +47,9 @@ object MlopsQueries {
             CAST(sum(CAST(round(CAST(embedding[i] AS DOUBLE), 9)
               AS DECIMAL(27,9))) AS DOUBLE) / count(*) AS mu
           FROM embeddings CROSS JOIN idx GROUP BY 1)
-        SELECT m2.i, m2.j, round(s2 / n - ma.mu * mb.mu, 6) AS cov
+        SELECT m2.i, m2.j,
+          CAST(round(CAST(round(s2 / n, 9) AS DECIMAL(27,9))
+            - CAST(round(ma.mu * mb.mu, 9) AS DECIMAL(27,9)), 6) AS DOUBLE) AS cov
         FROM m2 JOIN mean ma ON ma.i = m2.i JOIN mean mb ON mb.i = m2.j
         ORDER BY 1, 2"""))(
       (s, dir) => {
@@ -80,7 +82,12 @@ object MlopsQueries {
           .join(broadcast(mean.select(col("i"), col("mu").as("mu_i"))), "i")
           .join(broadcast(mean.select(col("i").as("j"), col("mu").as("mu_j"))), "j")
           .select(col("i"), col("j"),
-            round(col("s2") / col("n") - col("mu_i") * col("mu_j"), 6).as("cov"))
+            // no double last mile: snap each term to DECIMAL(27,9), subtract
+            // exactly, round at 6 in decimal (HALF_UP ties agree across
+            // engines), then cast — a 6-dp boundary can no longer straddle
+            round(round(col("s2") / col("n"), 9).cast("decimal(27,9)")
+              - round(col("mu_i") * col("mu_j"), 9).cast("decimal(27,9)"), 6)
+              .cast("double").as("cov"))
           .orderBy("i", "j")
       }),
 

@@ -428,11 +428,13 @@ object TextQueries {
           .orderBy("mix_rank")),
 
     // Sparse TF-IDF cosine top-5 similar documents for the query slice
-    // (doc_id % 97 = 0) — the inverted-index similarity join (weights
-    // matched on the token, broadcast query side; see
-    // TfIdf.sparseCosineTopK for the 100 TB shape). Dots/norms are
-    // decimal-routed sums of pre-rounded weights: bit-identical on both
-    // engines.
+    // (doc_id % 97 = 0) — the inverted-index similarity join: weights
+    // matched on the token via a SHUFFLED merge join (the query side is a
+    // corpus fraction, so a broadcast would grow with the data), with
+    // df > 390 stop-tokens capped out before the join so no posting list
+    // is quadratic (see TfIdf.sparseCosineTopK for the 100 TB shape).
+    // Dots/norms are decimal-routed sums of pre-rounded weights:
+    // bit-identical on both engines.
     Q("q89_sparse_cosine", Q.sql(s"""
         WITH toks AS (
           SELECT doc_id AS id, unnest(string_split_regex($normSql, '\\s+')) AS tok
@@ -443,7 +445,8 @@ object TextQueries {
         w AS (
           SELECT id, tfq.tok AS tok,
             round(tf * ln(CAST(n_docs AS DOUBLE) / df_docs), 6) AS tfidf
-          FROM tfq JOIN dfq ON tfq.tok = dfq.tok CROSS JOIN nq),
+          FROM tfq JOIN dfq ON tfq.tok = dfq.tok CROSS JOIN nq
+          WHERE df_docs <= 390),
         norms AS (
           SELECT id,
             sqrt(CAST(sum(CAST(tfidf * tfidf AS DECIMAL(27,8))) AS DOUBLE)) AS norm
@@ -468,7 +471,7 @@ object TextQueries {
       (s, dir) =>
         graft.text.TfIdf.sparseCosineTopK(
             T(s, dir, "documents"), col("doc_id"), col("text"),
-            queryPred = _ % 97 === 0, k = 5)
+            queryPred = _ % 97 === 0, k = 5, maxDf = Some(390))
           .orderBy("id_q", "rank")),
 
     // Hashing-trick document vectors (64 md5 buckets, no dictionary

@@ -104,24 +104,33 @@ object TfIdf {
     * dense-embedding kNN ([[graft.similarity.Similarity.knnBruteForce]]).
     *
     * Scale shape: an inverted-index join — the query side's (id, tok,
-    * weight) rows are broadcast and matched on the token, so similarity
-    * cost is proportional to posting-list overlap, never n². (For
-    * all-pairs workloads cap high-document-frequency terms first, as in
-    * [[graft.dedup.Dedup.jaccardPairs]] `maxDf` — boilerplate terms are
-    * the quadratic keys.)
+    * weight) rows are matched on the token via a SHUFFLED merge join,
+    * never a broadcast: the query set is typically a *fraction* of the
+    * corpus (not a bounded list), so a broadcast would grow linearly with
+    * the data and OOM the executors long before 100 TB. Both sides
+    * partition on the token and the cost is posting-list overlap, never
+    * n². `maxDf` (mirror of [[graft.dedup.Dedup.jaccardPairs]]) drops
+    * terms whose document frequency exceeds the cap BEFORE the join —
+    * stop-word-dense tokens have df ≈ N in any real corpus and are the
+    * quadratic keys; capping bounds every posting list at `maxDf`.
+    * Semantics become "cosine over terms with df <= maxDf" — the caller's
+    * oracle must apply the same cap.
     *
     * Determinism: tf-idf weights are pre-rounded (6 dp), dot products and
     * norms are decimal-routed sums, the final cosine is rounded to 6 dp,
     * rank ties break on the neighbour id.
     */
   def sparseCosineTopK(df: DataFrame, idCol: Column, textCol: Column,
-                       queryPred: Column => Column, k: Int): DataFrame = {
+                       queryPred: Column => Column, k: Int,
+                       maxDf: Option[Int] = None): DataFrame = {
     import Relational.dsum
+    val scored = tfidf(df, idCol, textCol)
+    val capped = maxDf.fold(scored)(m => scored.where(col("df_docs") <= m))
     // Referenced three times (norms + both join sides).
-    val w = cached(tfidf(df, idCol, textCol).select("id", "tok", "tfidf"))
+    val w = cached(capped.select("id", "tok", "tfidf"))
     val norms = w.groupBy("id")
       .agg(sqrt(dsum(col("tfidf") * col("tfidf"), 8)).as("norm"))
-    val dots = broadcast(w.where(queryPred(col("id"))).as("a"))
+    val dots = w.where(queryPred(col("id"))).as("a").hint("merge")
       .join(w.as("b"),
         col("a.tok") === col("b.tok") && col("a.id") =!= col("b.id"))
       .groupBy(col("a.id").as("id_q"), col("b.id").as("id_d"))

@@ -243,19 +243,30 @@ final class VersionedTable private (val spark: SparkSession, val root: String) {
         s"upsert source has duplicate keys on (${keys.mkString(", ")}) — " +
           "multiple source rows would match one target row")
       val srcKeys = src.select(keys.map(col): _*)
-      // single-key probe goes through the PREDICATE path (isin pushes to
-      // the parquet scan → footer/row-group skipping, near-metadata cost
-      // on a clustered table); compound keys fall back to the semi-join
-      // probe, which scans the table once. Key collect is bounded by the
-      // source, the assumed-small side of a merge.
-      val (touched, carried) =
+      // Probe strategy: a single-key source with FEW distinct keys goes
+      // through the PREDICATE path (isin pushes to the parquet scan →
+      // footer/row-group skipping, near-metadata cost on a clustered
+      // table). Everything else — compound keys, or a single-key batch
+      // larger than the in-list cap (routine in a 100 TB ingest) — uses
+      // the semi-join probe, which scans the table once and never
+      // materializes keys on the driver. The cap probe itself collects at
+      // most cap+1 rows, so driver memory is bounded no matter how large
+      // the source is; the semi-join carries no broadcast hint, so AQE
+      // broadcasts a small key side and shuffles a large one.
+      val inlineKeys =
         if (keys.size == 1) {
-          val ks = srcKeys.distinct().collect().map(_.get(0)).toIndexedSeq
-          partitionByPredicate(cur, col(keys.head).isin(ks: _*))
-        } else partitionByTouched(cur,
+          val probe = srcKeys.distinct().limit(MaxInListKeys + 1).collect()
+          if (probe.length <= MaxInListKeys)
+            Some(probe.map(_.get(0)).toIndexedSeq)
+          else None
+        } else None
+      val (touched, carried) = inlineKeys match {
+        case Some(ks) => partitionByPredicate(cur, col(keys.head).isin(ks: _*))
+        case None => partitionByTouched(cur,
           read(cur).withColumn("__file", input_file_name())
-            .join(broadcast(srcKeys), keys, "left_semi")
+            .join(srcKeys, keys, "left_semi")
             .select("__file"))
+      }
       val kept = readFiles(cur, touched).join(srcKeys, keys, "left_anti")
       val newData = kept.select(cur.schema.fieldNames.map(c => col(s"`$c`")).toSeq: _*)
         .unionByName(src.select(cur.schema.fieldNames.map(c => col(s"`$c`")).toSeq: _*))
@@ -520,6 +531,13 @@ final class VersionedTable private (val spark: SparkSession, val root: String) {
 }
 
 object VersionedTable {
+  /** Max distinct single-key source keys inlined as an `isin` scan
+    * predicate by [[VersionedTable#upsert]]; above this the probe routes
+    * through the file-pruning semi-join, keeping driver memory and the
+    * predicate size bounded for arbitrarily large merge batches.
+    */
+  private[versioned] val MaxInListKeys = 1000
+
   private val LogDir = "_graft_log"
   private val ManifestName = """v(\d{8})\.json""".r
 

@@ -27,6 +27,23 @@ class PlansSpec extends SparkSpec {
     plan should not include "BroadcastNestedLoopJoin"
   }
 
+  test("sparseCosineTopK token join is shuffled, never a broadcast of the query side") {
+    // the query side is a corpus FRACTION (not a bounded set) — a
+    // broadcast would grow with the data; the plan must carry the
+    // posting-list join as a sort-merge join on the token
+    val docs = Seq((1L, "a b c"), (2L, "a b d"), (97L, "a c d"), (3L, "e f g"))
+      .toDF("doc_id", "text")
+    val plan = graft.text.TfIdf.sparseCosineTopK(docs, $"doc_id", $"text",
+        queryPred = _ % 97 === 0, k = 2, maxDf = Some(3))
+      .queryExecution.executedPlan.toString
+    plan should include("SortMergeJoin")
+    // the only legitimate broadcasts are model-sized (the 1-row corpus
+    // count, the per-doc norms); the token join itself must not be one —
+    // SMJ prints its keys, so pin the join key to the token column
+    plan.linesIterator.filter(_.contains("SortMergeJoin"))
+      .foreach(l => l should include("tok"))
+  }
+
   test("annRecallLsh candidate side is an equi-join on the bucket (no cartesian)") {
     val emb = Seq.tabulate(6)(i => (i.toLong, Array(1.0f, 0.0f, 0.5f)))
       .toDF("vec_id", "embedding")

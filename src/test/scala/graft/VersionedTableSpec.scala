@@ -199,6 +199,23 @@ class VersionedTableSpec extends SparkSpec {
       t.upsert(Seq((1L, "a"), (1L, "b")).toDF("k", "v"), keys = Seq("k"))
   }
 
+  test("upsert with a source above the in-list cap routes through the semi-join probe") {
+    // 1500 distinct single-column keys > MaxInListKeys (1000): the probe
+    // must not collect them to the driver / build a giant In predicate —
+    // and the result must be identical to the small-source path
+    val wide = (1 to 2000).map(i => (i.toLong, s"r$i")).toDF("k", "v")
+    val t = VersionedTable.create(spark, tmpDir("vt-merge-big"), wide)
+    t.compact(numFiles = 10, clusterBy = Seq("k"))
+    val source = (1 to 1500).map(i => (i.toLong * 2, s"U$i")).toDF("k", "v")
+    t.upsert(source, keys = Seq("k"))
+    // keys 2..2000 even (1000 rows) replaced; 2002..3000 even (500) inserted
+    t.toDF.count() shouldBe 2500
+    t.toDF.where($"k" === 1000L).select("v").as[String].head() shouldBe "U500"
+    t.toDF.where($"k" === 3000L).select("v").as[String].head() shouldBe "U1500"
+    t.toDF.where($"k" === 999L).select("v").as[String].head() shouldBe "r999"
+    t.toDF.groupBy("k").count().where($"count" > 1).count() shouldBe 0
+  }
+
   test("delete rewrites only matching files") {
     val wide = (1 to 1000).map(i => (i.toLong, s"r$i")).toDF("k", "v")
     val t = VersionedTable.create(spark, tmpDir("vt-pdel"), wide)
