@@ -38,7 +38,7 @@ object SparkEntry {
       DiagQueries.all ++ TpchQueries.all ++ TpchFinalQueries.all ++
       LinkageQueries.all ++
       WarehouseQueries.all ++ PrivacyQueries.all ++ MlopsQueries.all ++
-      SeriesQueries.all ++ TrainPrepQueries.all
+      SeriesQueries.all ++ TrainPrepQueries.all ++ IntrospectQueries.all
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0.
     * Full slice: scan -> filter -> broadcast-join -> agg -> window top-k.

@@ -1,6 +1,7 @@
 package graft.io
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 
 /** Catalog DDL/introspection helpers (SURVEY.md §2.1 S13).
   *
@@ -29,4 +30,21 @@ object Catalog {
 
   def tableExists(spark: SparkSession, table: String): Boolean =
     spark.catalog.tableExists(table)
+
+  /** `SET -v`-style session-conf introspection (reference
+    * `data_ingestion_and_cleaning/setup.py:12-33`,
+    * `data_import.ipynb.py:33` — the conf-dump cell every notebook
+    * starts with): the session's RESOLVED values for `keys`, or all
+    * documented SQL confs when `keys` is empty. Conf is driver state —
+    * this frame is inherently model-sized, never data-sized.
+    */
+  def confDump(spark: SparkSession, keys: Seq[String] = Nil): DataFrame =
+    if (keys.isEmpty)
+      spark.sql("SET -v")
+        .select(col("key").as("conf_key"), col("value").as("conf_value"))
+    else {
+      import spark.implicits._
+      keys.map(k => (k, spark.conf.getOption(k).getOrElse("<unset>")))
+        .toDF("conf_key", "conf_value")
+    }
 }

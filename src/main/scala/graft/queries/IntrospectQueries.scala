@@ -1,0 +1,59 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.ops.Profile
+
+/** Round-6 batch: the last two reference surfaces with no declared-query
+  * counterpart — `SET -v` conf introspection (`setup.py:12-33`) and the
+  * one-call percentile `summary()` block (`data_import.ipynb.py:157-162`).
+  */
+object IntrospectQueries {
+
+  private def T(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** Confs the engine pins (or Spark 4 fixes) to known values in every
+    * entry point — the deterministic introspection subset. The dynamic
+    * confs (shuffle partitions = cpu count, warehouse dir) are exactly
+    * the ones a portable oracle row can NOT pin.
+    */
+  private val PinnedConfs = Seq(
+    "spark.sql.adaptive.enabled" -> "true",
+    "spark.sql.ansi.enabled" -> "true",
+    "spark.sql.session.timeZone" -> "UTC",
+    "spark.sql.sources.default" -> "parquet")
+
+  def all: Seq[Q] = Seq(
+
+    // SET -v introspection over the pinned-conf subset: the conf-dump
+    // cell every reference notebook starts with, under the oracle gate.
+    // The oracle is the literal expectation — the row goes red if any
+    // entry point stops pinning a conf (or a Spark upgrade flips a
+    // default) without this table being updated in lockstep.
+    Q("q266_conf_dump", Q.sql(s"""
+        SELECT * FROM (VALUES
+          ${PinnedConfs.map { case (k, v) => s"('$k', '$v')" }.mkString(", ")})
+          t(conf_key, conf_value)
+        ORDER BY conf_key"""))(
+      (s, _) =>
+        graft.io.Catalog.confDump(s, PinnedConfs.map(_._1))
+          .orderBy("conf_key")),
+
+    // One-call summary() profile of the lineitem measures:
+    // count/mean/stddev/min/25%/50%/75%/max per column — the reference's
+    // describe-with-quartiles block, exact and engine-deterministic
+    // (decimal moments; distributed-prefix global ranks — see Profile).
+    Q("q267_summary_profile", Q.sql(Profile.oracleSql(Seq(
+      ("l_discount", "l_discount", "lineitem"),
+      ("l_extendedprice", "l_extendedprice", "lineitem"),
+      ("l_quantity", "l_quantity", "lineitem")))))(
+      (s, dir) =>
+        Profile.summary(T(s, dir, "lineitem"),
+            Seq("l_discount", "l_extendedprice", "l_quantity"),
+            uid = col("l_orderkey") * 8 + col("l_linenumber"))
+          .orderBy("col_name"))
+  )
+}
