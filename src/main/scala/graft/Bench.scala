@@ -40,6 +40,13 @@ object Bench {
       .filter(_.nonEmpty)
     def matches(f: Set[String], n: String) =
       f.contains(n) || f.exists(p => n.startsWith(p + "_"))
+    // 1-minute system load average, sampled before and after the run: the
+    // driver benches on a shared box (documented 2-6x co-tenant swings),
+    // and recording the load lets a loaded run be adjudicated from the
+    // JSON itself instead of needing a judge re-run each round
+    def loadAvg(): Double = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+    val loadStart = loadAvg()
     val all = SparkEntry.queries.toSeq.sortBy(_._1)
     val selected = only match {
       case Some(f) if all.exists(q => matches(f, q._1)) =>
@@ -93,7 +100,8 @@ object Bench {
     }.mkString("{", ",", "}")
     val qsFull = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val head = s""""metric":"total","value":${fmt(total)},"unit":"sec","failed":$nFailed"""
+    val head = s""""metric":"total","value":${fmt(total)},"unit":"sec","failed":$nFailed""" +
+      s""","load_avg_start":${fmt(loadStart)},"load_avg_end":${fmt(loadAvg())},"cpus":$cpus"""
     // the contract line prints FIRST — a failed details-file write (bad
     // cwd, full disk) must never cost the driver its bench JSON.
     // Field order matters: the driver keeps only the LAST ~2000 chars of

@@ -23,6 +23,11 @@ object Tables {
       // library) so downstream queries see one type regardless of which
       // fixture generation is on disk.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // normalizeTs's NTZ branch interprets the wall clock in the session
+      // zone: every in-repo entry point pins UTC, but an externally-built
+      // session would silently shift each event timestamp — pin it here
+      // (the long-ns path is zone-independent; this makes the NTZ path so)
+      spark.conf.set("spark.sql.session.timeZone", "UTC")
       normalizeTs(spark.read.parquet(s"$dir/$name.parquet"))
     } else {
       spark.read.parquet(s"$dir/$name.parquet")

@@ -25,6 +25,9 @@ object Verify {
     SparkEntry.queries
       .filter { case (name, _) => nameFilter.forall(name.startsWith) }
       .foreach { case (name, fn) =>
+      // progress marker (stderr, where the Spark log goes): lets log
+      // noise — e.g. a WindowExec warning — be attributed to its query
+      System.err.println(s"[verify] running $name")
       // driver contract: result lands at outDir/<name>.parquet (a parquet
       // directory with that literal name — readable by pyarrow/duckdb
       // either as a dir or via <name>.parquet/*.parquet)

@@ -119,8 +119,13 @@ object Stats {
         sum(col("a") * col("b")).as("n_both"),
         sum((lit(1L) - col("a")) * (lit(1L) - col("b"))).as("n_neither"))
     val po = (col("n_both") + col("n_neither")) * lit(1.0) / col("n")
-    val pe = (col("na") * col("nb") + (col("n") - col("na")) *
-      (col("n") - col("nb"))) * lit(1.0) / (col("n") * col("n"))
+    // na·nb and n² in DECIMAL, not LONG: long products silently wrap past
+    // n ≈ 3e9 rows under non-ANSI Spark, while decimal stays exact (and
+    // bit-matches DuckDB's HUGEINT products converted to double)
+    val pe = (col("na").cast("decimal(38,0)") * col("nb") +
+      (col("n") - col("na")).cast("decimal(38,0)") * (col("n") - col("nb")))
+      .cast("double") /
+      (col("n").cast("decimal(38,0)") * col("n")).cast("double")
     agg.select(col("n"), col("n_both"), col("n_neither"),
       round(po, 6).as("po"), round(pe, 6).as("pe"),
       round((po - pe) / (lit(1.0) - pe), 6).as("kappa"))

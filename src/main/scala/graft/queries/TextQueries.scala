@@ -222,13 +222,18 @@ object TextQueries {
           TextAnalysis.langId(col("text")).as("lang_pred"),
           TextAnalysis.tokenCount(col("text")).as("n_tokens"),
           TextAnalysis.qualityScore(col("text")).as("quality"))
+        // ONE min over the (doc_id-first) struct, not independent mins:
+        // the survivor's fields travel atomically, so the result is the
+        // min-id copy's scores even if same-fingerprint duplicates ever
+        // carried different raw text (fingerprint normalization is
+        // lossier than the raw text the scores are computed on)
         val perFp = scored.groupBy("fp").agg(
-          min(col("doc_id")).as("doc_id"),
-          min(col("lang_pred")).as("lang_pred"),
-          min(col("n_tokens")).as("n_tokens"),
-          min(col("quality")).as("quality"))
+          min(struct(col("doc_id"), col("lang_pred"), col("n_tokens"),
+            col("quality"))).as("m"))
         graft.streaming.StreamRun.runToTable("q261_sink", perFp,
             org.apache.spark.sql.streaming.OutputMode.Complete())
+          .select(col("m.doc_id").as("doc_id"), col("m.lang_pred").as("lang_pred"),
+            col("m.n_tokens").as("n_tokens"), col("m.quality").as("quality"))
           .where(col("lang_pred") === "en" && col("quality") >= 0.5)
           .select("doc_id", "n_tokens", "quality")
           .orderBy("doc_id")

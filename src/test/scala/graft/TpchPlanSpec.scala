@@ -62,6 +62,40 @@ class TpchPlanSpec extends SparkSpec {
     p should not include "CartesianProduct"
   }
 
+  test("q238 (Q9): part-name filter prunes on the part scan; dims broadcast") {
+    val p = plan("q238_tpch_q9")
+    p should include("BroadcastHashJoin")
+    p should not include "CartesianProduct"
+    // the %gear% restriction must reach the part parquet scan as a pushed
+    // StringContains — lineitem is filtered through the broadcast of that
+    // already-pruned side, never the other way round
+    p.linesIterator.filter(_.contains("part"))
+      .mkString should include("StringContains(p_name,gear)")
+  }
+
+  test("q239 (Q16): brand/size restrictions push to the part scan; join is broadcast") {
+    val p = plan("q239_tpch_q16")
+    p should include("BroadcastHashJoin")
+    p should not include "SortMergeJoin"
+    val partScan = p.linesIterator.filter(_.contains("part")).mkString
+    partScan should include("In(p_size")
+    partScan should include("Not(EqualTo(p_brand,Brand#13))")
+  }
+
+  test("q241 (Q11): nation filter + cutoff both broadcast — one fact shuffle only") {
+    val p = plan("q241_tpch_q11")
+    p should include("BroadcastHashJoin")
+    p should not include "CartesianProduct"
+    p should not include "SortMergeJoin"
+  }
+
+  test("q242 (Q12): returnflag IN-list reaches the lineitem scan") {
+    val p = plan("q242_tpch_q12")
+    p should not include "CartesianProduct"
+    p.linesIterator.filter(_.contains("lineitem"))
+      .mkString should include("In(l_returnflag")
+  }
+
   test("q231 (Q15): exact-decimal max compared via broadcast scalar, no global sort") {
     val p = plan("q231_tpch_q15")
     withClue(p.linesIterator.filter(l =>
