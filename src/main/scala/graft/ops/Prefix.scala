@@ -16,14 +16,17 @@ import org.apache.spark.sql.functions._
   *     machinery: sampled boundaries, P ordered partitions);
   *  2. per-partition running sums — an ordinary partitioned window,
   *     fully parallel;
-  *  3. per-partition TOTALS (one row per partition) prefix-summed and
-  *     broadcast back as offsets; final value = local running sum +
-  *     partition offset.
+  *  3. per-partition TOTALS (one row per partition) prefix-summed via a
+  *     predecessor self-join over the ≤ P-row totals frame and broadcast
+  *     back as offsets; final value = local running sum + partition
+  *     offset.
   *
-  * The only single-partition window runs over ≤ P rows (one per
-  * partition), which is cluster-size-bounded, not data-bounded. The
-  * result is deterministic whenever the order key is unique — range
-  * boundaries only decide WHERE the split falls, never the order.
+  * No unpartitioned window remains anywhere on the path (the offsets
+  * prefix is a join-aggregation over a cluster-size-bounded frame), so
+  * a "No Partition Defined" WindowExec warning in a log always marks a
+  * genuine regression. The result is deterministic whenever the order
+  * key is unique — range boundaries only decide WHERE the split falls,
+  * never the order.
   *
   * Downstream uses: token-budget shard packing ([[packShards]]) and
   * deterministic corpus shuffling ([[graft.ops.Sampling.shuffleOrder]]).
@@ -43,7 +46,8 @@ object Prefix {
     // withColumn silently REPLACES same-named caller columns and the
     // final drop() would remove them — corrupt results with no error, so
     // reject the collision loudly instead.
-    val reserved = Seq("__pid", "__local", "__v", "__off", "__offset", "__ptotal")
+    val reserved = Seq("__pid", "__local", "__v", "__off", "__offset",
+      "__ptotal", "__ppid", "__ppt")
     val clash = df.columns.intersect(reserved)
     require(clash.isEmpty,
       s"runningTotal reserves internal column names ${reserved.mkString(", ")}; " +
@@ -70,15 +74,27 @@ object Prefix {
         .withColumn("__v", valueCol))
     }
     // One row per (partition, stratum); the exclusive prefix of partition
-    // totals within the stratum is that partition's offset. ≤ P rows per
-    // window partition — cluster-size-bounded, never data-bounded.
+    // totals within the stratum is that partition's offset. Computed as a
+    // predecessor self-JOIN, not a window: an unpartitioned window —
+    // even over this ≤ P-row frame — would put WindowExec's "No
+    // Partition Defined" warning in every run's log, and a clean log is
+    // the invariant that catches REAL data-sized window regressions.
+    // O(P²) pairs over a cluster-size-bounded frame is trivial, and the
+    // join-aggregation is bit-identical to the window for the
+    // integral/decimal values the contract requires (order-free sums).
     // Totals sum the raw values (NOT max of the running sum, which is
     // wrong for negative values).
-    val wOffsets = Window.partitionBy(strata: _*).orderBy(col("__pid"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = withLocal.groupBy(col("__pid") +: strata: _*)
+    val totals = withLocal.groupBy(col("__pid") +: strata: _*)
       .agg(sum(col("__v")).as("__ptotal"))
-      .withColumn("__offset", coalesce(sum(col("__ptotal")).over(wOffsets), lit(0L)))
+    val pred = totals.select(
+      (col("__pid").as("__ppid") +:
+        strataCols.map(n => col(n).as(s"__s_$n"))) :+
+        col("__ptotal").as("__ppt"): _*)
+    val predCond = (strataCols.map(n => col(n) <=> col(s"__s_$n")) :+
+      (col("__ppid") < col("__pid"))).reduce(_ && _)
+    val offsets = totals.join(pred, predCond, "left")
+      .groupBy(col("__pid") +: strata: _*)
+      .agg(coalesce(sum(col("__ppt")), lit(0L)).as("__offset"))
       .select(col("__pid") +: (strata :+ col("__offset")): _*)
     // Null-safe equality on the strata keys: a using-column join would
     // silently DROP rows whose stratum is NULL.
@@ -101,8 +117,9 @@ object Prefix {
   def runningTotals(df: DataFrame, orderCols: Seq[Column],
                     vals: Seq[(Column, String)]): DataFrame = {
     require(vals.nonEmpty, "runningTotals needs at least one value column")
-    val reserved = Seq("__pid") ++
-      vals.indices.flatMap(i => Seq(s"__local$i", s"__v$i", s"__pt$i", s"__off$i"))
+    val reserved = Seq("__pid", "__ppid") ++
+      vals.indices.flatMap(i =>
+        Seq(s"__local$i", s"__v$i", s"__pt$i", s"__off$i", s"__ppt$i"))
     val clash = df.columns.intersect(reserved)
     require(clash.isEmpty,
       s"runningTotals reserves internal column names ${reserved.mkString(", ")}; " +
@@ -119,13 +136,20 @@ object Prefix {
           acc.withColumn(s"__v$i", v)
             .withColumn(s"__local$i", sum(v).over(wLocal))
       })
-    val wOffsets = Window.orderBy(col("__pid"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = withLocal.groupBy(col("__pid"))
+    // predecessor self-join, not an unpartitioned window — see
+    // runningTotal's offsets comment (clean-log invariant)
+    val totals = withLocal.groupBy(col("__pid"))
       .agg(vals.indices.map(i => sum(col(s"__v$i")).as(s"__pt$i")).head,
         vals.indices.map(i => sum(col(s"__v$i")).as(s"__pt$i")).tail: _*)
-      .select(col("__pid") +: vals.indices.map(i =>
-        coalesce(sum(col(s"__pt$i")).over(wOffsets), lit(0L)).as(s"__off$i")): _*)
+    val pred = totals.select(col("__pid").as("__ppid") +:
+      vals.indices.map(i => col(s"__pt$i").as(s"__ppt$i")): _*)
+    val offsets = totals.join(pred, col("__ppid") < col("__pid"), "left")
+      .groupBy(col("__pid"))
+      .agg(
+        vals.indices.map(i =>
+          coalesce(sum(col(s"__ppt$i")), lit(0L)).as(s"__off$i")).head,
+        vals.indices.map(i =>
+          coalesce(sum(col(s"__ppt$i")), lit(0L)).as(s"__off$i")).tail: _*)
     vals.zipWithIndex.foldLeft(
         withLocal.join(broadcast(offsets), "__pid")) {
       case (acc, ((_, out), i)) =>
@@ -150,7 +174,8 @@ object Prefix {
     */
   def runningMax(df: DataFrame, orderCols: Seq[Column], valueCol: Column,
                  out: String): DataFrame = {
-    val reserved = Seq("__pid", "__local", "__v", "__pmax", "__offmax")
+    val reserved = Seq("__pid", "__local", "__v", "__pmax", "__offmax",
+      "__ppid", "__ppm")
     val clash = df.columns.intersect(reserved)
     require(clash.isEmpty,
       s"runningMax reserves internal column names ${reserved.mkString(", ")}; " +
@@ -166,11 +191,17 @@ object Prefix {
         .withColumn("__local", max(valueCol).over(wLocal))
         .withColumn("__v", valueCol))
     }
-    val wOffsets = Window.orderBy(col("__pid"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = withLocal.groupBy(col("__pid"))
+    // predecessor self-join, not an unpartitioned window — see
+    // runningTotal's offsets comment (clean-log invariant). Partition 0
+    // has no predecessors: the left join leaves its offset NULL, which
+    // greatest() below skips — identical to the window's null frame.
+    val totals = withLocal.groupBy(col("__pid"))
       .agg(max(col("__v")).as("__pmax"))
-      .withColumn("__offmax", max(col("__pmax")).over(wOffsets))
+    val pred = totals.select(col("__pid").as("__ppid"),
+      col("__pmax").as("__ppm"))
+    val offsets = totals.join(pred, col("__ppid") < col("__pid"), "left")
+      .groupBy(col("__pid"))
+      .agg(max(col("__ppm")).as("__offmax"))
       .select(col("__pid"), col("__offmax"))
     withLocal.join(broadcast(offsets), "__pid")
       .withColumn(out,

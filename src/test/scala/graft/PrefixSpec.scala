@@ -29,12 +29,17 @@ class PrefixSpec extends SparkSpec {
     a shouldBe b
   }
 
-  test("runningTotal's big window is partitioned (only the P-row offsets window is global)") {
-    // The data-sized window must carry a partition spec; a bare
-    // Window.orderBy over the full frame would be the single-partition trap.
+  test("runningTotal plans no unpartitioned window: offsets come from a predecessor join") {
+    // The data-sized local window (partitioned by __pid) sits behind the
+    // materialize barrier; the visible plan must carry NO window at all —
+    // the offsets prefix is the left-outer predecessor self-join. Any
+    // windowspecdefinition here would mean the single-partition trap came
+    // back.
     val plan = Prefix.runningTotal(rows, Seq($"id"), $"size", "cum")
       .queryExecution.optimizedPlan.toString
-    plan should include("windowspecdefinition(__pid")
+    plan should not include "windowspecdefinition"
+    plan should include("LeftOuter")
+    plan should include("__ppid")
   }
 
   test("runningMax equals the naive global window on out-of-order values") {
@@ -47,10 +52,11 @@ class PrefixSpec extends SparkSpec {
     val fast = Prefix.runningMax(vals, Seq($"id"), $"v", "m")
       .select("id", "m").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     fast shouldBe naive
-    // and the data-sized window is partitioned, not global
+    // and the visible plan carries no window — offsets are the
+    // predecessor self-join (see the runningTotal plan test)
     val plan = Prefix.runningMax(vals, Seq($"id"), $"v", "m")
       .queryExecution.optimizedPlan.toString
-    plan should include("windowspecdefinition(__pid")
+    plan should not include "windowspecdefinition"
   }
 
   test("runningTotals: several series share one pass, equal to naive windows") {
