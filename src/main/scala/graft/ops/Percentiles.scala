@@ -64,6 +64,44 @@ object Percentiles {
       .select(keyCols ++ qs.map { case (name, _) => col(name) }: _*)
   }
 
+  /** GLOBAL percentiles of `valueCol` over the whole frame — one output
+    * row with a column per (name, q). The same interpolation as
+    * [[exact]], but ranks come from the three-phase distributed prefix
+    * ([[Prefix.runningTotal]]) instead of a group window, so there is no
+    * single-partition window even with no grouping key. `uid` must be a
+    * unique numeric/row tiebreaker (ties in `valueCol` carry identical
+    * values, so any tie order yields the same percentile).
+    */
+  def exactGlobal(df: DataFrame, valueCol: Column, uid: Column,
+                  qs: Seq[(String, Double)]): DataFrame = {
+    require(qs.nonEmpty, "qs must be non-empty")
+    require(qs.forall { case (_, q) => q >= 0 && q <= 1 },
+      s"quantiles must be in [0,1], got ${qs.map(_._2)}")
+    val base = df.where(valueCol.isNotNull)
+      .select(valueCol.cast("double").as("v"), uid.as("__uid"))
+    val cnt = base.agg(count(lit(1)).as("n"))
+    val ranked = Prefix
+      .runningTotal(base, Seq(col("v"), col("__uid")), lit(1L), "rk")
+      .withColumn("r", col("rk") - 1)
+      .crossJoin(broadcast(cnt))
+    val aggs = qs.flatMap { case (name, q) =>
+      val pos = (col("n") - 1) * lit(q)
+      val lo = floor(pos).cast("long")
+      val hi = least(lo + 1, col("n") - 1)
+      Seq(
+        min(when(col("r") === lo, col("v"))).as(s"__lo_$name"),
+        min(when(col("r") === hi, col("v"))).as(s"__hi_$name"),
+        min(pos - floor(pos)).as(s"__f_$name"))
+    }
+    val g = ranked.agg(aggs.head, aggs.tail: _*)
+    qs.foldLeft(g) { case (d, (name, _)) =>
+        d.withColumn(name,
+          col(s"__lo_$name") +
+            (col(s"__hi_$name") - col(s"__lo_$name")) * col(s"__f_$name"))
+      }
+      .select(qs.map { case (name, _) => col(name) }: _*)
+  }
+
   /** The identical computation as DuckDB SQL (for oracle generation):
     * same window, same conditional aggregates, same interpolation
     * expression — bit-identical output.

@@ -209,6 +209,45 @@ object Prefix {
       .drop("__pid", "__local", "__v", "__offmax")
   }
 
+  /** Running MINIMUM over the global `orderCols` order — the mirror of
+    * [[runningMax]] (least/min combiner). With a DESCENDING order column
+    * this computes suffix minima ("smallest value at or after this row"),
+    * the backward-fill primitive ([[graft.queries.SeriesQueries]] gap
+    * interpolation).
+    */
+  def runningMin(df: DataFrame, orderCols: Seq[Column], valueCol: Column,
+                 out: String): DataFrame = {
+    val reserved = Seq("__pid", "__local", "__v", "__pmin", "__offmin",
+      "__ppid", "__ppm")
+    val clash = df.columns.intersect(reserved)
+    require(clash.isEmpty,
+      s"runningMin reserves internal column names ${reserved.mkString(", ")}; " +
+        s"input already has ${clash.mkString(", ")} — rename before calling")
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    val withLocal = {
+      val ranged = df.repartitionByRange(p, orderCols: _*)
+        .withColumn("__pid", spark_partition_id())
+      val wLocal = Window.partitionBy(col("__pid"))
+        .orderBy(orderCols: _*)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Frames.materialize(ranged
+        .withColumn("__local", min(valueCol).over(wLocal))
+        .withColumn("__v", valueCol))
+    }
+    val totals = withLocal.groupBy(col("__pid"))
+      .agg(min(col("__v")).as("__pmin"))
+    val pred = totals.select(col("__pid").as("__ppid"),
+      col("__pmin").as("__ppm"))
+    val offsets = totals.join(pred, col("__ppid") < col("__pid"), "left")
+      .groupBy(col("__pid"))
+      .agg(min(col("__ppm")).as("__offmin"))
+      .select(col("__pid"), col("__offmin"))
+    withLocal.join(broadcast(offsets), "__pid")
+      .withColumn(out,
+        coalesce(least(col("__local"), col("__offmin")), col("__local")))
+      .drop("__pid", "__local", "__v", "__offmin")
+  }
+
   /** Pack rows into fixed-budget shards: rows in global `orderCols`
     * order accumulate `sizeCol` (e.g. token counts); a row's shard is
     * `exclusivePrefix div budget` — shard k holds the rows whose

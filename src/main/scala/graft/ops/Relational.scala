@@ -79,16 +79,21 @@ object Relational {
         (col(s"cur.$valueCol") - col(s"prev.$valueCol")).as(s"${valueCol}_diff"))
   }
 
-  /** Year-over-year diff via `lag()` — the idiomatic single-shuffle variant
-    * the reference's self-join is equivalent to (SURVEY.md §2.6). One window
-    * sort instead of a join; at scale this halves the shuffled bytes.
+  /** Year-over-year diff with `lag` semantics (previous ROW in year
+    * order, gap-safe — unlike [[yoyJoin]]'s calendar join), SURVEY.md
+    * §2.6. Computed as a distributed prefix index + predecessor
+    * self-join rather than an unpartitioned `lag()` window: identical
+    * output, but no single-partition window even if the "year" key is
+    * ever fine-grained (weeks, days), and the clean-log invariant holds.
     */
   def yoyLag(byYear: DataFrame, yearCol: String, valueCol: String): DataFrame = {
-    val w = Window.orderBy(col(yearCol))
-    byYear
-      .withColumn(s"prev_$valueCol", lag(col(valueCol), 1).over(w))
-      .withColumn(s"${valueCol}_diff",
-        col(valueCol) - col(s"prev_$valueCol"))
+    val idx = graft.ops.Prefix.runningTotal(byYear,
+      Seq(col(yearCol)), lit(1L), "__i")
+    val prev = idx.select((col("__i") + 1).as("__ip"),
+      col(valueCol).as(s"prev_$valueCol"))
+    idx.join(prev, col("__i") === col("__ip"), "left")
+      .withColumn(s"${valueCol}_diff", col(valueCol) - col(s"prev_$valueCol"))
+      .drop("__i", "__ip")
   }
 
   /** Native decade derivation (reference D1/D2/F9,

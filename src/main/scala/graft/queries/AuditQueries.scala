@@ -205,9 +205,11 @@ object AuditQueries {
             round(col("n_ab").cast("double") / col("n_a"), 6).as("confidence"),
             round(col("n_ab").cast("double") * col("n_baskets") /
               (col("n_a").cast("double") * col("n_b")), 6).as("lift"))
-        rules.orderBy(col("lift").desc, col("pa"), col("pb")).limit(20)
-          .withColumn("rk", row_number().over(
-            Window.orderBy(col("lift").desc, col("pa"), col("pb"))).cast("long"))
+        // rank the 20-row shortlist via the prefix machinery — no
+        // unpartitioned window
+        graft.ops.Prefix.runningTotal(
+            rules.orderBy(col("lift").desc, col("pa"), col("pb")).limit(20),
+            Seq(col("lift").desc, col("pa"), col("pb")), lit(1L), "rk")
           .orderBy("rk")
       }),
 

@@ -134,15 +134,20 @@ object ClassicQueries {
           .groupBy(to_date(col("o_orderdate")).as("day"))
           .agg(dsum(col("o_totalprice"), 4).as("revenue"))
         val m = daily.agg(davg(col("revenue"), 4).as("mean"))
-        val c = daily.crossJoin(broadcast(m))
+        // cumsum via the distributed prefix; peak via aggregate+broadcast
+        // — no unpartitioned window on either step
+        val dev = daily.crossJoin(broadcast(m))
           .select(col("day"), col("revenue"),
-            sum(round(col("revenue") - col("mean"), 6).cast("decimal(27,6)"))
-              .over(Window.orderBy(col("day"))
-                .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-              .cast("double").as("cusum"))
-        c.select(col("day"), col("revenue"), round(col("cusum"), 6).as("cusum"),
-            (abs(col("cusum")) ===
-              max(abs(col("cusum"))).over(Window.partitionBy())).as("is_peak"))
+            round(col("revenue") - col("mean"), 6).cast("decimal(27,6)")
+              .as("__dev"))
+        val c = graft.ops.Prefix.runningTotal(dev, Seq(col("day")),
+            col("__dev"), "__cum")
+          .select(col("day"), col("revenue"),
+            col("__cum").cast("double").as("cusum"))
+        val peak = c.agg(max(abs(col("cusum"))).as("__mx"))
+        c.crossJoin(broadcast(peak))
+          .select(col("day"), col("revenue"), round(col("cusum"), 6).as("cusum"),
+            (abs(col("cusum")) === col("__mx")).as("is_peak"))
           .orderBy("day")
       }),
 

@@ -134,10 +134,13 @@ object DepthQueries {
         val o = T(s, dir, "events")
           .groupBy(col("event_type"), (col("user_id") % 2).as("variant"))
           .agg(count(lit(1)).as("n"))
+        // grand total via aggregate + broadcast, not `sum OVER ()` (see
+        // q149) — no unpartitioned window
+        val gt = o.agg(sum(col("n")).as("nn"))
         val tot = o.select(col("n"),
-          sum(col("n")).over(Window.partitionBy(col("event_type"))).as("rt"),
-          sum(col("n")).over(Window.partitionBy(col("variant"))).as("ct"),
-          sum(col("n")).over(Window.partitionBy()).as("nn"))
+            sum(col("n")).over(Window.partitionBy(col("event_type"))).as("rt"),
+            sum(col("n")).over(Window.partitionBy(col("variant"))).as("ct"))
+          .crossJoin(broadcast(gt))
         val terms = tot.select(col("nn"),
           round((col("n").cast("double") / col("nn")) *
             round(log((col("n").cast("double") * col("nn")) /
@@ -208,11 +211,13 @@ object DepthQueries {
         val nTotal = obs.agg(count(lit(1)).as("n_total"))
         val tc = obs.groupBy("t")
           .agg(sum(col("d")).as("d_t"), count(lit(1)).as("ending"))
-        val risk = tc.crossJoin(broadcast(nTotal))
+        // exclusive prefix of leavers = inclusive distributed prefix
+        // minus the current row — no unpartitioned window
+        val risk = graft.ops.Prefix.runningTotal(
+            tc.crossJoin(broadcast(nTotal)), Seq(col("t")),
+            col("ending"), "__cum_end")
           .select(col("t"), col("d_t"),
-            (col("n_total") -
-              coalesce(sum(col("ending")).over(Window.orderBy(col("t"))
-                .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+            (col("n_total") - (col("__cum_end") - col("ending")))
               .cast("long").as("n_t"))
         val evt = risk.where(col("d_t") > 0)
           .select(col("t"), col("d_t"), col("n_t"),
@@ -220,10 +225,11 @@ object DepthQueries {
               round(log(lit(1.0) - col("d_t").cast("double") / col("n_t")), 6))
               .otherwise(lit(0.0)).as("lt"),
             when(col("d_t") === col("n_t"), 1).otherwise(0).as("collapse"))
-        val km = evt.select(col("t"), col("d_t"), col("n_t"), col("collapse"),
-          sum(col("lt").cast("decimal(27,6)")).over(Window.orderBy(col("t"))
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-            .cast("double").as("cum"))
+        val km = graft.ops.Prefix.runningTotal(
+            evt.withColumn("__lt6", col("lt").cast("decimal(27,6)")),
+            Seq(col("t")), col("__lt6"), "__cum")
+          .select(col("t"), col("d_t"), col("n_t"), col("collapse"),
+            col("__cum").cast("double").as("cum"))
         km.select(col("t"), col("n_t").as("n_risk"), col("d_t").as("n_events"),
             when(col("collapse") === 1, lit(0.0))
               .otherwise(round(exp(col("cum")), 6)).as("survival"))

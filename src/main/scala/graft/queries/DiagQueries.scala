@@ -123,17 +123,25 @@ object DiagQueries {
         val daily = T(s, dir, "orders")
           .groupBy(to_date(col("o_orderdate")).as("day"))
           .agg(dsum(col("o_totalprice"), 4).as("rev"))
-        val med = daily
-          .select(col("rev"),
-            row_number().over(Window.orderBy(col("rev"), col("day"))).as("rn"),
-            count(lit(1)).over(Window.partitionBy()).as("cnt"))
+        // median rank via the distributed prefix + aggregate count — the
+        // unpartitioned rank/count-over windows fold away
+        val cnt = daily.agg(count(lit(1)).as("cnt"))
+        val med = graft.ops.Prefix.runningTotal(daily, Seq(col("rev"),
+            col("day")), lit(1L), "rn")
+          .crossJoin(broadcast(cnt))
           .where(col("rn") === ((col("cnt") + 1) / 2).cast("long"))
           .select(col("rev").as("m"))
         val signs = daily.crossJoin(broadcast(med))
           .where(col("rev") =!= col("m"))
           .select(col("day"), when(col("rev") > col("m"), 1).otherwise(-1).as("s"))
-        val runs = signs.select(col("s"),
-          lag(col("s"), 1).over(Window.orderBy(col("day"))).as("prev_s"))
+        // lag = predecessor join on the prefix index (gap-free by
+        // construction), not an unpartitioned lag window
+        val idx = graft.ops.Prefix.runningTotal(signs, Seq(col("day")),
+          lit(1L), "__i")
+        val runs = idx
+          .join(idx.select((col("__i") + 1).as("__ip"), col("s").as("prev_s")),
+            col("__i") === col("__ip"), "left")
+          .select(col("s"), col("prev_s"))
         val c = runs.agg(
           sum(when(col("prev_s").isNull || col("s") =!= col("prev_s"), 1)
             .otherwise(0)).as("r"),

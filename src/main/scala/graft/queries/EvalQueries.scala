@@ -120,8 +120,11 @@ object EvalQueries {
             col("value").as("x"))
         val reps = graft.ops.Frames.cached(
           Bootstrap.replicateMeans(src, col("rk"), col("x"), BootB))
-        val ci = Percentiles.exact(reps.withColumn("g", lit("all")),
-          Seq("g"), col("mean_b"), Seq("lo" -> 0.025, "hi" -> 0.975))
+        // global percentiles over the B-row replicate frame via the
+        // prefix-ranked form — a constant 'g' key would fold into an
+        // unpartitioned window
+        val ci = Percentiles.exactGlobal(reps, col("mean_b"), col("rep"),
+          Seq("lo" -> 0.025, "hi" -> 0.975))
         val fullMean = src.agg(
           round(dsum(col("x"), 6) / count(lit(1)), 6).as("mean_full"))
         reps.agg(count(lit(1)).as("n_reps"))
@@ -184,10 +187,13 @@ object EvalQueries {
           .groupBy(col("l_partkey")).agg(count(lit(1)).as("cnt"))
         val stats = kc.agg(count(lit(1)).as("n_keys"),
           sum(col("cnt")).as("total"))
-        kc.orderBy(col("cnt").desc, col("l_partkey")).limit(10)
+        // rank over the already-limited 10-row frame rides the prefix
+        // machinery too — zero unpartitioned windows anywhere
+        graft.ops.Prefix.runningTotal(
+            kc.orderBy(col("cnt").desc, col("l_partkey")).limit(10),
+            Seq(col("cnt").desc, col("l_partkey")), lit(1L), "rank")
           .select(col("l_partkey"), col("cnt"),
-            row_number().over(Window.orderBy(col("cnt").desc, col("l_partkey")))
-              .as("rank"))
+            col("rank").cast("int").as("rank"))
           .crossJoin(broadcast(stats))
           .select(col("rank"), col("l_partkey"), col("cnt"),
             round(col("cnt").cast("double") / col("total"), 6).as("share"),

@@ -22,14 +22,11 @@ object RankQueries {
   private def T(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
-  /** Midrank of `v` over the whole frame: avg(row_number) within each
-    * tie group of `v`. `tie` must be a unique total-order tiebreaker.
+  /** Midrank = avg(position) within each tie group of `v`; positions
+    * come from the distributed prefix (see q203/q205), the averaging
+    * window partitions by the tie value. This DuckDB fragment replays
+    * the per-value mean over `rn_<v>` positions.
     */
-  private def midrank(v: Column, tie: Column): Column =
-    avg(row_number().over(Window.orderBy(v, tie)).cast("long"))
-      .over(Window.partitionBy(v))
-
-  /** The identical DuckDB expression (positions, then per-value mean). */
   private def midrankSql(v: String, tie: String): String =
     s"avg(rn_$v) OVER (PARTITION BY $v)"
 
@@ -62,9 +59,16 @@ object RankQueries {
           .groupBy(to_date(col("o_orderdate")).as("day"))
           .agg(count(lit(1)).as("n_orders"),
             dsum(col("o_totalprice"), 4).as("rev"))
-        val rk = daily.select(col("day"),
-          midrank(col("rev"), col("day")).as("rx"),
-          midrank(col("n_orders"), col("day")).as("ry"))
+        // global positions via the distributed prefix (one pass per
+        // axis); the midrank averaging windows partition by the tie
+        // value — no unpartitioned window (the q205 pattern)
+        import graft.ops.Prefix.runningTotal
+        val pos = runningTotal(
+          runningTotal(daily, Seq(col("rev"), col("day")), lit(1L), "__rn_rev"),
+          Seq(col("n_orders"), col("day")), lit(1L), "__rn_n")
+        val rk = pos.select(col("day"),
+          avg(col("__rn_rev")).over(Window.partitionBy(col("rev"))).as("rx"),
+          avg(col("__rn_n")).over(Window.partitionBy(col("n_orders"))).as("ry"))
         Stats.corrRegr(rk, Seq(lit("all").as("g")), col("rx"), col("ry"))
           .orderBy("g")
       }),

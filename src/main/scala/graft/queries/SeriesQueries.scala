@@ -72,18 +72,24 @@ object SeriesQueries {
         val spine = bounds
           .select(explode(sequence(col("lo"), col("hi"),
             expr("interval 1 day"))).as("day"))
-        val past = Window.orderBy(col("day"))
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        val future = Window.orderBy(col("day"))
-          .rowsBetween(Window.currentRow, Window.unboundedFollowing)
-        val obsDay = when(col("rev").isNotNull, col("day"))
-        spine.join(daily, Seq("day"), "left_outer")
-          .select(col("day"), col("rev"),
-            col("rev").isNotNull.cast("int").as("observed"),
-            last(col("rev"), ignoreNulls = true).over(past).as("prev_val"),
-            last(obsDay, ignoreNulls = true).over(past).as("prev_day"),
-            first(col("rev"), ignoreNulls = true).over(future).as("next_val"),
-            first(obsDay, ignoreNulls = true).over(future).as("next_day"))
+        // bracketing neighbors WITHOUT unpartitioned fill windows:
+        // forward fill = inclusive running MAX of the observed day in day
+        // order (days ascend, so "latest observed ≤ current" is a prefix
+        // max); backward fill = inclusive running MIN over the reversed
+        // order. Both ride the distributed prefix; the bracketed VALUES
+        // join back from the day-grained daily frame.
+        val joined = spine.join(daily, Seq("day"), "left_outer")
+          .withColumn("observed", col("rev").isNotNull.cast("int"))
+          .withColumn("__obs_day", when(col("rev").isNotNull, col("day")))
+        val both = graft.ops.Prefix.runningMin(
+          graft.ops.Prefix.runningMax(joined, Seq(col("day")),
+            col("__obs_day"), "prev_day"),
+          Seq(col("day").desc), col("__obs_day"), "next_day")
+        both
+          .join(broadcast(daily.select(col("day").as("prev_day"),
+            col("rev").as("prev_val"))), Seq("prev_day"), "left")
+          .join(broadcast(daily.select(col("day").as("next_day"),
+            col("rev").as("next_val"))), Seq("next_day"), "left")
           .select(col("day"), col("observed"),
             round(when(col("rev").isNotNull, col("rev"))
               .otherwise(col("prev_val") + (col("next_val") - col("prev_val")) *

@@ -256,20 +256,19 @@ object TailQueries {
           .agg(sum(round(col("o_totalprice") * 100, 0).cast("long"))
             .as("cents"))
         val tot = daily.agg(sum(col("cents")).as("g"), count(lit(1)).as("n"))
-        val w = Window.orderBy(col("day"))
-        val cum = daily.select(col("day"),
-          sum(col("cents")).over(w).as("l"),
-          row_number().over(w).cast("long").as("t"))
+        // both running series (cents prefix + position) in one
+        // distributed-prefix pass — no unpartitioned window
+        val cum = graft.ops.Prefix.runningTotals(daily, Seq(col("day")),
+            Seq(col("cents") -> "l", lit(1L) -> "t"))
+          .select(col("day"), col("l"), col("t"))
         val sc = cum.crossJoin(broadcast(tot))
           .where(col("t") < col("n"))
           .select(col("day"), col("t"), col("l"), col("g"), col("n"),
             (col("l").cast("double") * col("l") / col("t") +
               (col("g") - col("l")).cast("double") * (col("g") - col("l")) /
                 (col("n") - col("t"))).as("score"))
-        val best = sc
-          .withColumn("rn", row_number()
-            .over(Window.orderBy(col("score").desc, col("day").asc)))
-          .where(col("rn") === 1)
+        // argmax via distributed sort-limit, not a ranked window
+        val best = sc.orderBy(col("score").desc, col("day").asc).limit(1)
         best.select(col("day").as("split_day"),
           col("t").as("n_left"), (col("n") - col("t")).as("n_right"),
           round(col("l").cast("double") / col("t") / lit(100).cast("double"), 6)
@@ -309,10 +308,11 @@ object TailQueries {
           .select(col("o_totalprice").as("x"), col("o_orderkey"))
           .orderBy(col("x").desc, col("o_orderkey"))
           .limit(HillK + 1)
-        val rk = top
-          .select(col("x"),
-            row_number().over(Window.orderBy(col("x").desc,
-              col("o_orderkey"))).cast("long").as("r"))
+        // rank the (k+1)-row tail via the prefix machinery — no
+        // unpartitioned window
+        val rk = graft.ops.Prefix.runningTotal(top,
+            Seq(col("x").desc, col("o_orderkey")), lit(1L), "r")
+          .select(col("x"), col("r"))
         val xk1 = rk.where(col("r") === HillK + 1).select(col("x").as("xk"))
         val tail = rk.where(col("r") <= HillK)
           .crossJoin(broadcast(xk1))

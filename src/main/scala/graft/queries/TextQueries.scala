@@ -548,10 +548,11 @@ object TextQueries {
           .select(col("doc_id").as("id"),
             explode(TextAnalysis.tokens(TextAnalysis.normalizeText(col("text"))))
               .as("tok")))
-        val vocab = graft.ops.Relational.topKPerGroup(
-            toks.groupBy("tok").agg(count(lit(1)).as("cnt")),
-            partitionCols = Seq(lit(1)),
-            order = Seq(col("cnt").desc, col("tok").asc), k = 30)
+        // top-30 vocab via distributed sort-limit (the rank itself is
+        // unused) — a lit(1)-partitioned rank window would fold into an
+        // unpartitioned one, and the vocab frame grows with the corpus
+        val vocab = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+          .orderBy(col("cnt").desc, col("tok").asc).limit(30)
           .select(col("tok"), lit(1).as("in_vocab"))
         toks.join(broadcast(vocab), Seq("tok"), "left")
           .groupBy("id")
@@ -828,11 +829,12 @@ object TextQueries {
           .select(explode(split(
             TextAnalysis.normalizeText(col("text")), " ")).as("w"))
           .groupBy("w").agg(count(lit(1)).as("f"))
-        // distributed sort-limit first; the rank window then runs over
-        // at most 1000 rows
-        val top = freq.orderBy(col("f").desc, col("w").asc).limit(1000)
-          .select(col("f"), row_number()
-            .over(Window.orderBy(col("f").desc, col("w").asc)).as("rnk"))
+        // distributed sort-limit first; ranks over the ≤1000-row frame
+        // ride the prefix machinery (no unpartitioned window)
+        val top = graft.ops.Prefix.runningTotal(
+            freq.orderBy(col("f").desc, col("w").asc).limit(1000),
+            Seq(col("f").desc, col("w").asc), lit(1L), "rnk")
+          .select(col("f"), col("rnk"))
         val pts = top.select(
           round(log(col("rnk").cast("double")), 6).as("lx"),
           round(log(col("f").cast("double")), 6).as("ly"))

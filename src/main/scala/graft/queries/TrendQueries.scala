@@ -145,10 +145,11 @@ object TrendQueries {
           .groupBy(col("user_id"))
           .agg(min(to_date(col("ts"))).as("day"))
           .groupBy("day").agg(count(lit(1)).as("new_users"))
-        nd.select(col("day"), col("new_users"),
-            sum(col("new_users")).over(Window.orderBy(col("day"))
-              .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-              .as("cum_users"))
+        // day frame is calendar-bounded, but the running sum still rides
+        // the distributed prefix — no unpartitioned window anywhere
+        graft.ops.Prefix.runningTotal(nd, Seq(col("day")),
+            col("new_users"), "cum_users")
+          .select("day", "new_users", "cum_users")
           .orderBy("day")
       }),
 
@@ -326,10 +327,13 @@ object TrendQueries {
         val o = T(s, dir, "events")
           .groupBy(col("event_type"), (col("user_id") % 2).as("variant"))
           .agg(count(lit(1)).as("n"))
+        // grand total via aggregate + broadcast, not `sum OVER ()` — same
+        // value, no unpartitioned window
+        val gt = o.agg(sum(col("n")).as("nn"))
         val tot = o.select(col("event_type"), col("variant"), col("n"),
-          sum(col("n")).over(Window.partitionBy(col("event_type"))).as("rt"),
-          sum(col("n")).over(Window.partitionBy(col("variant"))).as("ct"),
-          sum(col("n")).over(Window.partitionBy()).as("nn"))
+            sum(col("n")).over(Window.partitionBy(col("event_type"))).as("rt"),
+            sum(col("n")).over(Window.partitionBy(col("variant"))).as("ct"))
+          .crossJoin(broadcast(gt))
         val cell = tot.select(col("n"),
           (col("rt").cast("double") * col("ct") / col("nn")).as("e"))
         val dof = o.agg(((countDistinct(col("event_type")) - 1) *
