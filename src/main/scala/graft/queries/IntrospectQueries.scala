@@ -6,9 +6,11 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.ops.Profile
 
-/** Round-6 batch: the last two reference surfaces with no declared-query
-  * counterpart — `SET -v` conf introspection (`setup.py:12-33`) and the
-  * one-call percentile `summary()` block (`data_import.ipynb.py:157-162`).
+/** Round-6 batch: the last reference surfaces with no declared-query
+  * counterpart — `SET -v` conf introspection (`setup.py:12-33`), the
+  * one-call percentile `summary()` block (`data_import.ipynb.py:157-162`),
+  * and the S12 landing-zone → dated-raw-layer ingestion flow
+  * (`data_import.ipynb.py:22-49`).
   */
 object IntrospectQueries {
 
@@ -54,6 +56,27 @@ object IntrospectQueries {
         Profile.summary(T(s, dir, "lineitem"),
             Seq("l_discount", "l_extendedprice", "l_quantity"),
             uid = col("l_orderkey") * 8 + col("l_linenumber"))
-          .orderBy("col_name"))
+          .orderBy("col_name")),
+
+    // S12 end-to-end under the oracle gate: promote a landed fixture
+    // into the dated raw layer (landing → raw cp, audit listing), read
+    // the date partition back, and prove the landed bytes round-trip
+    // bit-for-bit against the source table. The wget/curl fetch that
+    // precedes this is environment tooling; everything after the bytes
+    // land is engine surface (Ingest.stage/audit/readLanded).
+    Q("q268_landing_ingest", Q.sql("""
+        SELECT doc_id, lang, source, n_chars FROM documents
+        ORDER BY doc_id"""))(
+      (s, dir) => {
+        val rawRoot = VersionedQueries.scratch(s, "ingest_raw", dir)
+        val landed = graft.io.Ingest.stage(s,
+          src = s"$dir/documents.parquet",
+          rawRoot = rawRoot, dataset = "documents", date = "240101")
+        require(landed.nonEmpty && landed.forall(_._2 > 0),
+          s"landing audit empty or zero-byte: $landed")
+        graft.io.Ingest.readLanded(s, rawRoot, "documents", "240101")
+          .select("doc_id", "lang", "source", "n_chars")
+          .orderBy("doc_id")
+      })
   )
 }
