@@ -34,14 +34,17 @@ object Profile {
     */
   def summary(df: DataFrame, cols: Seq[String], uid: Column): DataFrame = {
     require(cols.nonEmpty, "summary needs at least one column")
-    val long = df
+    // cached: the exploded cell frame feeds both the moments aggregation
+    // and the rank pass — without this the |cols|× explode scans the
+    // source twice
+    val long = Frames.cached(df
       .select(explode(array(cols.map(c =>
           struct(lit(c).as("col_name"), col(c).cast("double").as("x"))): _*))
           .as("cell"),
         uid.cast("long").as("__uid"))
       .select(col("cell.col_name").as("col_name"), col("cell.x").as("x"),
         col("__uid"))
-      .where(col("x").isNotNull)
+      .where(col("x").isNotNull))
     val v2 = round(col("x"), 2).cast("decimal(18,2)")
     val mom = long.groupBy("col_name").agg(
       count(lit(1)).as("n_rows"),
