@@ -26,7 +26,12 @@ object Tables {
       // normalizeTs's NTZ branch interprets the wall clock in the session
       // zone: every in-repo entry point pins UTC, but an externally-built
       // session would silently shift each event timestamp — pin it here
-      // (the long-ns path is zone-independent; this makes the NTZ path so)
+      // (the long-ns path is zone-independent; this makes the NTZ path
+      // so). INTENTIONALLY session-wide: the library's timestamp
+      // semantics are UTC everywhere (every entry point sets the same
+      // conf), so a non-UTC caller session was already going to disagree
+      // with every oracle; callers needing another display zone must
+      // convert on read, not re-pin the session.
       spark.conf.set("spark.sql.session.timeZone", "UTC")
       normalizeTs(spark.read.parquet(s"$dir/$name.parquet"))
     } else {

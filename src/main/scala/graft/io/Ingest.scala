@@ -49,7 +49,11 @@ object Ingest {
 
   /** (path, bytes) for every data file under `path`, recursively —
     * the post-copy `dbutils.fs.ls` audit cell, made deterministic
-    * (sorted by path).
+    * (sorted by path). Hadoop/Spark metadata files (`_SUCCESS`,
+    * `.crc`, anything `_`/`.`-prefixed — the same convention Spark's
+    * own listing applies) are excluded: they are landing artifacts,
+    * not data, and a zero-byte `_SUCCESS` must not fail a
+    * bytes-landed audit.
     */
   def audit(spark: SparkSession, path: String): Seq[(String, Long)] = {
     val p = new Path(path)
@@ -60,7 +64,9 @@ object Ingest {
       val out = Seq.newBuilder[(String, Long)]
       while (it.hasNext) {
         val f = it.next()
-        out += ((f.getPath.toUri.getPath, f.getLen))
+        val name = f.getPath.getName
+        if (!name.startsWith("_") && !name.startsWith("."))
+          out += ((f.getPath.toUri.getPath, f.getLen))
       }
       out.result().sortBy(_._1)
     }

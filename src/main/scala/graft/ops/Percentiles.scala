@@ -44,7 +44,20 @@ object Percentiles {
       .select(keyCols :+ valueCol.cast("double").as("v"): _*)
       .withColumn("r", row_number().over(sortW) - 1)
       .withColumn("n", count(lit(1)).over(cntW))
-    val aggs = qs.flatMap { case (name, q) =>
+    val aggs = rankAggs(qs)
+    val g = base.groupBy(keyCols: _*).agg(aggs.head, aggs.tail: _*)
+    interpolate(g, qs)
+      .select(keyCols ++ qs.map { case (name, _) => col(name) }: _*)
+  }
+
+  /** The (lo, hi, frac) conditional aggregates for each (name, q), over
+    * a frame carrying `r` (0-based rank), `n` (group count), `v`
+    * (double value) — ONE copy of the expression shape shared by
+    * [[exact]], [[exactGlobal]], and [[Profile.summary]], so the engine
+    * side cannot drift from the [[oracleCtes]] SQL generator.
+    */
+  private[ops] def rankAggs(qs: Seq[(String, Double)]): Seq[Column] =
+    qs.flatMap { case (name, q) =>
       val pos = (col("n") - 1) * lit(q)
       val lo = floor(pos).cast("long")
       // hi clamps to the last row so q = 1 (and f = 0 groups) stay in range
@@ -55,14 +68,16 @@ object Percentiles {
         // f is constant within a group; min() just surfaces it
         min(pos - floor(pos)).as(s"__f_$name"))
     }
-    val g = base.groupBy(keyCols: _*).agg(aggs.head, aggs.tail: _*)
+
+  /** `lo + (hi - lo) * f` per quantile over a [[rankAggs]]-aggregated
+    * frame; leaves the helper columns in place (callers select).
+    */
+  private[ops] def interpolate(g: DataFrame, qs: Seq[(String, Double)]): DataFrame =
     qs.foldLeft(g) { case (d, (name, _)) =>
-        d.withColumn(name,
-          col(s"__lo_$name") +
-            (col(s"__hi_$name") - col(s"__lo_$name")) * col(s"__f_$name"))
-      }
-      .select(keyCols ++ qs.map { case (name, _) => col(name) }: _*)
-  }
+      d.withColumn(name,
+        col(s"__lo_$name") +
+          (col(s"__hi_$name") - col(s"__lo_$name")) * col(s"__f_$name"))
+    }
 
   /** GLOBAL percentiles of `valueCol` over the whole frame — one output
     * row with a column per (name, q). The same interpolation as
@@ -77,28 +92,17 @@ object Percentiles {
     require(qs.nonEmpty, "qs must be non-empty")
     require(qs.forall { case (_, q) => q >= 0 && q <= 1 },
       s"quantiles must be in [0,1], got ${qs.map(_._2)}")
-    val base = df.where(valueCol.isNotNull)
-      .select(valueCol.cast("double").as("v"), uid.as("__uid"))
+    // cached: the count aggregate and the rank pass would otherwise each
+    // recompute the caller's full upstream lineage
+    val base = Frames.cached(df.where(valueCol.isNotNull)
+      .select(valueCol.cast("double").as("v"), uid.as("__uid")))
     val cnt = base.agg(count(lit(1)).as("n"))
     val ranked = Prefix
       .runningTotal(base, Seq(col("v"), col("__uid")), lit(1L), "rk")
       .withColumn("r", col("rk") - 1)
       .crossJoin(broadcast(cnt))
-    val aggs = qs.flatMap { case (name, q) =>
-      val pos = (col("n") - 1) * lit(q)
-      val lo = floor(pos).cast("long")
-      val hi = least(lo + 1, col("n") - 1)
-      Seq(
-        min(when(col("r") === lo, col("v"))).as(s"__lo_$name"),
-        min(when(col("r") === hi, col("v"))).as(s"__hi_$name"),
-        min(pos - floor(pos)).as(s"__f_$name"))
-    }
-    val g = ranked.agg(aggs.head, aggs.tail: _*)
-    qs.foldLeft(g) { case (d, (name, _)) =>
-        d.withColumn(name,
-          col(s"__lo_$name") +
-            (col(s"__hi_$name") - col(s"__lo_$name")) * col(s"__f_$name"))
-      }
+    val aggs = rankAggs(qs)
+    interpolate(ranked.agg(aggs.head, aggs.tail: _*), qs)
       .select(qs.map { case (name, _) => col(name) }: _*)
   }
 

@@ -38,8 +38,9 @@ object Prefix {
     * included), independently per `strataCols` group when given (e.g. a
     * running total within each train/val/test split, all strata in one
     * pass). Use integral/decimal value types for bit-deterministic sums;
-    * `orderCols` must be a unique key of `df`. The only single-partition
-    * work is the per-stratum offsets window over ≤ P rows per stratum.
+    * `orderCols` must be a unique key of `df`. There is NO
+    * single-partition work anywhere: the offsets prefix is a
+    * predecessor self-join over the ≤ P-rows-per-stratum totals frame.
     */
   def runningTotal(df: DataFrame, orderCols: Seq[Column], valueCol: Column,
                    out: String, strataCols: Seq[String] = Nil): DataFrame = {
@@ -173,41 +174,8 @@ object Prefix {
     * event is) — the measurement that sizes a streaming watermark delay.
     */
   def runningMax(df: DataFrame, orderCols: Seq[Column], valueCol: Column,
-                 out: String): DataFrame = {
-    val reserved = Seq("__pid", "__local", "__v", "__pmax", "__offmax",
-      "__ppid", "__ppm")
-    val clash = df.columns.intersect(reserved)
-    require(clash.isEmpty,
-      s"runningMax reserves internal column names ${reserved.mkString(", ")}; " +
-        s"input already has ${clash.mkString(", ")} — rename before calling")
-    val p = df.sparkSession.sparkContext.defaultParallelism
-    val withLocal = {
-      val ranged = df.repartitionByRange(p, orderCols: _*)
-        .withColumn("__pid", spark_partition_id())
-      val wLocal = Window.partitionBy(col("__pid"))
-        .orderBy(orderCols: _*)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      Frames.materialize(ranged
-        .withColumn("__local", max(valueCol).over(wLocal))
-        .withColumn("__v", valueCol))
-    }
-    // predecessor self-join, not an unpartitioned window — see
-    // runningTotal's offsets comment (clean-log invariant). Partition 0
-    // has no predecessors: the left join leaves its offset NULL, which
-    // greatest() below skips — identical to the window's null frame.
-    val totals = withLocal.groupBy(col("__pid"))
-      .agg(max(col("__v")).as("__pmax"))
-    val pred = totals.select(col("__pid").as("__ppid"),
-      col("__pmax").as("__ppm"))
-    val offsets = totals.join(pred, col("__ppid") < col("__pid"), "left")
-      .groupBy(col("__pid"))
-      .agg(max(col("__ppm")).as("__offmax"))
-      .select(col("__pid"), col("__offmax"))
-    withLocal.join(broadcast(offsets), "__pid")
-      .withColumn(out,
-        coalesce(greatest(col("__local"), col("__offmax")), col("__local")))
-      .drop("__pid", "__local", "__v", "__offmax")
-  }
+                 out: String): DataFrame =
+    runningExtreme(df, orderCols, valueCol, out, isMax = true)
 
   /** Running MINIMUM over the global `orderCols` order — the mirror of
     * [[runningMax]] (least/min combiner). With a DESCENDING order column
@@ -216,13 +184,29 @@ object Prefix {
     * interpolation).
     */
   def runningMin(df: DataFrame, orderCols: Seq[Column], valueCol: Column,
-                 out: String): DataFrame = {
-    val reserved = Seq("__pid", "__local", "__v", "__pmin", "__offmin",
+                 out: String): DataFrame =
+    runningExtreme(df, orderCols, valueCol, out, isMax = false)
+
+  /** Shared body of [[runningMax]]/[[runningMin]]: per-partition running
+    * extreme, then per-partition extremes offset by a predecessor
+    * self-join (no unpartitioned window — see runningTotal's offsets
+    * comment). Partition 0 has no predecessors: the left join leaves its
+    * offset NULL, which the greatest/least combiner skips — identical to
+    * a window's null frame.
+    */
+  private def runningExtreme(df: DataFrame, orderCols: Seq[Column],
+                             valueCol: Column, out: String,
+                             isMax: Boolean): DataFrame = {
+    val tag = if (isMax) "runningMax" else "runningMin"
+    val reserved = Seq("__pid", "__local", "__v", "__pext", "__offext",
       "__ppid", "__ppm")
     val clash = df.columns.intersect(reserved)
     require(clash.isEmpty,
-      s"runningMin reserves internal column names ${reserved.mkString(", ")}; " +
+      s"$tag reserves internal column names ${reserved.mkString(", ")}; " +
         s"input already has ${clash.mkString(", ")} — rename before calling")
+    val ext: Column => Column = if (isMax) max(_) else min(_)
+    val combine: (Column, Column) => Column =
+      if (isMax) greatest(_, _) else least(_, _)
     val p = df.sparkSession.sparkContext.defaultParallelism
     val withLocal = {
       val ranged = df.repartitionByRange(p, orderCols: _*)
@@ -231,22 +215,32 @@ object Prefix {
         .orderBy(orderCols: _*)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       Frames.materialize(ranged
-        .withColumn("__local", min(valueCol).over(wLocal))
+        .withColumn("__local", ext(valueCol).over(wLocal))
         .withColumn("__v", valueCol))
     }
     val totals = withLocal.groupBy(col("__pid"))
-      .agg(min(col("__v")).as("__pmin"))
+      .agg(ext(col("__v")).as("__pext"))
     val pred = totals.select(col("__pid").as("__ppid"),
-      col("__pmin").as("__ppm"))
+      col("__pext").as("__ppm"))
     val offsets = totals.join(pred, col("__ppid") < col("__pid"), "left")
       .groupBy(col("__pid"))
-      .agg(min(col("__ppm")).as("__offmin"))
-      .select(col("__pid"), col("__offmin"))
+      .agg(ext(col("__ppm")).as("__offext"))
+      .select(col("__pid"), col("__offext"))
     withLocal.join(broadcast(offsets), "__pid")
       .withColumn(out,
-        coalesce(least(col("__local"), col("__offmin")), col("__local")))
-      .drop("__pid", "__local", "__v", "__offmin")
+        coalesce(combine(col("__local"), col("__offext")), col("__local")))
+      .drop("__pid", "__local", "__v", "__offext")
   }
+
+  /** Deterministic rank over a fixed-k shortlist: `orderBy(order)
+    * .limit(k)`, then ranks 1..k assigned by the SAME `order` through
+    * [[runningTotal]] — the order is stated once, so the selection and
+    * the ranking cannot drift apart. `order` must be a total order
+    * (include a unique tiebreaker). Output column `out` is 1-based LONG.
+    */
+  def rankTop(df: DataFrame, order: Seq[Column], k: Int,
+              out: String): DataFrame =
+    runningTotal(df.orderBy(order: _*).limit(k), order, lit(1L), out)
 
   /** Pack rows into fixed-budget shards: rows in global `orderCols`
     * order accumulate `sizeCol` (e.g. token counts); a row's shard is

@@ -46,35 +46,27 @@ object Profile {
         col("__uid"))
       .where(col("x").isNotNull))
     val v2 = round(col("x"), 2).cast("decimal(18,2)")
-    val mom = long.groupBy("col_name").agg(
+    // cached: mom is referenced by the rank pass (n broadcast) and the
+    // final join — a |cols|-row frame, aggregate it once
+    val mom = Frames.cached(long.groupBy("col_name").agg(
       count(lit(1)).as("n_rows"),
       sum(v2).cast("double").as("__s1"),
       sum(v2 * v2).cast("double").as("__s2"),
       min(col("x")).as("min_val"),
-      max(col("x")).as("max_val"))
+      max(col("x")).as("max_val")))
     val qs = Seq(("p25", 0.25), ("p50", 0.5), ("p75", 0.75))
     val ranked = Prefix
       .runningTotal(long, Seq(col("x"), col("col_name"), col("__uid")),
         lit(1L), "rk", strataCols = Seq("col_name"))
       .withColumn("r", col("rk") - 1)
+      .withColumn("v", col("x"))
       .join(broadcast(mom.select(col("col_name"), col("n_rows").as("n"))),
         "col_name")
-    val aggs = qs.flatMap { case (name, q) =>
-      val pos = (col("n") - 1) * lit(q)
-      val lo = floor(pos).cast("long")
-      val hi = least(lo + 1, col("n") - 1)
-      Seq(
-        min(when(col("r") === lo, col("x"))).as(s"__lo_$name"),
-        min(when(col("r") === hi, col("x"))).as(s"__hi_$name"),
-        min(pos - floor(pos)).as(s"__f_$name"))
-    }
-    val pct = qs.foldLeft(
-        ranked.groupBy("col_name").agg(aggs.head, aggs.tail: _*)) {
-        case (d, (name, _)) =>
-          d.withColumn(name,
-            col(s"__lo_$name") +
-              (col(s"__hi_$name") - col(s"__lo_$name")) * col(s"__f_$name"))
-      }
+    // the (lo, hi, frac) shape is Percentiles' single shared copy —
+    // identical to the oracleCtes SQL by construction
+    val aggs = Percentiles.rankAggs(qs)
+    val pct = Percentiles
+      .interpolate(ranked.groupBy("col_name").agg(aggs.head, aggs.tail: _*), qs)
       .select(col("col_name") +: qs.map { case (name, _) => col(name) }: _*)
     mom.join(pct, "col_name")
       .select(col("col_name"), col("n_rows"),

@@ -205,11 +205,10 @@ object AuditQueries {
             round(col("n_ab").cast("double") / col("n_a"), 6).as("confidence"),
             round(col("n_ab").cast("double") * col("n_baskets") /
               (col("n_a").cast("double") * col("n_b")), 6).as("lift"))
-        // rank the 20-row shortlist via the prefix machinery — no
+        // shortlist + rank over ONE stated order (rankTop) — no
         // unpartitioned window
-        graft.ops.Prefix.runningTotal(
-            rules.orderBy(col("lift").desc, col("pa"), col("pb")).limit(20),
-            Seq(col("lift").desc, col("pa"), col("pb")), lit(1L), "rk")
+        graft.ops.Prefix.rankTop(rules,
+            Seq(col("lift").desc, col("pa"), col("pb")), k = 20, out = "rk")
           .orderBy("rk")
       }),
 

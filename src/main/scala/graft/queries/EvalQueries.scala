@@ -187,11 +187,10 @@ object EvalQueries {
           .groupBy(col("l_partkey")).agg(count(lit(1)).as("cnt"))
         val stats = kc.agg(count(lit(1)).as("n_keys"),
           sum(col("cnt")).as("total"))
-        // rank over the already-limited 10-row frame rides the prefix
-        // machinery too — zero unpartitioned windows anywhere
-        graft.ops.Prefix.runningTotal(
-            kc.orderBy(col("cnt").desc, col("l_partkey")).limit(10),
-            Seq(col("cnt").desc, col("l_partkey")), lit(1L), "rank")
+        // shortlist + rank share ONE stated order (rankTop) — zero
+        // unpartitioned windows anywhere
+        graft.ops.Prefix.rankTop(kc,
+            Seq(col("cnt").desc, col("l_partkey")), k = 10, out = "rank")
           .select(col("l_partkey"), col("cnt"),
             col("rank").cast("int").as("rank"))
           .crossJoin(broadcast(stats))

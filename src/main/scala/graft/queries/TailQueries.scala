@@ -304,14 +304,13 @@ object TailQueries {
         // top-(k+1) via distributed sort-limit (TakeOrderedAndProject):
         // ranking ALL orders globally for a fixed-k tail would be a
         // single-partition sort of the fact table
-        val top = T(s, dir, "orders")
-          .select(col("o_totalprice").as("x"), col("o_orderkey"))
-          .orderBy(col("x").desc, col("o_orderkey"))
-          .limit(HillK + 1)
-        // rank the (k+1)-row tail via the prefix machinery — no
-        // unpartitioned window
-        val rk = graft.ops.Prefix.runningTotal(top,
-            Seq(col("x").desc, col("o_orderkey")), lit(1L), "r")
+        // top-(k+1) tail + rank over ONE stated order (rankTop:
+        // distributed sort-limit, then prefix ranks — no unpartitioned
+        // window, no global sort of the fact table)
+        val rk = graft.ops.Prefix.rankTop(
+            T(s, dir, "orders").select(col("o_totalprice").as("x"),
+              col("o_orderkey")),
+            Seq(col("x").desc, col("o_orderkey")), k = HillK + 1, out = "r")
           .select(col("x"), col("r"))
         val xk1 = rk.where(col("r") === HillK + 1).select(col("x").as("xk"))
         val tail = rk.where(col("r") <= HillK)

@@ -829,11 +829,10 @@ object TextQueries {
           .select(explode(split(
             TextAnalysis.normalizeText(col("text")), " ")).as("w"))
           .groupBy("w").agg(count(lit(1)).as("f"))
-        // distributed sort-limit first; ranks over the ≤1000-row frame
-        // ride the prefix machinery (no unpartitioned window)
-        val top = graft.ops.Prefix.runningTotal(
-            freq.orderBy(col("f").desc, col("w").asc).limit(1000),
-            Seq(col("f").desc, col("w").asc), lit(1L), "rnk")
+        // distributed sort-limit + prefix rank over ONE stated order
+        // (no unpartitioned window)
+        val top = graft.ops.Prefix.rankTop(freq,
+            Seq(col("f").desc, col("w").asc), k = 1000, out = "rnk")
           .select(col("f"), col("rnk"))
         val pts = top.select(
           round(log(col("rnk").cast("double")), 6).as("lx"),
