@@ -16,23 +16,21 @@ import org.apache.spark.sql.functions._
   *    mean and stddev come out as identical doubles in any aggregation
   *    order — no Welford-vs-naive engine drift;
   *  - percentiles are the standard (n-1)*q rank interpolation
-  *    ([[Percentiles]]), with GLOBAL per-column ranks computed by the
-  *    three-phase distributed prefix ([[Prefix.runningTotal]], column
-  *    name as the stratum) — no data-sized single-partition window at
-  *    any scale.
+  *    ([[Percentiles]]), computed by the two-pass histogram pruning
+  *    ([[Histograms.exact]], column name as the group) — pass 2 ranks
+  *    only candidate bins, and no window is ever unpartitioned.
   *
-  * Scale: one explode (|cols|× fan-out), one range partition + offsets
-  * join for the ranks, two aggregations. No driver-side data.
+  * Scale: one explode (|cols|× fan-out), two histogram passes, two
+  * aggregations. No driver-side data.
   */
 object Profile {
 
   /** Summary rows for `cols` of `df` (numeric, ≤2 decimal places for
-    * the exact-decimal moment routing). `uid` must be a unique numeric
-    * row key — the rank tiebreaker. Output: one row per column name,
-    * `(col_name, n_rows, mean, stddev, min_val, p25, p50, p75,
+    * the exact-decimal moment routing). Output: one row per column
+    * name, `(col_name, n_rows, mean, stddev, min_val, p25, p50, p75,
     * max_val)`, NULL stddev for single-row columns.
     */
-  def summary(df: DataFrame, cols: Seq[String], uid: Column): DataFrame = {
+  def summary(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "summary needs at least one column")
     // cached: the exploded cell frame feeds both the moments aggregation
     // and the rank pass — without this the |cols|× explode scans the
@@ -40,10 +38,8 @@ object Profile {
     val long = Frames.cached(df
       .select(explode(array(cols.map(c =>
           struct(lit(c).as("col_name"), col(c).cast("double").as("x"))): _*))
-          .as("cell"),
-        uid.cast("long").as("__uid"))
-      .select(col("cell.col_name").as("col_name"), col("cell.x").as("x"),
-        col("__uid"))
+          .as("cell"))
+      .select(col("cell.col_name").as("col_name"), col("cell.x").as("x"))
       .where(col("x").isNotNull))
     val v2 = round(col("x"), 2).cast("decimal(18,2)")
     // cached: mom is referenced by the rank pass (n broadcast) and the
@@ -55,19 +51,10 @@ object Profile {
       min(col("x")).as("min_val"),
       max(col("x")).as("max_val")))
     val qs = Seq(("p25", 0.25), ("p50", 0.5), ("p75", 0.75))
-    val ranked = Prefix
-      .runningTotal(long, Seq(col("x"), col("col_name"), col("__uid")),
-        lit(1L), "rk", strataCols = Seq("col_name"))
-      .withColumn("r", col("rk") - 1)
-      .withColumn("v", col("x"))
-      .join(broadcast(mom.select(col("col_name"), col("n_rows").as("n"))),
-        "col_name")
-    // the (lo, hi, frac) shape is Percentiles' single shared copy —
-    // identical to the oracleCtes SQL by construction
-    val aggs = Percentiles.rankAggs(qs)
-    val pct = Percentiles
-      .interpolate(ranked.groupBy("col_name").agg(aggs.head, aggs.tail: _*), qs)
-      .select(col("col_name") +: qs.map { case (name, _) => col(name) }: _*)
+    // quartiles via the two-pass histogram pruning — bit-identical to
+    // the rank form (HistogramsSpec), but pass 2 touches only the
+    // candidate bins instead of ranking every cell
+    val pct = Histograms.exact(long, Seq("col_name"), col("x"), qs)
     mom.join(pct, "col_name")
       .select(col("col_name"), col("n_rows"),
         (col("__s1") / col("n_rows")).as("mean"),

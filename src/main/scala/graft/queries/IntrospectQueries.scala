@@ -54,8 +54,7 @@ object IntrospectQueries {
       ("l_quantity", "l_quantity", "lineitem")))))(
       (s, dir) =>
         Profile.summary(T(s, dir, "lineitem"),
-            Seq("l_discount", "l_extendedprice", "l_quantity"),
-            uid = col("l_orderkey") * 8 + col("l_linenumber"))
+            Seq("l_discount", "l_extendedprice", "l_quantity"))
           .orderBy("col_name")),
 
     // S12 end-to-end under the oracle gate: promote a landed fixture

@@ -111,49 +111,16 @@ object SeriesQueries {
         WITH ${graft.ops.Percentiles.oracleCtes("pct", "lineitem",
           Seq("l_returnflag"), "l_extendedprice", Seq("p50" -> 0.5))}
         SELECT l_returnflag, round(p50, 6) AS p50 FROM pct ORDER BY 1"""))(
-      (s, dir) => {
-        val li = T(s, dir, "lineitem")
-          .select(col("l_returnflag").as("g"),
-            col("l_extendedprice").cast("double").as("v"))
-          .where(col("v").isNotNull)
-        val bounds = li.groupBy("g")
-          .agg(min(col("v")).as("lo"), max(col("v")).as("hi"),
-            count(lit(1)).as("n"))
-        val binOf = when(col("hi") > col("lo"),
-          least(lit(HistBins - 1),
-            floor((col("v") - col("lo")) / (col("hi") - col("lo")) * HistBins)
-              .cast("int"))).otherwise(0)
-        val hist = li.join(broadcast(bounds), "g")
-          .groupBy(col("g"), binOf.as("bin"))
-          .agg(count(lit(1)).as("cnt"))
-        val cum = Window.partitionBy(col("g")).orderBy(col("bin"))
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        val pos = (col("n") - 1) * lit(0.5)
-        val ranks = bounds.select(col("g"), col("lo"), col("hi"), col("n"),
-          floor(pos).cast("long").as("r_lo"),
-          least(floor(pos).cast("long") + 1, col("n") - 1).as("r_hi"),
-          (pos - floor(pos)).as("f"))
-        val candidates = hist
-          .withColumn("below", sum(col("cnt")).over(cum) - col("cnt"))
-          .join(ranks, "g")
-          .where((col("r_lo") >= col("below") && col("r_lo") < col("below") + col("cnt")) ||
-            (col("r_hi") >= col("below") && col("r_hi") < col("below") + col("cnt")))
-          .select(col("g"), col("bin"), col("below"),
-            col("lo"), col("hi"), col("r_lo"), col("r_hi"), col("f"))
-        // pass 2: rank only candidate-bin rows, offset by `below`
-        val inBin = Window.partitionBy(col("g"), col("bin")).orderBy(col("v"))
-        val picked = li.join(broadcast(candidates), "g")
-          .where(binOf === col("bin"))
-          .withColumn("grank", col("below") + row_number().over(inBin) - 1)
-          .where(col("grank") === col("r_lo") || col("grank") === col("r_hi"))
-        picked
-          .groupBy(col("g").as("l_returnflag"))
-          .agg(min(when(col("grank") === col("r_lo"), col("v"))).as("vlo"),
-            min(when(col("grank") === col("r_hi"), col("v"))).as("vhi"),
-            min(col("f")).as("ff"))
-          .select(col("l_returnflag"),
-            round(col("vlo") + (col("vhi") - col("vlo")) * col("ff"), 6).as("p50"))
-          .orderBy("l_returnflag")
-      })
+      (s, dir) =>
+        // the inline two-pass form graduated into ops.Histograms.exact
+        // (multi-quantile, null-safe groups, HistogramsSpec-pinned
+        // equality with Percentiles.exact)
+        graft.ops.Histograms.exact(
+            T(s, dir, "lineitem").select(col("l_returnflag"),
+              col("l_extendedprice")),
+            Seq("l_returnflag"), col("l_extendedprice"),
+            Seq("p50" -> 0.5), bins = HistBins)
+          .select(col("l_returnflag"), round(col("p50"), 6).as("p50"))
+          .orderBy("l_returnflag"))
   )
 }

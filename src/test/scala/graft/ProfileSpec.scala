@@ -12,7 +12,7 @@ class ProfileSpec extends SparkSpec {
     // v = 1..4: s1 = 10, s2 = 30, mean = 2.5, var = (30 - 25)/3 = 5/3;
     // p25: pos = 0.75 -> 1 + 0.75*(2-1) = 1.75; p50 = 2.5; p75 = 3.25
     val df = Seq((1L, 1.0), (2L, 2.0), (3L, 3.0), (4L, 4.0)).toDF("id", "v")
-    val r = Profile.summary(df, Seq("v"), $"id").collect().head
+    val r = Profile.summary(df, Seq("v")).collect().head
     r.getString(0) shouldBe "v"
     r.getLong(1) shouldBe 4L
     r.getDouble(2) shouldBe 2.5
@@ -27,7 +27,7 @@ class ProfileSpec extends SparkSpec {
   test("summary profiles several columns in one call, excludes nulls") {
     val df = Seq((1L, 1.0, Some(10.0)), (2L, 3.0, None))
       .toDF("id", "a", "b")
-    val out = Profile.summary(df, Seq("a", "b"), $"id")
+    val out = Profile.summary(df, Seq("a", "b"))
       .orderBy("col_name").collect()
     out.map(_.getString(0)).toSeq shouldBe Seq("a", "b")
     out(0).getLong(1) shouldBe 2L
