@@ -59,6 +59,36 @@ class PrefixSpec extends SparkSpec {
     plan should not include "windowspecdefinition"
   }
 
+  test("runningMin equals the naive global window; desc order gives suffix minima") {
+    val vals = (1L to 400L).map(i => (i, (i * 6007) % 991)).toDF("id", "v")
+    val naive = vals.withColumn("m",
+      min($"v").over(Window.orderBy($"id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select("id", "m").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val fast = Prefix.runningMin(vals, Seq($"id"), $"v", "m")
+      .select("id", "m").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    fast shouldBe naive
+    // reversed order = "smallest value at or after this row" (backfill)
+    val suffix = Prefix.runningMin(vals, Seq($"id".desc), $"v", "m")
+      .select("id", "m").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expect = vals.collect().map(r => (r.getLong(0), r.getLong(1)))
+    expect.foreach { case (id, _) =>
+      suffix(id) shouldBe expect.filter(_._1 >= id).map(_._2).min
+    }
+  }
+
+  test("rankTop ranks the k-shortlist by the single stated order") {
+    val df = (1L to 200L).map(i => (i, (i * 37) % 101)).toDF("id", "score")
+    val out = Prefix.rankTop(df, Seq($"score".desc, $"id"), k = 5, out = "rk")
+      .select("id", "score", "rk").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._3)
+    out.map(_._3).toSeq shouldBe Seq(1L, 2L, 3L, 4L, 5L)
+    val expected = (1L to 200L).map(i => (i, (i * 37) % 101))
+      .sortBy { case (id, s) => (-s, id) }.take(5)
+    out.map(t => (t._1, t._2)).toSeq shouldBe expected
+  }
+
   test("runningTotals: several series share one pass, equal to naive windows") {
     val vals = (1L to 300L).map(i => (i, i % 5, (i * 13) % 7)).toDF("id", "a", "b")
     val w = Window.orderBy($"id")
