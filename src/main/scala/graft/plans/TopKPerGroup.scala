@@ -98,10 +98,16 @@ object TopKPerGroupStrategy extends SparkStrategy {
   }
 }
 
-/** Session-extensions entry point for cluster submission. */
+/** Session-extensions entry point for cluster submission: the planner
+  * strategy plus the [[TopKRewrite]] optimizer rule, so both the
+  * explicit API and the declarative `row_number`-filter form plan
+  * through the heap exec.
+  */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
-  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     ext.injectPlannerStrategy(_ => TopKPerGroupStrategy)
+    ext.injectOptimizerRule(_ => TopKRewrite)
+  }
 }
 
 /** Physical operator: requires the child clustered on the group keys

@@ -76,6 +76,34 @@ object IntrospectQueries {
         graft.io.Ingest.readLanded(s, rawRoot, "documents", "240101")
           .select("doc_id", "lang", "source", "n_chars")
           .orderBy("doc_id")
+      }),
+
+    // The TopKRewrite optimizer rule under the oracle gate: the query is
+    // written in the DECLARATIVE window form — row_number() over
+    // (partition/order) filtered to rank <= 3 — and the installed
+    // Rule[LogicalPlan] (plans/TopKRewrite.scala) swaps in the native
+    // bounded-heap exec at optimization time (no full per-group sort, no
+    // WindowExec; plan-asserted in TopKRewriteSpec). Runs on a cloned
+    // session so the rewrite stays scoped to this query; the oracle is
+    // the window SQL the user wrote.
+    Q("q269_rewrite_topk", Q.sql("""
+        SELECT source, doc_id, n_chars, rank FROM (
+          SELECT source, doc_id, n_chars,
+            CAST(row_number() OVER (PARTITION BY source
+              ORDER BY n_chars DESC, doc_id) AS INT) AS rank
+          FROM documents) t
+        WHERE rank <= 3 ORDER BY source, rank"""))(
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val s2 = s.newSession()
+        graft.plans.TopKRewrite.install(s2)
+        val w = Window.partitionBy(col("source"))
+          .orderBy(col("n_chars").desc, col("doc_id"))
+        T(s2, dir, "documents")
+          .select("source", "doc_id", "n_chars")
+          .withColumn("rank", row_number().over(w))
+          .where(col("rank") <= 3)
+          .orderBy("source", "rank")
       })
   )
 }
