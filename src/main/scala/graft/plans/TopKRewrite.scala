@@ -1,7 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, CurrentRow, EqualTo, Expression, LessThan, LessThanOrEqual, Literal, RowFrame, RowNumber, SortOrder, SpecifiedWindowFrame, UnboundedPreceding, WindowExpression, WindowSpecDefinition}
+import org.apache.spark.sql.catalyst.expressions.{Alias, And, Attribute, AttributeReference, CurrentRow, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, Literal, PredicateHelper, RowFrame, RowNumber, SortOrder, SpecifiedWindowFrame, UnboundedPreceding, WindowExpression, WindowSpecDefinition}
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, Window, WindowGroupLimit}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.IntegerType
@@ -32,23 +32,33 @@ import org.apache.spark.sql.types.IntegerType
   *    multi-expression window would drop the other columns;
   *  - the partition spec is non-empty — the global-rank form belongs to a
   *    distributed sort-limit, not a per-group heap;
-  *  - the Filter condition is a sole comparison of the rank attribute
-  *    against a positive integer literal (`rank <= k`, `rank < k`,
-  *    `rank = 1`, or the mirrored literal-first forms). Conjunctions keep
-  *    the window form: other conjuncts may reference the rank column in
-  *    ways a k-bounded heap cannot reproduce.
+  *  - at least one conjunct of the Filter bounds the rank attribute by a
+  *    positive integer literal (`rank <= k`, `rank < k`, `rank = k`, or
+  *    the mirrored literal-first forms). The tightest bound becomes the
+  *    heap's k; every conjunct NOT implied by `rank ∈ [1, k]` — other
+  *    predicates, or an equality above 1 — stays as a residual Filter
+  *    ABOVE the node. That residual filtering is sound because the heap
+  *    emits exact `row_number` values for the top k rows, so any
+  *    predicate over them evaluates identically to the window form.
   *
   * The replacement preserves the Window node's output attributes (child
   * output + the rank alias's exprId), so parent operators resolve
-  * unchanged; the Filter disappears because every emitted row satisfies
-  * `rank <= k` by construction.
+  * unchanged.
   */
-object TopKRewrite extends Rule[LogicalPlan] {
+object TopKRewrite extends Rule[LogicalPlan] with PredicateHelper {
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     case f @ Filter(cond, w: Window) =>
       rewrite(cond, w).getOrElse(f)
   }
+
+  /** A rank bound carried by one conjunct: `k` is the implied inclusive
+    * upper bound; `absorbed` says the conjunct is EQUIVALENT to
+    * `rank <= k` (and so disappears once the heap enforces it) rather
+    * than merely implying the bound (equality above 1, which must stay
+    * in the residual).
+    */
+  private case class Bound(k: Int, absorbed: Boolean)
 
   private def rewrite(cond: Expression, w: Window): Option[LogicalPlan] =
     w.windowExpressions match {
@@ -56,7 +66,11 @@ object TopKRewrite extends Rule[LogicalPlan] {
             WindowSpecDefinition(parts, order,
               SpecifiedWindowFrame(RowFrame, UnboundedPreceding, CurrentRow))), _))
           if parts.nonEmpty && order.nonEmpty =>
-        extractK(cond, alias.toAttribute).map { k =>
+        val rank = alias.toAttribute
+        val conjuncts = splitConjunctivePredicates(cond)
+        val bounds = conjuncts.map(c => c -> boundOf(c, rank))
+        val ks = bounds.collect { case (_, Some(b)) => b.k }
+        ks.minOption.filter(_ > 0).map { k =>
           // A WindowGroupLimit inserted by InferWindowGroupLimit is
           // subsumed by the heap exec — strip it so rows aren't
           // rank-pruned twice.
@@ -64,32 +78,43 @@ object TopKRewrite extends Rule[LogicalPlan] {
             case wgl: WindowGroupLimit => wgl.child
             case c => c
           }
-          TopKPerGroup(parts, order, k,
-            alias.toAttribute.asInstanceOf[AttributeReference], child)
+          val topk = TopKPerGroup(parts, order, k,
+            rank.asInstanceOf[AttributeReference], child)
+          // keep every conjunct not implied by rank ∈ [1, k]: non-bound
+          // predicates always; bound conjuncts only when not absorbed
+          // (equality above 1) — an absorbed bound ≥ k is implied by the
+          // tighter k the heap enforces
+          val residual = bounds.collect {
+            case (c, None) => c
+            case (c, Some(b)) if !(b.absorbed && b.k >= k) => c
+          }
+          if (residual.isEmpty) topk
+          else Filter(residual.reduce(And), topk)
         }
       case _ => None
     }
 
-  /** The filter's k, when the WHOLE condition is one rank-vs-literal
-    * comparison with a usable bound.
-    */
-  private def extractK(cond: Expression, rank: Attribute): Option[Int] = {
+  /** The inclusive rank bound one conjunct implies, if any. */
+  private def boundOf(c: Expression, rank: Attribute): Option[Bound] = {
     def lit(e: Expression): Option[Int] = e match {
       case Literal(v: Int, IntegerType) => Some(v)
       case _ => None
     }
-    val k = cond match {
-      case LessThanOrEqual(a, l) if a.semanticEquals(rank) => lit(l)
-      case LessThan(a, l) if a.semanticEquals(rank) => lit(l).map(_ - 1)
-      case org.apache.spark.sql.catalyst.expressions.GreaterThanOrEqual(l, a)
-          if a.semanticEquals(rank) => lit(l)
-      case org.apache.spark.sql.catalyst.expressions.GreaterThan(l, a)
-          if a.semanticEquals(rank) => lit(l).map(_ - 1)
-      case EqualTo(a, l) if a.semanticEquals(rank) => lit(l).filter(_ == 1)
-      case EqualTo(l, a) if a.semanticEquals(rank) => lit(l).filter(_ == 1)
+    c match {
+      case LessThanOrEqual(a, l) if a.semanticEquals(rank) =>
+        lit(l).map(Bound(_, absorbed = true))
+      case LessThan(a, l) if a.semanticEquals(rank) =>
+        lit(l).map(v => Bound(v - 1, absorbed = true))
+      case GreaterThanOrEqual(l, a) if a.semanticEquals(rank) =>
+        lit(l).map(Bound(_, absorbed = true))
+      case GreaterThan(l, a) if a.semanticEquals(rank) =>
+        lit(l).map(v => Bound(v - 1, absorbed = true))
+      case EqualTo(a, l) if a.semanticEquals(rank) =>
+        lit(l).map(v => Bound(v, absorbed = v == 1))
+      case EqualTo(l, a) if a.semanticEquals(rank) =>
+        lit(l).map(v => Bound(v, absorbed = v == 1))
       case _ => None
     }
-    k.filter(_ > 0)
   }
 
   /** Install on a live session (idempotent): the rule joins the

@@ -65,21 +65,47 @@ class TopKRewriteSpec extends SparkSpec {
     }
   }
 
+  test("conjunctions rewrite: tightest bound feeds the heap, the rest filters above it") {
+    val s2 = rewritten()
+    val df = data(s2)
+    val w = Window.partitionBy(col("g")).orderBy(col("v").desc, col("id"))
+    // rank bound + an unrelated predicate: heap k=2, v-filter residual
+    val mixed = df.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 2 && col("v") > 5.0)
+    val mixedPlan = mixed.queryExecution.executedPlan.toString
+    mixedPlan should include("TopKPerGroup [")
+    mixedPlan should not include "Window"
+    mixed.select("g", "v", "id", "rank").collect()
+      .map(r => (r.getInt(0), r.getDouble(1), r.getLong(2), r.getInt(3)))
+      .toSet shouldBe Set((1, 40.0, 4L, 1), (1, 30.0, 1L, 2), (2, 7.0, 6L, 1))
+    // equality above 1: heap k=2, residual keeps only the k-th row
+    val kth = df.withColumn("rank", row_number().over(w))
+      .where(col("rank") === 2)
+    kth.queryExecution.executedPlan.toString should include("TopKPerGroup [")
+    kth.select("g", "v", "id", "rank").collect()
+      .map(r => (r.getInt(0), r.getDouble(1), r.getLong(2), r.getInt(3)))
+      .toSet shouldBe Set((1, 30.0, 1L, 2), (2, 5.0, 5L, 2))
+    // two bounds: the tighter one wins, the looser is absorbed
+    val twoBounds = df.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 3 && col("rank") <= 1)
+    twoBounds.queryExecution.executedPlan.toString should include("TopKPerGroup [")
+    twoBounds.select("g", "rank").collect()
+      .map(r => (r.getInt(0), r.getInt(1))).toSet shouldBe
+      Set((1, 1), (2, 1), (3, 1))
+  }
+
   test("unsafe patterns keep the window form") {
     val s2 = rewritten()
     val df = data(s2)
     val w = Window.partitionBy(col("g")).orderBy(col("v").desc, col("id"))
     val globalW = Window.orderBy(col("v").desc, col("id"))
     val unsafe: Seq[DataFrame] = Seq(
-      // conjunction: another predicate rides the rank filter
-      df.withColumn("rank", row_number().over(w))
-        .where(col("rank") <= 2 && col("v") > 1.0),
       // rank() is not row_number(): ties share ranks, heap semantics differ
       df.withColumn("rank", rank().over(w)).where(col("rank") <= 2),
       // global window: no partition keys — belongs to sort-limit, not heaps
       df.withColumn("rank", row_number().over(globalW)).where(col("rank") <= 2),
-      // equality above 1: a heap emits ranks 1..k, not the k-th alone
-      df.withColumn("rank", row_number().over(w)).where(col("rank") === 2),
+      // no usable bound: a lower bound alone can't size a heap
+      df.withColumn("rank", row_number().over(w)).where(col("rank") >= 2),
       // multi-expression window: rewriting would drop the second column
       df.withColumn("rank", row_number().over(w))
         .withColumn("mx", max(col("v")).over(Window.partitionBy(col("g"))))
