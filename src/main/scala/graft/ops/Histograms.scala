@@ -29,8 +29,15 @@ import org.apache.spark.sql.functions._
   */
 object Histograms {
 
+  /** @param precomputedBounds per-group `(keys..., __blo, __bhi, __n)`
+    *   — min, max, and non-null count of the value — when the caller
+    *   already aggregated them (e.g. alongside other moments, as
+    *   [[Profile.summary]] does): passing them here skips this
+    *   function's own bounds pass over the data.
+    */
   def exact(df: DataFrame, keys: Seq[String], valueCol: Column,
-            qs: Seq[(String, Double)], bins: Int = 100): DataFrame = {
+            qs: Seq[(String, Double)], bins: Int = 100,
+            precomputedBounds: Option[DataFrame] = None): DataFrame = {
     require(qs.nonEmpty, "qs must be non-empty")
     require(qs.forall { case (_, q) => q >= 0 && q <= 1 },
       s"quantiles must be in [0,1], got ${qs.map(_._2)}")
@@ -38,9 +45,9 @@ object Histograms {
     val keyCols = keys.map(col)
     val base = df.where(valueCol.isNotNull)
       .select(keyCols :+ valueCol.cast("double").as("v"): _*)
-    val bounds = base.groupBy(keyCols: _*)
+    val bounds = precomputedBounds.getOrElse(base.groupBy(keyCols: _*)
       .agg(min(col("v")).as("__blo"), max(col("v")).as("__bhi"),
-        count(lit(1)).as("__n"))
+        count(lit(1)).as("__n")))
     // per-quantile target ranks (0-based) and interpolation fractions —
     // the same (n-1)*q arithmetic as Percentiles.rankAggs
     val rankCols = qs.flatMap { case (name, q) =>

@@ -53,8 +53,13 @@ object Profile {
     val qs = Seq(("p25", 0.25), ("p50", 0.5), ("p75", 0.75))
     // quartiles via the two-pass histogram pruning — bit-identical to
     // the rank form (HistogramsSpec), but pass 2 touches only the
-    // candidate bins instead of ranking every cell
-    val pct = Histograms.exact(long, Seq("col_name"), col("x"), qs)
+    // candidate bins instead of ranking every cell. The moments
+    // aggregation already produced each column's min/max/count, so the
+    // histogram pass reuses them instead of re-scanning the cell frame.
+    val pct = Histograms.exact(long, Seq("col_name"), col("x"), qs,
+      precomputedBounds = Some(mom.select(col("col_name"),
+        col("min_val").as("__blo"), col("max_val").as("__bhi"),
+        col("n_rows").as("__n"))))
     mom.join(pct, "col_name")
       .select(col("col_name"), col("n_rows"),
         (col("__s1") / col("n_rows")).as("mean"),
