@@ -103,12 +103,15 @@ object TopKRewrite extends Rule[LogicalPlan] with PredicateHelper {
     c match {
       case LessThanOrEqual(a, l) if a.semanticEquals(rank) =>
         lit(l).map(Bound(_, absorbed = true))
+      // Int.MinValue - 1 would wrap to a huge positive k and turn an
+      // always-false filter into emit-everything; such a literal keeps
+      // the window form (where the filter correctly yields nothing)
       case LessThan(a, l) if a.semanticEquals(rank) =>
-        lit(l).map(v => Bound(v - 1, absorbed = true))
+        lit(l).filter(_ != Int.MinValue).map(v => Bound(v - 1, absorbed = true))
       case GreaterThanOrEqual(l, a) if a.semanticEquals(rank) =>
         lit(l).map(Bound(_, absorbed = true))
       case GreaterThan(l, a) if a.semanticEquals(rank) =>
-        lit(l).map(v => Bound(v - 1, absorbed = true))
+        lit(l).filter(_ != Int.MinValue).map(v => Bound(v - 1, absorbed = true))
       case EqualTo(a, l) if a.semanticEquals(rank) =>
         lit(l).map(v => Bound(v, absorbed = v == 1))
       case EqualTo(l, a) if a.semanticEquals(rank) =>

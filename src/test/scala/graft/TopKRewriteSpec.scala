@@ -99,6 +99,8 @@ class TopKRewriteSpec extends SparkSpec {
     val df = data(s2)
     val w = Window.partitionBy(col("g")).orderBy(col("v").desc, col("id"))
     val globalW = Window.orderBy(col("v").desc, col("id"))
+    val alwaysFalse = df.withColumn("rank", row_number().over(w))
+      .where(col("rank") < Int.MinValue)
     val unsafe: Seq[DataFrame] = Seq(
       // rank() is not row_number(): ties share ranks, heap semantics differ
       df.withColumn("rank", rank().over(w)).where(col("rank") <= 2),
@@ -106,6 +108,9 @@ class TopKRewriteSpec extends SparkSpec {
       df.withColumn("rank", row_number().over(globalW)).where(col("rank") <= 2),
       // no usable bound: a lower bound alone can't size a heap
       df.withColumn("rank", row_number().over(w)).where(col("rank") >= 2),
+      // Int.MinValue literal: naive k = v - 1 would wrap positive and
+      // turn the always-false filter into emit-everything
+      alwaysFalse,
       // multi-expression window: rewriting would drop the second column
       df.withColumn("rank", row_number().over(w))
         .withColumn("mx", max(col("v")).over(Window.partitionBy(col("g"))))
@@ -113,6 +118,8 @@ class TopKRewriteSpec extends SparkSpec {
     unsafe.foreach { q =>
       q.queryExecution.executedPlan.toString should include("Window")
     }
+    // the always-false filter must actually yield nothing
+    alwaysFalse.count() shouldBe 0L
   }
 
   test("install is scoped to the cloned session, not the shared one") {
