@@ -47,10 +47,21 @@ import org.apache.spark.sql.types.IntegerType
   */
 object TopKRewrite extends Rule[LogicalPlan] with PredicateHelper {
 
-  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
-    case f @ Filter(cond, w: Window) =>
-      rewrite(cond, w).getOrElse(f)
-  }
+  /** Per-session/per-query kill switch (`SET spark.graft.topkRewrite
+    * .enabled=false`): the heap exec keeps O(k × groups/partition) rows
+    * with NO spill, so for pathologically high-cardinality group keys
+    * the window form's spilling SortExec is the safer plan — and with
+    * the rule installed session-wide, that form would otherwise be
+    * unreachable (the rule rewrites exactly it).
+    */
+  val EnabledKey = "spark.graft.topkRewrite.enabled"
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    if (!conf.getConfString(EnabledKey, "true").toBoolean) plan
+    else plan.transform {
+      case f @ Filter(cond, w: Window) =>
+        rewrite(cond, w).getOrElse(f)
+    }
 
   /** A rank bound carried by one conjunct: `k` is the implied inclusive
     * upper bound; `absorbed` says the conjunct is EQUIVALENT to

@@ -54,10 +54,10 @@ class TopKRewriteSpec extends SparkSpec {
       d => d.withColumn("rank", row_number().over(w)).where(col("rank") < 3),
       d => d.withColumn("rank", row_number().over(w)).where(lit(3) >= col("rank")),
       d => d.withColumn("rank", row_number().over(w)).where(col("rank") === 1))
-    shapes.zip(shapes).foreach { case (mkPlain, mkFast) =>
-      val slow = mkPlain(plainDf).collect()
+    shapes.foreach { mk =>
+      val slow = mk(plainDf).collect()
         .map(r => (r.getInt(0), r.getDouble(1), r.getLong(2), r.getInt(3))).toSet
-      val fastQ = mkFast(fastDf)
+      val fastQ = mk(fastDf)
       fastQ.queryExecution.executedPlan.toString should include("TopKPerGroup [")
       val fast = fastQ.collect()
         .map(r => (r.getInt(0), r.getDouble(1), r.getLong(2), r.getInt(3))).toSet
@@ -120,6 +120,18 @@ class TopKRewriteSpec extends SparkSpec {
     }
     // the always-false filter must actually yield nothing
     alwaysFalse.count() shouldBe 0L
+  }
+
+  test("the enabled conf is a per-session kill switch back to the window plan") {
+    val s2 = rewritten()
+    s2.conf.set(TopKRewrite.EnabledKey, "false")
+    try {
+      val off = windowTopK(data(s2), 2)
+      off.queryExecution.executedPlan.toString should include("Window")
+      off.count() shouldBe 5L
+    } finally s2.conf.set(TopKRewrite.EnabledKey, "true")
+    windowTopK(data(s2), 2).queryExecution.executedPlan.toString should
+      include("TopKPerGroup [")
   }
 
   test("install is scoped to the cloned session, not the shared one") {
