@@ -44,7 +44,10 @@ if missing:
 EOF
 
 echo "== bench JSON contract (sf0.001)"
-bench=$(SPARK_GRAFT_SF_DIR=/root/testdata/sf0.001 tools/run.sh graft.Bench 2>/dev/null | tail -1)
+# details redirected to a temp file so this probe can't clobber the
+# committed sf0.1 record in the repo cwd
+bench=$(SPARK_GRAFT_SF_DIR=/root/testdata/sf0.001 \
+  SPARK_GRAFT_BENCH_DETAILS=$(mktemp) tools/run.sh graft.Bench 2>/dev/null | tail -1)
 echo "$bench" | python3 -c "
 import json, sys
 line = sys.stdin.read().strip()
