@@ -131,6 +131,42 @@ object Stats {
       round((po - pe) / (lit(1.0) - pe), 6).as("kappa"))
   }
 
+  /** Fleiss' kappa agreement across `raters.size` binary labelers — the
+    * multi-rater generalization of [[cohensKappa]] (Fleiss, Psych. Bull.
+    * 1971): the agreement check before trusting an ensemble of heuristic
+    * annotators (or heuristics + model votes) as training labels.
+    *
+    * Per item, `n1` = votes for category 1 (0..r). With
+    * `S = Σ_i (n1² + (r-n1)²)`:
+    *   P̄  = (S − N·r) / (N·r·(r−1))      observed agreement
+    *   p1 = Σ n1 / (N·r)                 category-1 vote share
+    *   Pe = p1² + (1−p1)²                 chance agreement
+    *   κ  = (P̄ − Pe) / (1 − Pe)
+    *
+    * Scale: ONE partial+final hash aggregation of integer sums (S fits a
+    * long: ≤ r² per row); everything after is constant-sized fixed-order
+    * IEEE arithmetic — engine-exact and shard-mergeable like the moment
+    * aggregates above.
+    */
+  def fleissKappa(df: DataFrame, raters: Seq[Column]): DataFrame = {
+    require(raters.size >= 2, "fleissKappa needs at least two raters")
+    val r = raters.size
+    val votes1 = raters.map(_.cast("long")).reduce(_ + _)
+    val agg = df.select(votes1.as("n1"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("n1") * col("n1")
+          + (lit(r.toLong) - col("n1")) * (lit(r.toLong) - col("n1"))).as("s"),
+        sum(col("n1")).as("v1"))
+    val pbar = (col("s") - col("n") * r).cast("double") /
+      (col("n") * r * (r - 1)).cast("double")
+    val p1 = col("v1").cast("double") / (col("n") * r).cast("double")
+    val pe = p1 * p1 + (lit(1.0) - p1) * (lit(1.0) - p1)
+    agg.select(col("n"), lit(r).as("n_raters"),
+      round(p1, 6).as("p1"), round(pbar, 6).as("p_bar"),
+      round(pe, 6).as("p_e"),
+      round((pbar - pe) / (lit(1.0) - pe), 6).as("kappa"))
+  }
+
   /** DuckDB select-list fragment computing corr/slope/intercept from a
     * moments CTE with columns (n, sx, sy, sxx, syy, sxy) — the exact
     * expression shape of [[corrRegr]].

@@ -70,4 +70,40 @@ object TimeSeries {
          ON a.k = b.k AND b.day <= a.day AND $dt < $horizon
        GROUP BY 1, 2"""
   }
+
+  /** Merged-interval coverage per key (the sweep-line union classic —
+    * "how much wall-clock was this user actually active", session-tape
+    * union, SLA-window math): overlapping or touching intervals merge
+    * into islands; output is one row per key with
+    * (n_intervals, n_islands, coverage) in the caller's units.
+    *
+    * Island detection is the gaps-and-islands form: an interval starts a
+    * new island iff its start exceeds the running maximum end of every
+    * earlier interval (ties/touching merge). Both windows are
+    * PARTITIONED BY key — per-key interval counts bound the frames
+    * (events per user, sessions per device), never the table; the two
+    * follow-up aggregations are ordinary hash aggs.
+    *
+    * Determinism: interval ordering carries the unique `uniqCol`
+    * tie-break; all arithmetic is integer (pass integer start/end, e.g.
+    * epoch micros).
+    */
+  def intervalCoverage(df: DataFrame, keyCol: Column, startCol: Column,
+                       endCol: Column, uniqCol: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("key")).orderBy(col("s"), col("e"), col("u"))
+    val prevMax = max(col("e")).over(w.rowsBetween(Window.unboundedPreceding, -1))
+    df.select(keyCol.as("key"), startCol.as("s"), endCol.as("e"),
+        uniqCol.as("u"))
+      .withColumn("new_island",
+        (col("s") > coalesce(prevMax, lit(Long.MinValue))).cast("long"))
+      .withColumn("island",
+        sum(col("new_island")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("key"), col("island"))
+      .agg(min(col("s")).as("i_start"), max(col("e")).as("i_end"),
+        count(lit(1)).as("n_iv"))
+      .groupBy("key")
+      .agg(sum(col("n_iv")).as("n_intervals"), count(lit(1)).as("n_islands"),
+        sum(col("i_end") - col("i_start")).as("coverage"))
+  }
 }

@@ -93,6 +93,70 @@ object EvalQueries {
             round(col("dcg20") / col("idcg20"), 6).as("ndcg20"))
       }),
 
+    // Rank-biased overlap (Webber et al., TOIS 2010) between the
+    // revenue and order-count customer rankings, truncated at depth 50:
+    // RBO@D = (1-p)·Σ_{d<=D} p^(d-1)·X_d/d, where X_d = |top-d ∩ top-d|.
+    // An item with ranks (ra, rb) enters every prefix overlap from depth
+    // max(ra, rb), so X_d is one count over the <=D-row frontier frame —
+    // the whole metric costs two distributed-prefix ranks plus a 50-row
+    // depth join. p = 1/2 so every weight p^(d-1) is an exact dyadic
+    // double on both engines (no transcendental-parity risk); terms are
+    // rounded at 12 and decimal-summed.
+    Q("q275_rank_biased_overlap", Q.sql("""
+        WITH r AS (
+          SELECT o_custkey, count(*) AS n_orders,
+            CAST(sum(CAST(o_totalprice AS DECIMAL(27,4))) AS DOUBLE) AS rev
+          FROM orders GROUP BY 1),
+        rk AS (
+          SELECT o_custkey,
+            row_number() OVER (ORDER BY rev DESC, o_custkey) AS r_rev,
+            row_number() OVER (ORDER BY n_orders DESC, o_custkey) AS r_cnt
+          FROM r),
+        m AS (
+          SELECT greatest(r_rev, r_cnt) AS m FROM rk
+          WHERE greatest(r_rev, r_cnt) <= 50),
+        dep AS (SELECT unnest(generate_series(1, 50)) AS d),
+        xd AS (
+          SELECT d, count(m.m) AS x
+          FROM dep LEFT JOIN m ON m.m <= dep.d
+          GROUP BY 1),
+        terms AS (
+          SELECT d, x,
+            round(power(0.5, d - 1) * x / d, 12) AS term
+          FROM xd)
+        SELECT 50 AS depth, CAST(max(CASE WHEN d = 50 THEN x END) AS BIGINT)
+            AS overlap_at_depth,
+          round((1 - 0.5) *
+            CAST(sum(CAST(term AS DECIMAL(27,12))) AS DOUBLE), 6) AS rbo
+        FROM terms"""))(
+      (s, dir) => {
+        import graft.ops.Prefix.runningTotal
+        val r = T(s, dir, "orders")
+          .groupBy(col("o_custkey"))
+          .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice"), 4).as("rev"))
+        val rk = runningTotal(
+          runningTotal(r, Seq(col("rev").desc, col("o_custkey")),
+            lit(1L), out = "r_rev"),
+          Seq(col("n_orders").desc, col("o_custkey")), lit(1L), out = "r_cnt")
+        val m = rk.select(greatest(col("r_rev"), col("r_cnt")).as("m"))
+          .where(col("m") <= 50)
+        val dep = T(s, dir, "orders").sparkSession.range(1, 51)
+          .select(col("id").cast("int").as("d"))
+        // non-equi LEFT join: broadcast the <=50-row frontier (the
+        // preserved depth side cannot be the broadcast side)
+        val xd = dep.join(broadcast(m), col("m") <= col("d"), "left")
+          .groupBy("d").agg(count(col("m")).as("x"))
+        val terms = xd.select(col("d"), col("x"),
+          round(pow(lit(0.5), col("d") - 1) * col("x") / col("d"), 12)
+            .as("term"))
+        terms.agg(
+          max(when(col("d") === 50, col("x"))).as("overlap_at_depth"),
+          round((lit(1) - lit(0.5)) *
+            sum(col("term").cast("decimal(27,12)")).cast("double"), 6)
+            .as("rbo"))
+          .select(lit(50).as("depth"), col("overlap_at_depth"), col("rbo"))
+      }),
+
     // Poisson-bootstrap 95% CI for the mean purchase value: B=100
     // replicates in ONE pass (per-row Poisson(1) weights from md5 —
     // deterministic on any engine/partitioning), exact percentiles over

@@ -188,6 +188,36 @@ object MiningQueries {
           .orderBy("part")
       }),
 
+    // Adamic-Adar link prediction on the co-purchase graph: top-50
+    // non-adjacent part pairs by summed 1/ln(deg) over common
+    // neighbors — "which parts will be co-purchased next". Wedge join
+    // with a deg<=100 hub cap (see graph.LinkPrediction), known edges
+    // removed by an anti join, top-k as a distributed sort-limit.
+    Q("q274_adamic_adar", Q.sql(s"""
+        WITH ${graft.graph.CoPurchase.sql},
+        d AS (SELECT a AS z, b AS x FROM e UNION ALL SELECT b, a FROM e),
+        deg AS (SELECT z, count(*) AS dg FROM d GROUP BY 1),
+        dz AS (SELECT d.z, d.x, dg FROM d JOIN deg USING (z)
+          WHERE dg <= 100),
+        wed AS (
+          SELECT p.x AS a, q.x AS b, round(1.0 / ln(p.dg), 9) AS term
+          FROM dz p JOIN dz q ON p.z = q.z AND p.x < q.x),
+        agg AS (
+          SELECT a, b,
+            CAST(sum(CAST(term AS DECIMAL(27,9))) AS DOUBLE) AS aa_raw,
+            count(*) AS n_common
+          FROM wed GROUP BY 1, 2),
+        cand AS (
+          SELECT a, b, n_common, round(aa_raw, 6) AS aa FROM agg
+          WHERE NOT EXISTS (
+            SELECT 1 FROM e WHERE e.a = agg.a AND e.b = agg.b))
+        SELECT a, b, n_common, aa FROM cand
+        ORDER BY aa DESC, a, b LIMIT 50"""))(
+      (s, dir) =>
+        graft.graph.LinkPrediction.adamicAdar(
+          graft.graph.CoPurchase.edges(T(s, dir, "lineitem")),
+          maxDeg = 100, k = 50)),
+
     // First-order Markov transition matrix over per-user event
     // sequences: P(next event type | current) from lead() pairs. One
     // window pass + one hash aggregation; probabilities are exact

@@ -121,6 +121,55 @@ object SeriesQueries {
             Seq("l_returnflag"), col("l_extendedprice"),
             Seq("p50" -> 0.5), bins = HistBins)
           .select(col("l_returnflag"), round(col("p50"), 6).as("p50"))
-          .orderBy("l_returnflag"))
+          .orderBy("l_returnflag")),
+
+    // Merged-interval coverage per user (sweep-line union): each event
+    // opens an activity interval of `value` minutes; overlapping/touching
+    // intervals merge into islands, and the report is total covered
+    // wall-clock + island counts per user — "how long was this user
+    // actually active". Integer µs arithmetic end to end; both windows
+    // are PARTITIONED BY user (per-user event counts bound the frames —
+    // see TimeSeries.intervalCoverage).
+    Q("q272_interval_coverage", Q.sql("""
+        WITH iv AS (
+          SELECT user_id, epoch_us(ts) AS s,
+            epoch_us(ts) + CAST(round(value * 60) AS BIGINT) * 1000000 AS e,
+            event_id AS u
+          FROM events),
+        m AS (
+          SELECT user_id, s, e, u,
+            (CASE WHEN s > coalesce(max(e) OVER (
+                PARTITION BY user_id ORDER BY s, e, u
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+              THEN 1 ELSE 0 END) AS new_island
+          FROM iv),
+        mi AS (
+          SELECT user_id, s, e,
+            CAST(sum(new_island) OVER (
+              PARTITION BY user_id ORDER BY s, e, u
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+              AS island
+          FROM m),
+        isl AS (
+          SELECT user_id, island, min(s) AS i_start, max(e) AS i_end,
+            count(*) AS n_iv
+          FROM mi GROUP BY 1, 2)
+        SELECT user_id, CAST(sum(n_iv) AS BIGINT) AS n_intervals,
+          count(*) AS n_islands, CAST(sum(i_end - i_start) AS BIGINT)
+            AS coverage_us
+        FROM isl GROUP BY 1 ORDER BY user_id"""))(
+      (s, dir) => {
+        val ev = T(s, dir, "events")
+        graft.ops.TimeSeries.intervalCoverage(
+            ev.select(col("user_id"), col("event_id"),
+              unix_micros(col("ts")).as("s_us"),
+              (unix_micros(col("ts"))
+                + round(col("value") * 60, 0).cast("long") * 1000000L)
+                .as("e_us")),
+            col("user_id"), col("s_us"), col("e_us"), col("event_id"))
+          .select(col("key").as("user_id"), col("n_intervals"),
+            col("n_islands"), col("coverage").as("coverage_us"))
+          .orderBy("user_id")
+      })
   )
 }

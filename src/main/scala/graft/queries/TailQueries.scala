@@ -323,5 +323,32 @@ object TailQueries {
           .select(lit(HillK).as("k"), round(col("xk"), 6).as("x_k1"),
             round(col("sl") / HillK, 6).as("hill_h"),
             round(lit(HillK).cast("double") / col("sl"), 6).as("tail_alpha"))
+      }),
+
+    // Chao1 vocabulary-richness estimate per language: observed types
+    // plus the singleton/doubleton correction f1(f1-1)/(2(f2+1)) — "how
+    // much vocabulary is this slice still hiding", the saturation triage
+    // next to the Heaps growth fit (q177). Two hash aggregations of
+    // exact integers, one final double (see text.VocabStats).
+    Q("q273_vocab_richness", Q.sql(s"""
+        WITH toks AS (
+          SELECT lang, unnest(string_split_regex($normSql, '\\s+')) AS tok
+          FROM documents),
+        cnts AS (SELECT lang, tok, count(*) AS cnt FROM toks GROUP BY 1, 2),
+        r AS (
+          SELECT lang, count(*) AS v_obs, CAST(sum(cnt) AS BIGINT) AS n_tokens,
+            CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+            CAST(sum(CASE WHEN cnt = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2
+          FROM cnts GROUP BY 1)
+        SELECT lang, n_tokens, v_obs, f1, f2,
+          round(v_obs + (f1 * (f1 - 1)) * 1.0 / (2 * (f2 + 1)), 4) AS chao1
+        FROM r ORDER BY lang"""))(
+      (s, dir) => {
+        val toks = T(s, dir, "documents").select(col("lang"),
+          explode(TextAnalysis.tokens(
+            TextAnalysis.normalizeText(col("text")))).as("tok"))
+        graft.text.VocabStats.chao1(toks, Seq("lang"))
+          .select("lang", "n_tokens", "v_obs", "f1", "f2", "chao1")
+          .orderBy("lang")
       }))
 }

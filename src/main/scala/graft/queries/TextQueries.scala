@@ -661,6 +661,41 @@ object TextQueries {
             T(s, dir, "documents"), col("doc_id"), col("text"))
           .orderBy("id")),
 
+    // Held-out perplexity filter: add-one-smoothed unigram LM fit on the
+    // train slice (doc_id % 5 <> 0), every held-out doc scored by mean
+    // negative token log-prob — unlike q91 the reference LM never sees
+    // the scored text, and OOV tokens get explicit Laplace mass instead
+    // of silently dropping from the join (see UnigramLm.heldoutCrossEntropy).
+    Q("q271_heldout_perplexity", Q.sql(s"""
+        WITH toks AS (
+          SELECT doc_id AS id, (doc_id % 5 <> 0) AS is_train,
+            unnest(string_split_regex($normSql, '\\s+')) AS tok
+          FROM documents),
+        cnts AS (
+          SELECT tok, count(*) AS cnt FROM toks WHERE is_train GROUP BY 1),
+        model AS (
+          SELECT CAST(sum(cnt) AS BIGINT) AS t_total, count(*) AS v_size
+          FROM cnts),
+        lp AS (
+          SELECT tok,
+            round(ln((cnt + 1) * 1.0 / (t_total + v_size + 1)), 6) AS logp
+          FROM cnts CROSS JOIN model),
+        sc AS (
+          SELECT t.id,
+            (CASE WHEN lp.logp IS NULL THEN 1 ELSE 0 END) AS is_oov,
+            coalesce(lp.logp, round(ln(1.0 / (t_total + v_size + 1)), 6)) AS l
+          FROM toks t LEFT JOIN lp USING (tok) CROSS JOIN model
+          WHERE NOT is_train)
+        SELECT id, count(*) AS n_tokens, CAST(sum(is_oov) AS BIGINT) AS n_oov,
+          round((-(CAST(sum(CAST(l AS DECIMAL(27,6))) AS DOUBLE))) / count(*), 6)
+            AS cross_entropy
+        FROM sc GROUP BY id ORDER BY id"""))(
+      (s, dir) =>
+        graft.text.UnigramLm.heldoutCrossEntropy(
+            T(s, dir, "documents"), col("doc_id"), col("text"),
+            col("doc_id") % 5 =!= 0)
+          .orderBy("id")),
+
     // Language-ID evaluation: confusion-derived per-class metrics of the
     // q31 classifier against the labeled `lang` column. Three bounded
     // aggregations over the scored frame (classes, not rows); F1 is

@@ -85,6 +85,42 @@ object TrainPrepQueries {
           col("n_chars") >= 300,
           TextAnalysis.tokenCount(col("text")) >= 55)),
 
+    // Fleiss' kappa across THREE heuristic document labelers (q249's two
+    // gates plus an avg-word-length gate) — the multi-rater agreement
+    // check for annotator ensembles. One integer aggregation; all
+    // post-aggregation arithmetic is fixed-order IEEE (see
+    // Stats.fleissKappa).
+    Q("q270_fleiss_kappa", Q.sql(s"""
+        WITH l AS (
+          SELECT (CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END)
+            + (CASE WHEN $TokSql >= 55 THEN 1 ELSE 0 END)
+            + (CASE WHEN n_chars >= 5 * $TokSql THEN 1 ELSE 0 END) AS n1
+          FROM documents),
+        c AS (
+          SELECT count(*) AS n,
+            CAST(sum(n1 * n1 + (3 - n1) * (3 - n1)) AS BIGINT) AS s,
+            CAST(sum(n1) AS BIGINT) AS v1
+          FROM l),
+        k AS (
+          SELECT n, s, v1,
+            (s - n * 3) * 1.0 / (n * 3 * 2) AS pbar_raw,
+            v1 * 1.0 / (n * 3) AS p1_raw
+          FROM c)
+        SELECT n, 3 AS n_raters, round(p1_raw, 6) AS p1,
+          round(pbar_raw, 6) AS p_bar,
+          round(p1_raw * p1_raw + (1 - p1_raw) * (1 - p1_raw), 6) AS p_e,
+          round((pbar_raw - (p1_raw * p1_raw + (1 - p1_raw) * (1 - p1_raw)))
+            / (1 - (p1_raw * p1_raw + (1 - p1_raw) * (1 - p1_raw))), 6)
+            AS kappa
+        FROM k"""))(
+      (s, dir) => {
+        val nTok = TextAnalysis.tokenCount(col("text")).cast("long")
+        Stats.fleissKappa(T(s, dir, "documents"), Seq(
+          col("n_chars") >= 300,
+          nTok >= 55,
+          col("n_chars") >= lit(5L) * nTok))
+      }),
+
     // Temporal train/test split audit on events: sizes per side of the
     // boundary plus the users leaking across it per event type — the
     // contamination check for time-split behavioral training data.

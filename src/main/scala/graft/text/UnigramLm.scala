@@ -53,4 +53,49 @@ object UnigramLm {
         (dsum(col("logp"), 6) / count(lit(1))).as("raw"))
       .select(col("id"), col("n_tokens"), round(col("raw"), 6).as("avg_logp"))
   }
+
+  /** Held-out cross-entropy: fit an ADD-ONE-smoothed unigram LM on the
+    * `isTrain` slice, score every held-out document by its mean negative
+    * token log-probability (nats/token) — the proper CCNet-style setup
+    * where the reference LM never sees the scored text, with OOV mass
+    * handled by Laplace smoothing instead of a join dropout:
+    *   p(tok) = (cnt+1) / (T+V+1),  p(OOV) = 1 / (T+V+1)
+    * (T = train token count, V = train vocab size; the +1 in the
+    * denominator is the single shared OOV pseudo-type).
+    *
+    * Output: one row per held-out doc — (id, n_tokens, n_oov,
+    * cross_entropy). High cross-entropy flags gibberish / off-domain
+    * text; `n_oov` separates vocabulary misses from in-vocab surprise.
+    *
+    * Scale: [[score]]'s shape plus one LEFT join — the model fit is a
+    * vocab-bounded aggregation, scoring joins held-out tokens to the
+    * broadcast log-prob table, and the (T, V) scalar rides a broadcast
+    * cross join. Per-token log-probs are rounded at 6 then decimal-summed
+    * (order-free, engine-exact).
+    */
+  def heldoutCrossEntropy(df: DataFrame, idCol: Column, textCol: Column,
+                          isTrain: Column): DataFrame = {
+    val toks = cached(spread(df).select(idCol.as("id"),
+      isTrain.as("is_train"),
+      explode(TextAnalysis.tokens(TextAnalysis.normalizeText(textCol))).as("tok")))
+    val counts = toks.where(col("is_train"))
+      .groupBy("tok").agg(count(lit(1)).as("cnt"))
+    val model = counts.agg(sum(col("cnt")).as("t_total"),
+      count(lit(1)).as("v_size"))
+    val lp = counts.crossJoin(broadcast(model))
+      .select(col("tok"),
+        round(log((col("cnt") + 1).cast("double")
+          / (col("t_total") + col("v_size") + 1)), 6).as("logp"))
+    toks.where(!col("is_train"))
+      .join(broadcast(lp), Seq("tok"), "left")
+      .crossJoin(broadcast(model))
+      .select(col("id"),
+        col("logp").isNull.cast("long").as("is_oov"),
+        coalesce(col("logp"),
+          round(log(lit(1.0) / (col("t_total") + col("v_size") + 1)), 6))
+          .as("lp"))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_tokens"), sum(col("is_oov")).as("n_oov"),
+        round((-dsum(col("lp"), 6)) / count(lit(1)), 6).as("cross_entropy"))
+  }
 }

@@ -75,6 +75,37 @@ class MiningSpec extends SparkSpec {
     out((2L, "2024-01-01")) shouldBe 5.0
   }
 
+  test("LinkPrediction.adamicAdar scores wedges, drops known edges and hubs") {
+    import graft.graph.LinkPrediction
+    // path 1-2-3: the only candidate is (1,3) through center 2 (deg 2)
+    val path = Seq((1L, 2L), (2L, 3L)).toDF("a", "b")
+    val out = LinkPrediction.adamicAdar(path, maxDeg = 100, k = 10).collect()
+    out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))) shouldBe
+      Array((1L, 3L, 1L))
+    out.head.getDouble(3) shouldBe 1.0 / math.log(2) +- 1e-6
+    // triangle: every wedge pair is already an edge -> nothing predicted
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("a", "b")
+    LinkPrediction.adamicAdar(tri, maxDeg = 100, k = 10).count() shouldBe 0L
+    // hub cap: a star center above maxDeg contributes no wedges
+    val star = Seq((1L, 9L), (2L, 9L), (3L, 9L)).toDF("a", "b")
+    LinkPrediction.adamicAdar(star, maxDeg = 2, k = 10).count() shouldBe 0L
+  }
+
+  test("TimeSeries.intervalCoverage merges overlapping and touching intervals") {
+    val iv = Seq(
+      ("u1", 0L, 10L, 1L), ("u1", 5L, 12L, 2L),   // overlap -> one island
+      ("u1", 12L, 15L, 3L),                       // touching -> still merged
+      ("u1", 20L, 30L, 4L),                       // gap -> new island
+      ("u2", 0L, 1L, 5L))
+      .toDF("k", "s", "e", "id")
+    val out = TimeSeries.intervalCoverage(iv, col("k"), col("s"), col("e"),
+        col("id")).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    out("u1") shouldBe ((4L, 2L, 25L))   // [0,15] + [20,30] = 15 + 10
+    out("u2") shouldBe ((1L, 1L, 1L))
+  }
+
   test("TimeSeries.ewma forgets observations beyond the horizon") {
     val daily = Seq(
       (1L, "2024-01-01", 100.0), (1L, "2024-03-01", 8.0))

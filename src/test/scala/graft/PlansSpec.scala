@@ -27,6 +27,16 @@ class PlansSpec extends SparkSpec {
     plan should not include "BroadcastNestedLoopJoin"
   }
 
+  test("adamicAdar wedge join is an equi-join on the center (no cartesian)") {
+    // the candidate generator must be the neighbors-of-z × neighbors-of-z
+    // equi-join — a cartesian/BNLJ over the edge list would be the n² trap
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("a", "b")
+    val plan = graft.graph.LinkPrediction.adamicAdar(edges, maxDeg = 100, k = 5)
+      .queryExecution.executedPlan.toString
+    plan should not include "CartesianProduct"
+    plan should not include "BroadcastNestedLoopJoin"
+  }
+
   test("sparseCosineTopK token join is shuffled, never a broadcast of the query side") {
     // the query side is a corpus FRACTION (not a bounded set) — a
     // broadcast would grow with the data; the plan must carry the

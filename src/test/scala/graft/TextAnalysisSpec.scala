@@ -62,4 +62,20 @@ class TextAnalysisSpec extends SparkSpec {
     one("a.b.c", c => TextAnalysis.countOccurrences(c, "."))
       .as[Int].head() shouldBe 2 // regex metachar quoted -> literal
   }
+
+  test("VocabStats.chao1 applies the bias-corrected singleton estimate") {
+    import graft.text.VocabStats
+    // g1 tokens a a b c: V=3, f1=2 (b,c), f2=1 (a)
+    //   -> chao1 = 3 + 2*1/(2*2) = 3.5
+    // g2 all-unique: f2=0 stays defined via the +1 denominator
+    val toks = Seq(("g1", "a"), ("g1", "a"), ("g1", "b"), ("g1", "c"),
+      ("g2", "x"), ("g2", "y")).toDF("g", "tok")
+    val out = VocabStats.chao1(toks, Seq("g")).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getDouble(5)))
+      .toMap
+    out("g1") shouldBe ((3L, 4L, 2L, 1L, 3.5))
+    out("g2") shouldBe ((2L, 2L, 2L, 0L, 2.0 + 2.0 * 1 / 2))
+  }
 }

@@ -83,6 +83,21 @@ class TfIdfSpec extends SparkSpec {
     out(2L)._2 shouldBe math.rint((3 * lp(7.0 / 8) + lp(1.0 / 8)) / 4 * 1e6) / 1e6
   }
 
+  test("UnigramLm.heldoutCrossEntropy: add-one smoothing + OOV hand check") {
+    import graft.text.UnigramLm
+    // train doc "a a b": T=3, V=2 -> denom 6; p(a)=(2+1)/6, p(OOV)=1/6
+    val corpus = Seq((1L, "a a b"), (2L, "a c")).toDF("doc_id", "text")
+    val r = UnigramLm.heldoutCrossEntropy(
+        corpus, $"doc_id", $"text", $"doc_id" === 1L)
+      .head()
+    r.getLong(0) shouldBe 2L        // held-out doc id
+    r.getLong(1) shouldBe 2L        // n_tokens
+    r.getLong(2) shouldBe 1L        // n_oov (the 'c')
+    val lp = (x: Double) => math.rint(math.log(x) * 1e6) / 1e6
+    val expected = math.rint(-(lp(3.0 / 6) + lp(1.0 / 6)) / 2 * 1e6) / 1e6
+    r.getDouble(3) shouldBe expected
+  }
+
   test("topKeywords ranks by score desc with token tie-break") {
     val top = TfIdf.topKeywords(docs, $"doc_id", $"text", k = 2)
       .orderBy("id", "rank").collect()

@@ -35,6 +35,30 @@ class TrainPrepSpec extends SparkSpec {
     r.getDouble(5) shouldBe 0.4 +- 1e-9
   }
 
+  test("fleissKappa: unanimous mixed-category raters give kappa 1") {
+    val rows = Seq((1, 1, 1), (0, 0, 0), (1, 1, 1), (0, 0, 0))
+      .toDF("a", "b", "c")
+    val r = Stats.fleissKappa(rows,
+      Seq($"a" === 1, $"b" === 1, $"c" === 1)).head()
+    r.getDouble(3) shouldBe 1.0   // p_bar
+    r.getDouble(5) shouldBe 1.0   // kappa
+  }
+
+  test("fleissKappa matches the hand-computed 3-rater example") {
+    // items' category-1 votes: 3, 0, 2 -> S = 9 + 9 + 5 = 23,
+    // pbar = (23 - 9)/18 = 7/9, p1 = 5/9, pe = 41/81,
+    // kappa = (63/81 - 41/81)/(40/81) = 22/40 = 0.55 exactly
+    val rows = Seq((1, 1, 1), (0, 0, 0), (1, 1, 0)).toDF("a", "b", "c")
+    val r = Stats.fleissKappa(rows,
+      Seq($"a" === 1, $"b" === 1, $"c" === 1)).head()
+    r.getLong(0) shouldBe 3L
+    r.getInt(1) shouldBe 3
+    r.getDouble(2) shouldBe 0.555556   // p1
+    r.getDouble(3) shouldBe 0.777778   // p_bar
+    r.getDouble(4) shouldBe 0.506173   // p_e
+    r.getDouble(5) shouldBe 0.55
+  }
+
   test("temporalSplitAudit counts sides and cross-boundary users per type") {
     val ev = Seq(
       (1L, "2024-01-10 00:00:00", "click"),  // u1 click: train only
