@@ -106,6 +106,44 @@ object Percentiles {
       .select(qs.map { case (name, _) => col(name) }: _*)
   }
 
+  /** Lower weighted median per group: the smallest value v whose
+    * cumulative weight (in (value, tie) order) reaches half the group's
+    * total weight — the measure that answers "half the QUANTITY ships
+    * below this price", where the unweighted median would answer "half
+    * the rows".
+    *
+    * Scale shape: the cumulative weight rides the three-phase
+    * distributed prefix STRATIFIED by the group keys
+    * ([[Prefix.runningTotal]] `strataCols`) — no per-group window over
+    * data-sized frames; the crossing row is picked by ONE
+    * `min(struct(cw, v))` hash aggregation (cw strictly increases along
+    * the order for positive weights, so the argmin is unique and
+    * order-independent).
+    *
+    * Weights must be non-negative integers (exact cumulative sums on
+    * both engines); `tieCols` must make the order total.
+    */
+  def weightedMedian(df: DataFrame, keys: Seq[String], valueCol: Column,
+                     weightCol: Column, tieCols: Seq[Column]): DataFrame = {
+    val keyCols = keys.map(col)
+    val base = Frames.cached(df.where(valueCol.isNotNull)
+      .select(keyCols ++ Seq(valueCol.cast("double").as("v"),
+        weightCol.cast("long").as("w")) ++
+        tieCols.zipWithIndex.map { case (c, i) => c.as(s"__t$i") }: _*))
+    val totals = base.groupBy(keyCols: _*)
+      .agg(sum(col("w")).as("__tw"))
+    val cum = Prefix.runningTotal(base,
+      Seq(col("v")) ++ tieCols.indices.map(i => col(s"__t$i")),
+      col("w"), out = "__cw", strataCols = keys)
+    cum.join(totals, keys)
+      .where(col("__cw") * 2 >= col("__tw"))
+      .groupBy(keyCols: _*)
+      .agg(min(struct(col("__cw"), col("v"))).as("__pick"),
+        min(col("__tw")).as("total_w"))
+      .select(keyCols ++ Seq(col("total_w"),
+        col("__pick.v").as("wmedian")): _*)
+  }
+
   /** The identical computation as DuckDB SQL (for oracle generation):
     * same window, same conditional aggregates, same interpolation
     * expression — bit-identical output.

@@ -211,6 +211,43 @@ object AnalyticsQueries {
           .where(col("o_totalprice") === col("runmax"))
           .select(col("o_orderkey"), to_date(col("o_orderdate")).as("d"),
             col("o_totalprice"))
-          .orderBy("d", "o_orderkey"))
+          .orderBy("d", "o_orderkey")),
+
+    // Weighted median price per return flag, weighted by quantity —
+    // "half the shipped QUANTITY is cheaper than this", the
+    // volume-weighted cut the unweighted median (q237) can't answer.
+    // Cumulative weights ride the stratified distributed prefix; the
+    // crossing row is one min(struct) argmin (see
+    // Percentiles.weightedMedian).
+    Q("q278_weighted_median", Q.sql("""
+        WITH li AS (
+          SELECT l_returnflag, CAST(l_extendedprice AS DOUBLE) AS v,
+            CAST(l_quantity AS BIGINT) AS w, l_orderkey, l_linenumber
+          FROM lineitem),
+        c AS (
+          SELECT l_returnflag, v, w,
+            CAST(sum(w) OVER (PARTITION BY l_returnflag
+              ORDER BY v, l_orderkey, l_linenumber
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+              AS cw
+          FROM li),
+        t AS (
+          SELECT l_returnflag, CAST(sum(w) AS BIGINT) AS total_w
+          FROM li GROUP BY 1),
+        qual AS (
+          SELECT c.l_returnflag, total_w, v, cw
+          FROM c JOIN t USING (l_returnflag)
+          WHERE cw * 2 >= total_w),
+        m AS (SELECT l_returnflag, min(cw) AS mcw FROM qual GROUP BY 1)
+        SELECT qual.l_returnflag AS l_returnflag, total_w, v AS wmedian
+        FROM qual JOIN m ON qual.l_returnflag = m.l_returnflag
+          AND qual.cw = m.mcw
+        ORDER BY l_returnflag"""))(
+      (s, dir) =>
+        Percentiles.weightedMedian(T(s, dir, "lineitem"),
+            keys = Seq("l_returnflag"), valueCol = col("l_extendedprice"),
+            weightCol = col("l_quantity"),
+            tieCols = Seq(col("l_orderkey"), col("l_linenumber")))
+          .orderBy("l_returnflag"))
   )
 }

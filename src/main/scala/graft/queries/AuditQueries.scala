@@ -259,5 +259,40 @@ object AuditQueries {
               (col("n_obs").cast("double") - col("n") * col("p_exp")) /
               (col("n") * col("p_exp")), 6).as("chi2_term"))
           .orderBy("digit")
+      }),
+
+    // Late-arrival audit: how many events would a 10-minute streaming
+    // watermark drop? An event is late when its event time sits more
+    // than the delay behind the high-watermark (the running max of
+    // event time in ARRIVAL order = event_id) — the measurement that
+    // sizes every watermark in streaming/Streams. The running max is
+    // the three-phase distributed prefix (Prefix.runningMax), never an
+    // unpartitioned window; integer-µs arithmetic throughout.
+    Q("q277_late_arrival_audit", Q.sql("""
+        WITH e AS (
+          SELECT event_id, event_type, epoch_us(ts) AS us FROM events),
+        h AS (
+          SELECT event_type, us,
+            max(us) OVER (ORDER BY event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS hwm
+          FROM e)
+        SELECT event_type, count(*) AS n_events,
+          CAST(sum(CASE WHEN us < hwm - 600000000 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_late,
+          round(sum(CASE WHEN us < hwm - 600000000 THEN 1 ELSE 0 END)
+            * 1.0 / count(*), 6) AS late_pct
+        FROM h GROUP BY 1 ORDER BY 1"""))(
+      (s, dir) => {
+        val ev = T(s, dir, "events").select(col("event_id"),
+          col("event_type"), unix_micros(col("ts")).as("us"))
+        graft.ops.Prefix.runningMax(ev, Seq(col("event_id")), col("us"),
+            out = "hwm")
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_events"),
+            sum(when(col("us") < col("hwm") - 600000000L, 1L)
+              .otherwise(0L)).as("n_late"))
+          .withColumn("late_pct",
+            round(col("n_late").cast("double") / col("n_events"), 6))
+          .orderBy("event_type")
       }))
 }

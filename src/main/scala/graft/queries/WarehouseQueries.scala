@@ -238,6 +238,36 @@ object WarehouseQueries {
           .agg(count(col("bal")).as("n_accounts"),
             dsum(col("bal"), 4).as("total_balance"))
           .orderBy("month")
+      }),
+
+    // Incremental aggregate maintenance: the per-priority revenue rollup
+    // maintained by MERGING yesterday's partial aggregate with the new
+    // batch's partial aggregate (counts add, decimal sums add) instead
+    // of recomputing from scratch — the refresh pattern a 100 TB
+    // warehouse runs nightly. The oracle computes the same rollup in one
+    // pass, so the hash match IS the proof that the partials merge
+    // exactly (partials stay DECIMAL until the final cast; a double
+    // partial would drift with merge order).
+    Q("q276_agg_merge_refresh", Q.sql("""
+        SELECT o_orderpriority, count(*) AS n_orders,
+          CAST(sum(CAST(o_totalprice AS DECIMAL(27,4))) AS DOUBLE) AS revenue
+        FROM orders
+        GROUP BY 1 ORDER BY 1"""))(
+      (s, dir) => {
+        val o = T(s, dir, "orders")
+        def partial(df: DataFrame): DataFrame =
+          df.groupBy("o_orderpriority")
+            .agg(count(lit(1)).as("n_orders"),
+              sum(col("o_totalprice").cast("decimal(27,4)")).as("rev_part"))
+        val base = partial(o.where(
+          to_date(col("o_orderdate")) < lit("1998-01-01")))
+        val delta = partial(o.where(
+          to_date(col("o_orderdate")) >= lit("1998-01-01")))
+        base.unionByName(delta)
+          .groupBy("o_orderpriority")
+          .agg(sum(col("n_orders")).as("n_orders"),
+            sum(col("rev_part")).cast("double").as("revenue"))
+          .orderBy("o_orderpriority")
       })
   )
 }

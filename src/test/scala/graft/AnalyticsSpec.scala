@@ -12,6 +12,20 @@ import graft.ops.Percentiles
 class AnalyticsSpec extends SparkSpec {
   import spark.implicits._
 
+  test("Percentiles.weightedMedian picks the first half-weight crossing") {
+    // group a: (v,w) = (1,1),(2,3),(10,2): total 6, cum 1/4/6 ->
+    //   first cw*2 >= 6 is cw=4 at v=2 (NOT the unweighted median)
+    // group b: single row is its own weighted median
+    val rows = Seq(("a", 1.0, 1L, 1L), ("a", 2.0, 3L, 2L),
+      ("a", 10.0, 2L, 3L), ("b", 5.0, 4L, 4L)).toDF("k", "v", "w", "id")
+    val out = Percentiles.weightedMedian(rows, Seq("k"), col("v"),
+        col("w"), Seq(col("id")))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    out("a") shouldBe ((6L, 2.0))
+    out("b") shouldBe ((4L, 5.0))
+  }
+
   test("Percentiles.exact matches a sorted-array reference") {
     val rows = Seq(
       ("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", 4.0), // n=4

@@ -30,10 +30,12 @@ class NoGlobalWindowSpec extends SparkSpec {
     "q236_interpolate_gaps", "q248_token_budget", "q254_batch_plan",
     "q257_record_orders", "q266_conf_dump", "q267_summary_profile",
     "q268_landing_ingest",
-    // round-6 batch-2 queries that carry window/rank machinery: the
-    // interval-coverage windows must stay PARTITIONED BY user, RBO's
-    // ranks must stay on the distributed prefix
-    "q272_interval_coverage", "q275_rank_biased_overlap")
+    // round-6 batch-2/3 queries that carry window/rank machinery: the
+    // interval-coverage windows must stay PARTITIONED BY user, and the
+    // RBO ranks / late-arrival high-watermark / weighted-median
+    // cumulative weights must stay on the distributed prefix
+    "q272_interval_coverage", "q275_rank_biased_overlap",
+    "q277_late_arrival_audit", "q278_weighted_median")
 
   test("previously-offending queries plan zero unpartitioned windows") {
     val captured = new java.util.concurrent.ConcurrentLinkedQueue[String]()
