@@ -132,6 +132,54 @@ object Dedup {
       .select("id_a", "id_b", "n_inter", "n_a", "n_b", "jaccard")
   }
 
+  /** Exact-Jaccard pairs via PREFIX FILTERING (Chaudhuri et al. ICDE'06;
+    * Bayardo et al. WWW'07 "all-pairs"): each document indexes only its
+    * π = |d| − ⌈t·|d|⌉ + 1 globally-RAREST shingles (canonical order:
+    * df asc, hash asc); J(A,B) ≥ t forces |A∩B| ≥ ⌈t·|A|⌉ and ⌈t·|B|⌉,
+    * so any qualifying pair must collide inside the prefixes — the
+    * filter is LOSSLESS while indexing only a (1−t) fraction of each
+    * posting list, and the rarest-first order makes the indexed lists
+    * the SHORTEST ones. The exact-Jaccard verify then touches candidate
+    * pairs only. Same result as [[jaccardPairs]]; at 100 TB this is the
+    * difference between joining every posting list and joining the
+    * rare tail.
+    *
+    * The within-document prefix rank is a window PARTITIONED BY id —
+    * bounded by document shingle counts, never the corpus.
+    * Output: (id_a, id_b, n_a, n_b, jaccard), pairs with jaccard ≥ t.
+    */
+  def jaccardPairsPrefix(shRaw: DataFrame, threshold: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sh = cached(shRaw.select(col("id"), col("shash")))
+    val counts = shingleCounts(sh)
+    val dfs = sh.groupBy("shash").agg(count(lit(1)).as("df"))
+    val pref = sh.join(dfs, "shash")
+      .withColumn("pos", row_number().over(
+        Window.partitionBy("id").orderBy(col("df"), col("shash"))))
+      .join(counts, "id")
+      .where(col("pos") <= col("n_sh") - ceil(col("n_sh") * threshold) + 1)
+      .select("id", "shash")
+    val cand = pref.as("x").join(pref.as("y"),
+        col("x.shash") === col("y.shash") && col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+      .distinct()
+    val inter = cand
+      .join(sh.select(col("id").as("id_a"), col("shash")), Seq("id_a"))
+      .join(sh.select(col("id").as("id_b"), col("shash")),
+        Seq("id_b", "shash"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(counts.withColumnRenamed("id", "id_a")
+        .withColumnRenamed("n_sh", "n_a"), "id_a")
+      .join(counts.withColumnRenamed("id", "id_b")
+        .withColumnRenamed("n_sh", "n_b"), "id_b")
+      .withColumn("jaccard",
+        round(col("n_inter") * 1.0 /
+          (col("n_a") + col("n_b") - col("n_inter")), 6))
+      .where(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "n_a", "n_b", "jaccard")
+  }
+
   /** MinHash signature: K independent min-hashes per id, computed in one
     * aggregation pass. Hash i of shingle s = (h1 + i·h2) mod 2^48 with
     * h1/h2 the two 48-bit halves of ONE md5(s) (see

@@ -172,6 +172,45 @@ object DedupQueries {
             threshold = 0.8)
           .orderBy("id_a", "id_b")),
 
+    // All-pairs Jaccard via PREFIX FILTERING (Bayardo et al. WWW'07) on
+    // 4-gram shingles at t=0.5: each doc indexes only its
+    // |d|-ceil(t|d|)+1 rarest shingles, candidates collide inside
+    // prefixes only, then the exact verify runs on candidates. The
+    // oracle computes the UNFILTERED all-pairs result — the hash match
+    // is the empirical proof that the prefix filter is lossless.
+    Q("q279_ppjoin_pairs", Q.sql(s"""
+        WITH w AS (
+          SELECT doc_id AS id,
+            string_split(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')), ' ') AS ws
+          FROM documents),
+        shr AS (
+          SELECT id, ws[pos] || ' ' || ws[pos+1] || ' ' || ws[pos+2]
+            || ' ' || ws[pos+3] AS shingle
+          FROM w, LATERAL (SELECT unnest(generate_series(1,
+            greatest(len(ws) - 3, 0))) AS pos) t),
+        sh AS (
+          SELECT DISTINCT id, ${PortableSql.hexToLong("md5(shingle)", 12)}
+            AS shash
+          FROM shr),
+        cnt AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY 1),
+        inter AS (
+          SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_inter
+          FROM sh a JOIN sh b ON a.shash = b.shash AND a.id < b.id
+          GROUP BY 1, 2)
+        SELECT id_a, id_b, ca.n_sh AS n_a, cb.n_sh AS n_b,
+          round(n_inter * 1.0 / (ca.n_sh + cb.n_sh - n_inter), 6) AS jaccard
+        FROM inter
+        JOIN cnt ca ON ca.id = id_a
+        JOIN cnt cb ON cb.id = id_b
+        WHERE round(n_inter * 1.0 / (ca.n_sh + cb.n_sh - n_inter), 6) >= 0.5
+        ORDER BY id_a, id_b"""))(
+      (s, dir) =>
+        Dedup.jaccardPairsPrefix(
+            Dedup.shingleHashSet(T(s, dir, "documents"), col("doc_id"),
+              col("text"), 4),
+            threshold = 0.5)
+          .orderBy("id_a", "id_b")),
+
     // MinHash(K=8) + LSH(4 bands x 2 rows) candidates, verified at j >= 0.8.
     // Minhashes are the 48-bit (12 hex char) md5 prefix as BIGINT — same
     // value on both engines, and keeps Spark's aggregation on the

@@ -196,6 +196,52 @@ object LinkageQueries {
           .agg(sum(col("term").cast("decimal(27,9)")).cast("double").as("jsd"))
           .select(col("source"), round(col("jsd"), 6).as("jsd"))
           .orderBy("source")
+      }),
+
+    // Sorted-neighborhood linkage (Hernandez & Stolfo, SIGMOD'95): rank
+    // the vocabulary in lexicographic order (distributed prefix — no
+    // global window), then compare only tokens within a 10-rank window
+    // via a banded block join (each probe checks its own block and the
+    // previous one, so every close pair is seen exactly once). The
+    // linear-cost alternative to q220's all-pairs vocabulary join —
+    // n·w candidate pairs instead of n²/2.
+    Q("q280_sorted_neighborhood", Q.sql(s"""
+        WITH v AS (
+          SELECT DISTINCT unnest(string_split_regex($normSql, '\\s+')) AS tok
+          FROM documents),
+        r AS (SELECT tok, row_number() OVER (ORDER BY tok) AS rk FROM v),
+        a AS (SELECT tok, rk, CAST(floor((rk - 1) / 10) AS BIGINT) AS blk
+          FROM r),
+        probe AS (
+          SELECT tok AS tok_b, rk AS rk_b, blk - d AS pblk
+          FROM a, (SELECT unnest([0, 1]) AS d) dd)
+        SELECT x.tok AS tok_a, probe.tok_b AS tok_b,
+          (rk_b - x.rk) AS rank_dist,
+          round(jaro_winkler_similarity(x.tok, tok_b), 6) AS jw
+        FROM a x JOIN probe ON x.blk = probe.pblk
+          AND rk_b > x.rk AND rk_b - x.rk < 10
+        WHERE round(jaro_winkler_similarity(x.tok, tok_b), 6) >= 0.75
+        ORDER BY tok_a, tok_b"""))(
+      (s, dir) => {
+        val v = T(s, dir, "documents")
+          .select(explode(TextAnalysis.tokens(
+            TextAnalysis.normalizeText(col("text")))).as("tok"))
+          .distinct()
+        val a = graft.ops.Prefix.runningTotal(v, Seq(col("tok")), lit(1L),
+            out = "rk")
+          .withColumn("blk", floor((col("rk") - 1) / 10).cast("long"))
+        val probe = a.select(col("tok").as("tok_b"), col("rk").as("rk_b"),
+          explode(array(col("blk"), col("blk") - 1)).as("pblk"))
+        a.select(col("tok").as("tok_a"), col("rk").as("rk_a"),
+            col("blk").as("pblk"))
+          .join(probe, Seq("pblk"))
+          .where(col("rk_b") > col("rk_a") && col("rk_b") - col("rk_a") < 10)
+          .withColumn("jw",
+            round(StringSim.jaroWinklerCol(col("tok_a"), col("tok_b")), 6))
+          .where(col("jw") >= 0.75)
+          .select(col("tok_a"), col("tok_b"),
+            (col("rk_b") - col("rk_a")).as("rank_dist"), col("jw"))
+          .orderBy("tok_a", "tok_b")
       })
   )
 }

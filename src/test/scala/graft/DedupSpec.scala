@@ -30,6 +30,26 @@ class DedupSpec extends SparkSpec {
     sh.where($"id" === 5).count() shouldBe 0
   }
 
+  test("jaccardPairsPrefix is lossless vs the unfiltered jaccardPairs") {
+    // mixed overlap structure: an exact dup, a near dup, unrelated docs
+    val corpus = docs.union(Seq(
+      (6L, "the quick brown fox jumps over the lazy cat"),
+      (7L, "completely different text about spark engines there"))
+      .toDF("doc_id", "text"))
+    val sh = Dedup.shingleHashSet(corpus, $"doc_id", $"text", 3)
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .select("id_a", "id_b", "n_a", "n_b", "jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toSet
+    for (t <- Seq(0.3, 0.5, 0.8)) {
+      canon(Dedup.jaccardPairsPrefix(sh, t)) shouldBe
+        canon(Dedup.jaccardPairs(sh, t))
+    }
+    // the prefix filter must actually prune: with t=0.8 each doc indexes
+    // only ceil(0.2*n)+1-ish of its shingles
+    Dedup.jaccardPairsPrefix(sh, 0.8).count() should be >= 1L
+  }
+
   test("shingleHashSet equals the hash projection of distinct string shingles") {
     // The pair pipelines distinct on the 48-bit hash BEFORE any shuffle;
     // this proves that short-cut yields the same set as deduping on the

@@ -35,7 +35,8 @@ class NoGlobalWindowSpec extends SparkSpec {
     // RBO ranks / late-arrival high-watermark / weighted-median
     // cumulative weights must stay on the distributed prefix
     "q272_interval_coverage", "q275_rank_biased_overlap",
-    "q277_late_arrival_audit", "q278_weighted_median")
+    "q277_late_arrival_audit", "q278_weighted_median",
+    "q279_ppjoin_pairs", "q280_sorted_neighborhood")
 
   test("previously-offending queries plan zero unpartitioned windows") {
     val captured = new java.util.concurrent.ConcurrentLinkedQueue[String]()
