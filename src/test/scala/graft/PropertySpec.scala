@@ -164,4 +164,58 @@ class PropertySpec extends SparkSpec {
     freq(1).toDouble shouldBe 1839.0 +- 150.0
     freq.getOrElse(2, 0L).toDouble shouldBe 920.0 +- 120.0
   }
+
+  test("intervalCoverage agrees with a driver-side sweep-line reference") {
+    val ivGen = Gen.listOf(Gen.zip(
+      Gen.chooseNum(0, 2),            // key
+      Gen.chooseNum(0L, 100L),        // start
+      Gen.chooseNum(0L, 30L)))        // length
+    samples(ivGen, 8).filter(_.nonEmpty).foreach { xs =>
+      val rows = xs.zipWithIndex.map { case ((k, s, len), i) =>
+        (k, s, s + len, i.toLong)
+      }
+      val out = graft.ops.TimeSeries.intervalCoverage(
+          rows.toDF("k", "s", "e", "id"),
+          col("k"), col("s"), col("e"), col("id"))
+        .collect()
+        .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toMap
+      val ref = rows.groupBy(_._1).map { case (k, iv) =>
+        val sorted = iv.map(t => (t._2, t._3)).sortBy(identity)
+        // sweep: merge overlapping/touching, sum merged lengths
+        val merged = sorted.foldLeft(List.empty[(Long, Long)]) {
+          case (Nil, (s, e)) => List((s, e))
+          case ((ms, me) :: rest, (s, e)) =>
+            if (s <= me) (ms, math.max(me, e)) :: rest
+            else (s, e) :: (ms, me) :: rest
+        }
+        k -> ((iv.size.toLong, merged.size.toLong,
+          merged.map { case (s, e) => e - s }.sum))
+      }
+      out shouldBe ref
+    }
+  }
+
+  test("weightedMedian agrees with a driver-side cumulative scan") {
+    val rowGen = Gen.nonEmptyListOf(Gen.zip(
+      Gen.chooseNum(0, 2),                       // key
+      Gen.chooseNum(0, 50).map(_ / 4.0),         // value
+      Gen.chooseNum(1L, 9L)))                    // weight
+    samples(rowGen, 8).foreach { xs =>
+      val rows = xs.zipWithIndex.map { case ((k, v, w), i) => (k, v, w, i.toLong) }
+      val out = graft.ops.Percentiles.weightedMedian(
+          rows.toDF("k", "v", "w", "id"),
+          Seq("k"), col("v"), col("w"), Seq(col("id")))
+        .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getDouble(2)))
+        .toMap
+      val ref = rows.groupBy(_._1).map { case (k, g) =>
+        val sorted = g.map(t => (t._2, t._4, t._3)).sortBy(t => (t._1, t._2))
+        val total = g.map(_._3).sum
+        val cum = sorted.scanLeft(0L)(_ + _._3).tail
+        val idx = cum.indexWhere(_ * 2 >= total)
+        k -> ((total, sorted(idx)._1))
+      }
+      out shouldBe ref
+    }
+  }
 }
