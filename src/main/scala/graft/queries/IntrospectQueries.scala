@@ -104,6 +104,82 @@ object IntrospectQueries {
           .withColumn("rank", row_number().over(w))
           .where(col("rank") <= 3)
           .orderBy("source", "rank")
+      }),
+
+    // Reshard-movement analysis: growing 8 shards to 9, how many keys
+    // relocate under modulo sharding vs a consistent-hash ring (4
+    // vnodes/shard, 48-bit md5 positions — ops.Sharding)? Modulo moves
+    // ~8/9 of the keys; the ring moves ~1/9 — the planning number
+    // behind "can we add a node without re-shuffling the lake". The
+    // ring is model-sized and broadcast; keys never shuffle.
+    Q("q282_reshard_moves", Q.sql(s"""
+        WITH k AS (
+          SELECT c_custkey AS key,
+            ${graft.functions.PortableSql.hexToLong(
+              "md5(CAST(c_custkey AS VARCHAR))", 12)} AS kpos
+          FROM customer),
+        v8 AS (
+          SELECT s.s AS shard, ${graft.functions.PortableSql.hexToLong(
+            "md5('s' || CAST(s.s AS VARCHAR) || ':v' || CAST(v.v AS VARCHAR))",
+            12)} AS vpos
+          FROM (SELECT unnest(range(0, 8)) AS s) s,
+            (SELECT unnest(range(0, 4)) AS v) v),
+        v9 AS (
+          SELECT s.s AS shard, ${graft.functions.PortableSql.hexToLong(
+            "md5('s' || CAST(s.s AS VARCHAR) || ':v' || CAST(v.v AS VARCHAR))",
+            12)} AS vpos
+          FROM (SELECT unnest(range(0, 9)) AS s) s,
+            (SELECT unnest(range(0, 4)) AS v) v),
+        a8 AS (
+          SELECT key, min(CASE WHEN vpos >= kpos THEN vpos END) AS ge,
+            min(vpos) AS mn
+          FROM k CROSS JOIN v8 GROUP BY 1),
+        s8 AS (
+          SELECT key, min(shard) AS s_old
+          FROM a8 JOIN v8 ON v8.vpos = coalesce(ge, mn) GROUP BY 1),
+        a9 AS (
+          SELECT key, min(CASE WHEN vpos >= kpos THEN vpos END) AS ge,
+            min(vpos) AS mn
+          FROM k CROSS JOIN v9 GROUP BY 1),
+        s9 AS (
+          SELECT key, min(shard) AS s_new
+          FROM a9 JOIN v9 ON v9.vpos = coalesce(ge, mn) GROUP BY 1),
+        ring AS (
+          SELECT count(*) AS n_keys,
+            CAST(sum(CASE WHEN s_old <> s_new THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_moved
+          FROM s8 JOIN s9 USING (key)),
+        md AS (
+          SELECT count(*) AS n_keys,
+            CAST(sum(CASE WHEN key % 8 <> key % 9 THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_moved
+          FROM k)
+        SELECT 'mod' AS strategy, n_keys, n_moved,
+          round(n_moved * 1.0 / n_keys, 6) AS moved_pct FROM md
+        UNION ALL
+        SELECT 'ring' AS strategy, n_keys, n_moved,
+          round(n_moved * 1.0 / n_keys, 6) AS moved_pct FROM ring
+        ORDER BY strategy"""))(
+      (s, dir) => {
+        import graft.ops.Sharding
+        val keys = T(s, dir, "customer").select(col("c_custkey"))
+        val modRow = keys.agg(count(lit(1)).as("n_keys"),
+            sum(when(col("c_custkey") % 8 =!= col("c_custkey") % 9, 1L)
+              .otherwise(0L)).as("n_moved"))
+          .select(lit("mod").as("strategy"), col("n_keys"), col("n_moved"),
+            round(col("n_moved").cast("double") / col("n_keys"), 6)
+              .as("moved_pct"))
+        val ringRow = Sharding.ringAssign(keys, col("c_custkey"), 8, 4)
+          .withColumnRenamed("shard", "s_old")
+          .join(Sharding.ringAssign(keys, col("c_custkey"), 9, 4)
+            .withColumnRenamed("shard", "s_new"), "key")
+          .agg(count(lit(1)).as("n_keys"),
+            sum(when(col("s_old") =!= col("s_new"), 1L).otherwise(0L))
+              .as("n_moved"))
+          .select(lit("ring").as("strategy"), col("n_keys"), col("n_moved"),
+            round(col("n_moved").cast("double") / col("n_keys"), 6)
+              .as("moved_pct"))
+        modRow.unionByName(ringRow).orderBy("strategy")
       })
   )
 }

@@ -195,5 +195,64 @@ object MlopsQueries {
         graft.similarity.Similarity
           .topEigvec(T(s, dir, "embeddings"), dim = Dim, iters = 3)
           .orderBy("dim"))
+    ,
+
+    // Embedding centroid drift: cosine similarity between each label's
+    // half-A (even vec_id) and half-B (odd vec_id) centroids — the
+    // production monitor for "did this class's embedding distribution
+    // move between snapshots". Centroids are decimal-routed per-dim
+    // means (q81's derivation); the cosine runs on the labels×dim model
+    // frame, never the corpus. Scale: one aggregation over the data,
+    // one over the model frame.
+    Q("q281_centroid_drift", Q.sql("""
+        WITH e AS (
+          SELECT vec_id % 2 AS half, label, pos - 1 AS pos,
+            CAST(embedding[pos] AS DOUBLE) AS x
+          FROM embeddings,
+            LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS pos) t),
+        c AS (
+          SELECT label, half, pos,
+            CAST(sum(CAST(x AS DECIMAL(27,8))) AS DOUBLE) / count(*) AS m,
+            count(*) AS nv
+          FROM e GROUP BY 1, 2, 3),
+        p AS (
+          SELECT a.label AS label, min(a.nv) AS n_a, min(b.nv) AS n_b,
+            CAST(sum(CAST(round(a.m * b.m, 9) AS DECIMAL(27,9))) AS DOUBLE)
+              AS dot,
+            CAST(sum(CAST(round(a.m * a.m, 9) AS DECIMAL(27,9))) AS DOUBLE)
+              AS na2,
+            CAST(sum(CAST(round(b.m * b.m, 9) AS DECIMAL(27,9))) AS DOUBLE)
+              AS nb2
+          FROM c a JOIN c b ON a.label = b.label AND a.pos = b.pos
+            AND a.half = 0 AND b.half = 1
+          GROUP BY 1)
+        SELECT label, n_a, n_b,
+          round(dot / (sqrt(na2) * sqrt(nb2)), 6) AS cos_sim
+        FROM p ORDER BY label"""))(
+      (s, dir) => {
+        val c = T(s, dir, "embeddings")
+          .select((col("vec_id") % 2).as("half"), col("label"),
+            posexplode(col("embedding")))
+          .groupBy("label", "half", "pos")
+          .agg((dsum(col("col").cast("double"), 8) / count(lit(1))).as("m"),
+            count(lit(1)).as("nv"))
+        val a = c.where(col("half") === 0)
+          .select(col("label"), col("pos"), col("m").as("ma"), col("nv").as("nva"))
+        val b = c.where(col("half") === 1)
+          .select(col("label"), col("pos"), col("m").as("mb"), col("nv").as("nvb"))
+        a.join(b, Seq("label", "pos"))
+          .groupBy("label")
+          .agg(min(col("nva")).as("n_a"), min(col("nvb")).as("n_b"),
+            sum(round(col("ma") * col("mb"), 9).cast("decimal(27,9)"))
+              .cast("double").as("dot"),
+            sum(round(col("ma") * col("ma"), 9).cast("decimal(27,9)"))
+              .cast("double").as("na2"),
+            sum(round(col("mb") * col("mb"), 9).cast("decimal(27,9)"))
+              .cast("double").as("nb2"))
+          .select(col("label"), col("n_a"), col("n_b"),
+            round(col("dot") / (sqrt(col("na2")) * sqrt(col("nb2"))), 6)
+              .as("cos_sim"))
+          .orderBy("label")
+      })
   )
 }

@@ -165,6 +165,22 @@ class PropertySpec extends SparkSpec {
     freq.getOrElse(2, 0L).toDouble shouldBe 920.0 +- 120.0
   }
 
+  test("consistent-hash reshard moves keys only TO the new shard") {
+    // v8's vnodes are a subset of v9's, so growing 8 -> 9 may only
+    // re-home keys captured by shard 8's new vnodes — the defining
+    // consistent-hashing property (mod sharding breaks it completely)
+    import graft.ops.Sharding
+    val keys = spark.range(1, 400).toDF("k")
+    val j = Sharding.ringAssign(keys, col("k"), 8, 4)
+      .withColumnRenamed("shard", "s_old")
+      .join(Sharding.ringAssign(keys, col("k"), 9, 4)
+        .withColumnRenamed("shard", "s_new"), "key")
+    j.count() shouldBe 399L
+    j.where(col("s_old") =!= col("s_new") && col("s_new") =!= 8)
+      .count() shouldBe 0L
+    j.where(col("s_new") === 8).count() should be >= 1L
+  }
+
   test("intervalCoverage agrees with a driver-side sweep-line reference") {
     val ivGen = Gen.listOf(Gen.zip(
       Gen.chooseNum(0, 2),            // key
