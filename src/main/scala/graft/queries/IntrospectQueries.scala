@@ -180,6 +180,53 @@ object IntrospectQueries {
             round(col("n_moved").cast("double") / col("n_keys"), 6)
               .as("moved_pct"))
         modRow.unionByName(ringRow).orderBy("strategy")
+      }),
+
+    // Column-encoding advisor: exact distinct-value ratios per lineitem
+    // column → dictionary-encoding recommendation (the storage-layout
+    // knob that decides parquet dictionary pages and shuffle
+    // compressibility at 100 TB). ONE aggregation pass computes every
+    // count(DISTINCT) together; the long-form stack is a 5-row literal
+    // unpivot of the 1-row aggregate.
+    Q("q284_encoding_advisor", Q.sql("""
+        WITH a AS (
+          SELECT count(*) AS n,
+            count(DISTINCT l_returnflag) AS d_returnflag,
+            count(DISTINCT l_linestatus) AS d_linestatus,
+            count(DISTINCT l_shipdate) AS d_shipdate,
+            count(DISTINCT l_partkey) AS d_partkey,
+            count(DISTINCT l_quantity) AS d_quantity
+          FROM lineitem),
+        s AS (
+          SELECT 'l_returnflag' AS col_name, n, d_returnflag AS n_distinct FROM a
+          UNION ALL SELECT 'l_linestatus', n, d_linestatus FROM a
+          UNION ALL SELECT 'l_shipdate', n, d_shipdate FROM a
+          UNION ALL SELECT 'l_partkey', n, d_partkey FROM a
+          UNION ALL SELECT 'l_quantity', n, d_quantity FROM a)
+        SELECT col_name, n AS n_rows, n_distinct,
+          round(n_distinct * 1.0 / n, 6) AS distinct_ratio,
+          CASE WHEN n_distinct * 1.0 / n <= 0.01 THEN 'dictionary'
+               WHEN n_distinct * 1.0 / n <= 0.5 THEN 'consider-dictionary'
+               ELSE 'plain' END AS advice
+        FROM s ORDER BY col_name"""))(
+      (s, dir) => {
+        val cols = Seq("l_returnflag", "l_linestatus", "l_shipdate",
+          "l_partkey", "l_quantity")
+        val a = T(s, dir, "lineitem").agg(count(lit(1)).as("n"),
+          cols.map(c => countDistinct(col(c)).as(s"d_$c")): _*)
+        val stacked = cols.map(c => a.select(lit(c).as("col_name"),
+          col("n"), col(s"d_$c").as("n_distinct")))
+          .reduce(_ unionByName _)
+        stacked.select(col("col_name"), col("n").as("n_rows"),
+            col("n_distinct"),
+            round(col("n_distinct").cast("double") / col("n"), 6)
+              .as("distinct_ratio"),
+            when(col("n_distinct").cast("double") / col("n") <= 0.01,
+              "dictionary")
+              .when(col("n_distinct").cast("double") / col("n") <= 0.5,
+                "consider-dictionary")
+              .otherwise("plain").as("advice"))
+          .orderBy("col_name")
       })
   )
 }

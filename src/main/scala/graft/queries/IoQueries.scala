@@ -79,6 +79,42 @@ object IoQueries {
         sample(s, dir).write.option("compression", "zstd").parquet(path)
         s.read.parquet(path)
           .orderBy("l_orderkey", "l_linenumber")
-      })
+      }),
+
+    // Partition content checksums: per ship-month, the SUM of 48-bit
+    // row-key hashes mod 2^48 plus the row count — an ORDER-INDEPENDENT,
+    // mergeable fingerprint two replicas (or two engines, as the oracle
+    // proves) can compare partition-by-partition without moving data:
+    // the anti-entropy primitive of a replicated lake. Sums ride
+    // DECIMAL(38) so they cannot wrap before the modulo on either
+    // engine.
+    Q("q283_partition_checksums", Q.sql(s"""
+        WITH h AS (
+          SELECT CAST(year(CAST(l_shipdate AS DATE)) * 100
+              + month(CAST(l_shipdate AS DATE)) AS INT) AS ship_month,
+            ${graft.functions.PortableSql.hexToLong(
+              "md5(CAST(l_orderkey AS VARCHAR) || '|' " +
+                "|| CAST(l_linenumber AS VARCHAR) || '|' " +
+                "|| CAST(l_partkey AS VARCHAR) || '|' " +
+                "|| CAST(l_suppkey AS VARCHAR))", 12)} AS rh
+          FROM lineitem)
+        SELECT ship_month, count(*) AS n_rows,
+          CAST(CAST(sum(CAST(rh AS DECIMAL(38,0))) AS DECIMAL(38,0))
+            % ${1L << 48} AS BIGINT) AS checksum
+        FROM h GROUP BY 1 ORDER BY 1"""))(
+      (s, dir) =>
+        Tables.load(s, dir, "lineitem")
+          .select((year(to_date(col("l_shipdate"))) * 100
+              + month(to_date(col("l_shipdate")))).as("ship_month"),
+            graft.functions.Md5Long.md5PrefixLong(
+              concat_ws("|", col("l_orderkey").cast("string"),
+                col("l_linenumber").cast("string"),
+                col("l_partkey").cast("string"),
+                col("l_suppkey").cast("string")), 0, 6).as("rh"))
+          .groupBy("ship_month")
+          .agg(count(lit(1)).as("n_rows"),
+            (sum(col("rh").cast("decimal(38,0)")) % lit(1L << 48))
+              .cast("long").as("checksum"))
+          .orderBy("ship_month"))
   )
 }
