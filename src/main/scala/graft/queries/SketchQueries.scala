@@ -168,5 +168,70 @@ object SketchQueries {
               .as("rel_err"))
           .orderBy("event_type")
       })
+    ,
+
+    // Bloom false-positive calibration: probe the q103 filter (m=1024,
+    // k=3) with keys GUARANTEED absent from the build set — every
+    // positive is a false positive — and compare the measured rate to
+    // the load-based theory (set_bits/m)^k. The oracle replays the
+    // whole filter in SQL (distinct bit positions from the build keys,
+    // per-probe hit counting), so the bit array itself is
+    // engine-portable. This is the sizing check run before trusting a
+    // bloom predicate to prune a 100 TB scan.
+    Q("q285_bloom_fpr", {
+      val h1 = PortableSql.hexToLong("md5(CAST(key AS VARCHAR))", 12)
+      val h2 = PortableSql.hexToLong(
+        "substr(md5(CAST(key AS VARCHAR)), 13, 12)", 12)
+      Q.sql(s"""
+        WITH bk AS (
+          SELECT DISTINCT o_orderkey AS key FROM orders
+          WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 450000),
+        ii AS (SELECT unnest([0, 1, 2]) AS i),
+        pos AS (
+          SELECT DISTINCT (($h1) + i * ($h2)) % 1024 AS p
+          FROM bk, ii),
+        nb AS (SELECT count(*) AS n_build FROM bk),
+        nbits AS (SELECT count(*) AS n_bits_set FROM pos),
+        pr AS (SELECT c_custkey + 10000000 AS key FROM customer),
+        pp AS (
+          SELECT key, (($h1) + i * ($h2)) % 1024 AS p
+          FROM pr, ii),
+        hits AS (
+          SELECT key, count(*) AS nhit FROM pp JOIN pos USING (p)
+          GROUP BY 1),
+        st AS (
+          SELECT count(*) AS n_probes,
+            CAST(sum(CASE WHEN nhit = 3 THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_fp
+          FROM pr LEFT JOIN hits USING (key))
+        SELECT n_build, CAST(n_bits_set AS BIGINT) AS n_bits_set,
+          n_probes, n_fp,
+          round(n_fp * 1.0 / n_probes, 6) AS fp_rate,
+          round((n_bits_set * 1.0 / 1024) * (n_bits_set * 1.0 / 1024)
+            * (n_bits_set * 1.0 / 1024), 6) AS fp_theory
+        FROM st, nb, nbits""")
+    })(
+      (s, dir) => {
+        import graft.sketch.Bloom
+        val build = T(s, dir, "orders")
+          .where(col("o_orderpriority") === "1-URGENT" &&
+            col("o_totalprice") > 450000)
+        val f = Bloom.build(build, col("o_orderkey"), m = 1024, k = 3)
+        val bitsSet = f.bits.map(java.lang.Long.bitCount).sum.toLong
+        val probes = T(s, dir, "customer")
+          .select((col("c_custkey") + 10000000L).as("pkey"))
+        val st = probes.agg(count(lit(1)).as("n_probes"),
+          sum(when(f.mightContain(col("pkey")), 1L).otherwise(0L))
+            .as("n_fp"))
+        val nb = build.select(col("o_orderkey")).distinct()
+          .agg(count(lit(1)).as("n_build"))
+        val t = lit(bitsSet).cast("double") / 1024
+        st.crossJoin(broadcast(nb))
+          .select(col("n_build"), lit(bitsSet).as("n_bits_set"),
+            col("n_probes"), col("n_fp"),
+            round(col("n_fp").cast("double") / col("n_probes"), 6)
+              .as("fp_rate"),
+            round(t * t * t, 6).as("fp_theory"))
+      })
   )
 }
