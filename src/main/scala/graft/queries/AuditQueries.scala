@@ -294,5 +294,43 @@ object AuditQueries {
           .withColumn("late_pct",
             round(col("n_late").cast("double") / col("n_events"), 6))
           .orderBy("event_type")
+      }),
+
+    // Watermark sizing sweep: the q277 lateness measurement at FOUR
+    // candidate delays (1/5/10/30 min) in one pass — the curve that
+    // picks a streaming watermark (drop rate vs state size tradeoff).
+    // One distributed-prefix high-watermark computation, a 4x literal
+    // fan-out, one hash aggregation.
+    Q("q286_watermark_sweep", Q.sql("""
+        WITH e AS (
+          SELECT event_id, epoch_us(ts) AS us FROM events),
+        h AS (
+          SELECT us,
+            max(us) OVER (ORDER BY event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS hwm
+          FROM e),
+        del AS (SELECT CAST(unnest([60000000, 300000000, 600000000,
+          1800000000]) AS BIGINT) AS delay_us)
+        SELECT delay_us, count(*) AS n_events,
+          CAST(sum(CASE WHEN us < hwm - delay_us THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_late,
+          round(sum(CASE WHEN us < hwm - delay_us THEN 1 ELSE 0 END)
+            * 1.0 / count(*), 6) AS late_pct
+        FROM h CROSS JOIN del GROUP BY 1 ORDER BY 1"""))(
+      (s, dir) => {
+        val ev = T(s, dir, "events").select(col("event_id"),
+          unix_micros(col("ts")).as("us"))
+        graft.ops.Prefix.runningMax(ev, Seq(col("event_id")), col("us"),
+            out = "hwm")
+          .select(col("us"), col("hwm"),
+            explode(array(Seq(60000000L, 300000000L, 600000000L,
+              1800000000L).map(lit): _*)).as("delay_us"))
+          .groupBy("delay_us")
+          .agg(count(lit(1)).as("n_events"),
+            sum(when(col("us") < col("hwm") - col("delay_us"), 1L)
+              .otherwise(0L)).as("n_late"))
+          .withColumn("late_pct",
+            round(col("n_late").cast("double") / col("n_events"), 6))
+          .orderBy("delay_us")
       }))
 }

@@ -36,7 +36,8 @@ class NoGlobalWindowSpec extends SparkSpec {
     // cumulative weights must stay on the distributed prefix
     "q272_interval_coverage", "q275_rank_biased_overlap",
     "q277_late_arrival_audit", "q278_weighted_median",
-    "q279_ppjoin_pairs", "q280_sorted_neighborhood")
+    "q279_ppjoin_pairs", "q280_sorted_neighborhood",
+    "q286_watermark_sweep")
 
   test("previously-offending queries plan zero unpartitioned windows") {
     val captured = new java.util.concurrent.ConcurrentLinkedQueue[String]()
