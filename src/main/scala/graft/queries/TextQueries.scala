@@ -517,7 +517,8 @@ object TextQueries {
       (s, dir) =>
         graft.text.TfIdf.hashedCosineTopK(
             T(s, dir, "documents"), col("doc_id"), col("text"),
-            buckets = 64, queryPred = _ < 10, k = 3)
+            buckets = 64, queryPred = _ < 10, k = 3,
+            broadcastQuery = true) // `< 10` is a bounded id set
           .select("query_id", "neighbor_id", "cos_sim", "rank")
           .orderBy("query_id", "rank")),
 

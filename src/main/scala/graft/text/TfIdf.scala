@@ -66,11 +66,18 @@ object TfIdf {
     *
     * Scale shape: the vector frame is (id × occupied-buckets)-sized (≤
     * `buckets` rows per doc); similarity is the same inverted-index
-    * equi-join as [[sparseCosineTopK]], keyed on the bucket id.
+    * equi-join as [[sparseCosineTopK]], keyed on the bucket id, and —
+    * like that sibling — SHUFFLED by default: `queryPred` may select a
+    * corpus *fraction* (e.g. every 97th document), so broadcasting the
+    * query side would grow linearly with the data and OOM executors long
+    * before 100 TB. Callers whose predicate is provably bounded (a fixed
+    * id list, `id < 10`) may opt in with `broadcastQuery = true` to skip
+    * the shuffle — the opt-in is the caller asserting boundedness, never
+    * the library guessing it.
     */
   def hashedCosineTopK(df: DataFrame, idCol: Column, textCol: Column,
                        buckets: Int, queryPred: Column => Column,
-                       k: Int): DataFrame = {
+                       k: Int, broadcastQuery: Boolean = false): DataFrame = {
     require(buckets > 0, s"buckets must be positive, got $buckets")
     // Referenced three times (norms + both join sides).
     val b = cached(spread(df)
@@ -82,7 +89,8 @@ object TfIdf {
       .groupBy("id", "bucket").agg(count(lit(1)).as("cnt")))
     val norms = b.groupBy("id")
       .agg(sqrt(sum(col("cnt") * col("cnt")).cast("double")).as("nrm"))
-    val dots = broadcast(b.where(queryPred(col("id"))).as("a"))
+    val q = b.where(queryPred(col("id")))
+    val dots = (if (broadcastQuery) broadcast(q) else q.hint("merge")).as("a")
       .join(b.as("bb"),
         col("a.bucket") === col("bb.bucket") && col("a.id") =!= col("bb.id"))
       .groupBy(col("a.id").as("query_id"), col("bb.id").as("neighbor_id"))

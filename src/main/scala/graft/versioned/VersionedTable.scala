@@ -62,9 +62,12 @@ import org.apache.spark.sql.types.{DataType, StructField, StructType}
   *  - Schema evolution stores the widened schema in the manifest; reads
   *    apply it with `spark.read.schema(widened)`, which null-pads columns
   *    missing from older files — no data rewrite on evolution.
-  *  - Z-order is approximated by multi-column range-sort clustering
-  *    ([[VersionedTable#compact]]) + parquet row-group min/max skipping;
-  *    a true space-filling curve is noted as the upgrade path.
+  *  - Z-order ([[VersionedTable#zorder]]) clusters on a true Morton key —
+  *    [[graft.functions.ZOrder]] bit-interleaves the rank-normalized
+  *    dimension values — so parquet row-group min/max skipping is
+  *    effective on EVERY z-ordered column, not just the leading sort key;
+  *    [[VersionedTable#compact]] remains the cheaper single-column
+  *    range-sort clustering for one-dimensional access patterns.
   */
 final class VersionedTable private (val spark: SparkSession, val root: String) {
   import VersionedTable._

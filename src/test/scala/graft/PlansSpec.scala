@@ -15,16 +15,32 @@ class PlansSpec extends SparkSpec {
     (0 until n).flatMap(i =>
       g(Gen.Parameters.default.withSize(40), Seed(7L + i)))
 
-  test("hashedCosineTopK plans a broadcast inverted-index join, no cartesian") {
+  test("hashedCosineTopK with broadcastQuery plans a broadcast inverted-index join") {
     val docs = Seq((1L, "a b c"), (2L, "a b d"), (3L, "e f g"))
       .toDF("doc_id", "text")
     val plan = graft.text.TfIdf.hashedCosineTopK(docs, $"doc_id", $"text",
-        buckets = 64, queryPred = _ <= 1, k = 2)
+        buckets = 64, queryPred = _ <= 1, k = 2, broadcastQuery = true)
       .queryExecution.executedPlan.toString
     plan should include("BroadcastHashJoin")
     plan should not include "CartesianProduct"
     // the non-broadcast nested-loop form would be the n² trap
     plan should not include "BroadcastNestedLoopJoin"
+  }
+
+  test("hashedCosineTopK default is a shuffled bucket join, never a query-side broadcast") {
+    // corpus-fraction predicate (every 97th doc): the query side grows
+    // with the data, so the default must shuffle — the q89 defect class
+    val docs = Seq((1L, "a b c"), (2L, "a b d"), (97L, "a c d"), (3L, "e f g"))
+      .toDF("doc_id", "text")
+    val plan = graft.text.TfIdf.hashedCosineTopK(docs, $"doc_id", $"text",
+        buckets = 64, queryPred = _ % 97 === 0, k = 2)
+      .queryExecution.executedPlan.toString
+    plan should include("SortMergeJoin")
+    plan should not include "CartesianProduct"
+    plan should not include "BroadcastNestedLoopJoin"
+    // SMJ prints its keys — the similarity join must be keyed on bucket
+    plan.linesIterator.filter(_.contains("SortMergeJoin"))
+      .foreach(l => l should include("bucket"))
   }
 
   test("adamicAdar wedge join is an equi-join on the center (no cartesian)") {
