@@ -109,11 +109,13 @@ object Bench {
     // line ever outgrows the window again, truncation eats early
     // per-query entries, not the totals.
     println(s"""{"queries":$qsShort,"n_queries":${results.size},$head,"sf":"$sfDir"}""")
-    // SPARK_GRAFT_BENCH_DETAILS redirects the full-fidelity record —
-    // probe/contract runs (tools/ci.sh) point it at a temp file so they
-    // can't clobber the committed sf0.1 record in the repo cwd
+    // SPARK_GRAFT_BENCH_DETAILS redirects the full-fidelity record. The
+    // DEFAULT is a gitignored side file: the committed calm record
+    // (bench_details.json) is only ever written when the env var points
+    // there explicitly, so driver/CI runs under co-tenant load can't
+    // clobber it (the incident class of commits 7beb62a / e50118d).
     val detailsPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAILS",
-      "bench_details.json")
+      "bench_details_driver.json")
     try java.nio.file.Files.write(
       java.nio.file.Paths.get(detailsPath),
       s"""{$head,"queries":$qsFull,"sf":"$sfDir"}""".getBytes("UTF-8"))

@@ -140,7 +140,12 @@ object Dedup {
     * filter is LOSSLESS while indexing only a (1−t) fraction of each
     * posting list, and the rarest-first order makes the indexed lists
     * the SHORTEST ones. The exact-Jaccard verify then touches candidate
-    * pairs only. Same result as [[jaccardPairs]]; at 100 TB this is the
+    * pairs only. Same result as [[jaccardPairs]] for any corpus whose
+    * pair-union sizes stay under ~5·10^5 shingles; beyond that the two
+    * differ only on the 6-dp rounding edge — this filters on the TRUE
+    * ratio (the set the prefix bound is lossless for), while
+    * [[jaccardPairs]] filters on the rounded display value, which can
+    * admit a pair with true J in [t−5e-7, t). At 100 TB this is the
     * difference between joining every posting list and joining the
     * rare tail.
     *
@@ -173,10 +178,17 @@ object Dedup {
         .withColumnRenamed("n_sh", "n_a"), "id_a")
       .join(counts.withColumnRenamed("id", "id_b")
         .withColumnRenamed("n_sh", "n_b"), "id_b")
+      // filter on the TRUE ratio, not the 6-dp display rounding: the
+      // prefix bound is lossless exactly for {true J >= t}, while a
+      // rounded filter would admit pairs with true J in [t-5e-7, t)
+      // that the prefix may (correctly) have pruned — divergence only
+      // reachable at pair-union sizes above ~5*10^5 shingles, but the
+      // exact contract costs nothing
+      .where(col("n_inter") * 1.0 /
+        (col("n_a") + col("n_b") - col("n_inter")) >= threshold)
       .withColumn("jaccard",
         round(col("n_inter") * 1.0 /
           (col("n_a") + col("n_b") - col("n_inter")), 6))
-      .where(col("jaccard") >= threshold)
       .select("id_a", "id_b", "n_a", "n_b", "jaccard")
   }
 

@@ -35,6 +35,13 @@ object Sharding {
   /** `(key, shard)` under the ring: the vnode with the smallest position
     * at or after the key's position, wrapping to the globally smallest
     * vnode. Tie-broken by min shard (48-bit position collisions).
+    *
+    * Output contract: ONE ROW PER DISTINCT KEY — assignment is a
+    * function of the key, so duplicate input keys are collapsed by the
+    * final aggregation (a mapping table, not a row-wise transform; join
+    * the result back to the data to route rows). The crossJoin fan-out
+    * is against the broadcast MODEL-SIZED ring (nShards·vnodes rows),
+    * never data×data.
     */
   def ringAssign(keys: DataFrame, keyCol: Column, nShards: Int,
                  vnodes: Int): DataFrame = {

@@ -164,7 +164,11 @@ object Stats {
     agg.select(col("n"), lit(r).as("n_raters"),
       round(p1, 6).as("p1"), round(pbar, 6).as("p_bar"),
       round(pe, 6).as("p_e"),
-      round((pbar - pe) / (lit(1.0) - pe), 6).as("kappa"))
+      // degenerate distribution (every vote one category): Pe = 1 and
+      // kappa is undefined — return an explicit NULL, not NaN, so the
+      // caller gets a typed signal instead of a poisoned double
+      round(when(pe === 1.0, lit(null))
+        .otherwise((pbar - pe) / (lit(1.0) - pe)), 6).as("kappa"))
   }
 
   /** DuckDB select-list fragment computing corr/slope/intercept from a

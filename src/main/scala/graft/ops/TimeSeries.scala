@@ -95,8 +95,12 @@ object TimeSeries {
     val prevMax = max(col("e")).over(w.rowsBetween(Window.unboundedPreceding, -1))
     df.select(keyCol.as("key"), startCol.as("s"), endCol.as("e"),
         uniqCol.as("u"))
+      // sentinel-free first-row handling: `s > NULL` is NULL, coalesced
+      // to true — a key's first interval always opens an island, for ANY
+      // start value (incl. pre-1970 negatives a MinValue sentinel-style
+      // comparison could mishandle in an oracle replay)
       .withColumn("new_island",
-        (col("s") > coalesce(prevMax, lit(Long.MinValue))).cast("long"))
+        coalesce(col("s") > prevMax, lit(true)).cast("long"))
       .withColumn("island",
         sum(col("new_island")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
       .groupBy(col("key"), col("island"))

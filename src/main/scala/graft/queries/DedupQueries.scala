@@ -202,7 +202,7 @@ object DedupQueries {
         FROM inter
         JOIN cnt ca ON ca.id = id_a
         JOIN cnt cb ON cb.id = id_b
-        WHERE round(n_inter * 1.0 / (ca.n_sh + cb.n_sh - n_inter), 6) >= 0.5
+        WHERE n_inter * 1.0 / (ca.n_sh + cb.n_sh - n_inter) >= 0.5
         ORDER BY id_a, id_b"""))(
       (s, dir) =>
         Dedup.jaccardPairsPrefix(

@@ -138,9 +138,9 @@ object SeriesQueries {
           FROM events),
         m AS (
           SELECT user_id, s, e, u,
-            (CASE WHEN s > coalesce(max(e) OVER (
+            (CASE WHEN coalesce(s > max(e) OVER (
                 PARTITION BY user_id ORDER BY s, e, u
-                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), true)
               THEN 1 ELSE 0 END) AS new_island
           FROM iv),
         mi AS (

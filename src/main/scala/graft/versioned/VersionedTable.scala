@@ -54,11 +54,14 @@ import org.apache.spark.sql.types.{DataType, StructField, StructType}
   *    JSON. At 100 TB with ~512 MB files that is ~200k entries; fine for a
   *    JSON blob, and reads pass the explicit file list to the parquet
   *    source, skipping directory listing entirely.
-  *  - Appends touch only the new batch (no read-amplification). Update is
-  *    copy-on-write over the whole table (the reference's UPDATE rewrites
-  *    the table too); a file-pruned update (rewrite only files whose
-  *    parquet min/max straddle the predicate) is the scale path and noted
-  *    on [[VersionedTable#update]].
+  *  - Appends touch only the new batch (no read-amplification).
+  *    UPDATE/DELETE/MERGE are FILE-PRUNED copy-on-write: a pushed-down
+  *    probe finds the files that actually hold matching rows (parquet
+  *    footer stats skip clean row groups), only those rewrite, and every
+  *    untouched file's path is carried verbatim into the new manifest —
+  *    write amplification scales with matched files, not table size
+  *    (see [[VersionedTable#update]]; [[VersionedTable#history]] records
+  *    the added/removed file counts per commit).
   *  - Schema evolution stores the widened schema in the manifest; reads
   *    apply it with `spark.read.schema(widened)`, which null-pads columns
   *    missing from older files — no data rewrite on evolution.
@@ -146,12 +149,25 @@ final class VersionedTable private (val spark: SparkSession, val root: String) {
     * this throws (`lakehouse_data_igestion.py:126-128`). With `mergeSchema`
     * the table schema widens to the union and old files are null-padded at
     * read (`lakehouse_data_igestion.py:202-212`).
+    *
+    * OPTIMISTIC CONCURRENCY: two appends never conflict logically (each
+    * adds its own immutable batch), so a lost commit race — the
+    * no-overwrite rename lands on a version another writer just took —
+    * is resolved by re-reading the new latest, re-running the schema
+    * check against the winner (the winner may have evolved the schema),
+    * and re-committing the SAME already-written batch on top, up to
+    * [[VersionedTable.MaxCommitRetries]] times. The data files are never
+    * rewritten on retry — only the manifest rebases. Every other
+    * operation (update/delete/merge/restore/compact) computed its file
+    * list against the base version, so a lost race there still throws:
+    * the caller must re-read and re-derive. (The batch directory name
+    * carries the version the writer FIRST targeted; the committed
+    * version may be higher after a rebase — paths are opaque, the
+    * manifest is the truth.)
     */
   def append(df: DataFrame, mergeSchema: Boolean = false): VersionedTable = {
-    val cur = latest()
-    val tableSchema = cur.schema
-    val incoming = df.schema
-    val merged =
+    def checkedSchema(tableSchema: StructType): StructType = {
+      val incoming = df.schema
       if (sameSchema(tableSchema, incoming)) tableSchema
       else if (mergeSchema) unionSchema(tableSchema, incoming)
       else throw new IllegalArgumentException(
@@ -159,8 +175,27 @@ final class VersionedTable private (val spark: SparkSession, val root: String) {
            |  table:    ${tableSchema.simpleString}
            |  incoming: ${incoming.simpleString}
            |Set mergeSchema = true to evolve the table schema.""".stripMargin)
+    }
+    val cur = latest()
+    val merged = checkedSchema(cur.schema)
     val files = writeBatch(df, cur.version + 1)
-    commit(Manifest(cur.version + 1, "APPEND", merged, cur.files ++ files))
+    @annotation.tailrec
+    def attempt(base: Manifest, schema: StructType, retriesLeft: Int): Unit = {
+      val won =
+        try { commit(Manifest(base.version + 1, "APPEND", schema, base.files ++ files)); true }
+        catch {
+          case e: IllegalStateException =>
+            if (retriesLeft <= 0) throw new IllegalStateException(
+              s"append to $root lost ${MaxCommitRetries + 1} consecutive " +
+                "commit races; giving up (written batch left for vacuum)", e)
+            false
+        }
+      if (!won) {
+        val now = latest()
+        attempt(now, checkedSchema(now.schema), retriesLeft - 1)
+      }
+    }
+    attempt(cur, merged, MaxCommitRetries)
     this
   }
 
@@ -521,14 +556,22 @@ final class VersionedTable private (val spark: SparkSession, val root: String) {
   def version: Long = latest().version
 
   /** V3: `DESCRIBE HISTORY` (`update_versioning.py:17-19`) — one row per
-    * version: (version, operation, numFiles).
+    * version: (version, operation, num_files, num_added_files,
+    * num_removed_files). The added/removed counts are the manifest diff
+    * against the previous version — the write-amplification record of
+    * each commit: a pruned UPDATE shows added = the rewritten batch and
+    * removed = only the files that held matches, never the table.
     */
   def history: DataFrame = {
     import spark.implicits._
-    listVersions().map { v =>
-      val m = readManifest(v)
-      (m.version, m.operation, m.files.size.toLong)
-    }.toDF("version", "operation", "num_files")
+    val manifests = listVersions().map(readManifest)
+    manifests.zip(None +: manifests.map(Some(_))).map { case (m, prev) =>
+      val prevFiles = prev.fold(Set.empty[String])(_.files.toSet)
+      (m.version, m.operation, m.files.size.toLong,
+        m.files.count(!prevFiles.contains(_)).toLong,
+        (prevFiles -- m.files).size.toLong)
+    }.toDF("version", "operation", "num_files",
+        "num_added_files", "num_removed_files")
       .orderBy(col("version").desc)
   }
 }
@@ -540,6 +583,12 @@ object VersionedTable {
     * predicate size bounded for arbitrarily large merge batches.
     */
   private[versioned] val MaxInListKeys = 1000
+
+  /** Commit-race retries for [[VersionedTable#append]]'s optimistic
+    * rebase; other operations never retry (their rewrite was derived
+    * from the lost base version and must be recomputed by the caller).
+    */
+  private[versioned] val MaxCommitRetries = 10
 
   private val LogDir = "_graft_log"
   private val ManifestName = """v(\d{8})\.json""".r

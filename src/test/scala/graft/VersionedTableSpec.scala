@@ -169,6 +169,60 @@ class VersionedTableSpec extends SparkSpec {
     t.changes(t.version - 1, t.version).count() shouldBe 0
   }
 
+  test("pruned update carries untouched manifest paths verbatim; history records file churn") {
+    val wide = (1 to 1000).map(i => (i.toLong, s"r$i")).toDF("k", "v")
+    val t = VersionedTable.create(spark, tmpDir("vt-carry"), wide)
+    t.compact(numFiles = 10, clusterBy = Seq("k"))
+    val compactV = t.version
+    val before = t.toDF.inputFiles.sorted.toSeq
+    t.update($"k" === 500L, Map("v" -> lit("HIT")))
+    val after = t.toDF.inputFiles.sorted.toSeq
+    // object equality on the carried paths: the 9 clean files appear in
+    // the new manifest as the IDENTICAL path strings, not re-listed or
+    // rewritten copies
+    after.filter(before.contains) shouldBe before.filter(after.contains)
+    after.count(before.contains) shouldBe 9
+    // history's churn columns record the write amplification: the UPDATE
+    // added one rewritten batch (<=2 part files) and removed exactly the
+    // one file that held k=500
+    val h = t.history
+      .select("version", "operation", "num_added_files", "num_removed_files")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    val upd = h.last
+    upd._2 shouldBe "UPDATE"
+    upd._3 should be <= 2L
+    upd._4 shouldBe 1L
+    // the compact row shows the full rewrite it is
+    h.find(_._1 == compactV).get._4 should be >= 1L
+  }
+
+  test("two racing appends both land via optimistic rebase (no lost batch)") {
+    val t = VersionedTable.create(spark, tmpDir("vt-race"), base)
+    // two handles on the same table, appending concurrently: both read
+    // latest()=v0 before either commits (the parquet write dominates), so
+    // one commit loses the no-overwrite rename race and must rebase
+    val handles = Seq(
+      ("AUDI", 2000, 2020) -> VersionedTable.open(spark, t.root),
+      ("OPEL", 1600, 2021) -> VersionedTable.open(spark, t.root))
+    import scala.concurrent._
+    import scala.concurrent.duration._
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val fs = handles.map { case (row, h) =>
+      Future(h.append(Seq(row).toDF("Mh", "ec_cm3", "year")))
+    }
+    Await.result(Future.sequence(fs), 120.seconds)
+    // both batches committed: versions 1 and 2, both rows readable
+    t.version shouldBe 2
+    t.toDF.count() shouldBe 5
+    t.toDF.where($"Mh".isin("AUDI", "OPEL")).count() shouldBe 2
+    t.history.collect().map(_.getString(1)).count(_ == "APPEND") shouldBe 2
+    // the rebased commit carried the winner's files: latest holds ALL
+    // files of v1 plus the loser's batch
+    val v1Files = t.asOf(1).inputFiles.toSet
+    v1Files.subsetOf(t.toDF.inputFiles.toSet) shouldBe true
+  }
+
   test("update applies under a RELATIVE table root (path qualification)") {
     val rel = s"target/vt-rel-${java.util.UUID.randomUUID().toString.take(8)}"
     try {
