@@ -3,9 +3,11 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import org.apache.spark.sql.expressions.Window
+
 import graft.Tables
 import graft.dedup.Dedup
-import graft.graph.PageRank
+import graft.graph.{Hits, PageRank}
 import graft.ops.Frames.{cached, spread}
 import graft.ops.Relational.dsum
 import graft.sketch.{Bloom, CountMin}
@@ -188,6 +190,53 @@ object CurationQueries {
             struct(col("b").as("src"), col("a").as("dst")))).as("e"))
           .select(col("e.src").as("src"), col("e.dst").as("dst"))
         PageRank.run(edges, 3).orderBy("node")
+      }),
+
+    // HITS hubs & authorities (Kleinberg JACM'99) on the supplier→part
+    // supply graph: top hub suppliers (stock many well-sourced parts)
+    // and top authority parts (stocked by many strong suppliers), after
+    // 2 full rounds. Unnormalized integer power iteration — every score
+    // an exact DECIMAL(38,0) path count, the whole recurrence replayed
+    // in the oracle's CTE chain (see graph.Hits for why dropping the
+    // rank-invariant L2 normalization makes this FP-free); `share` is
+    // the one IEEE division at the end. Windows partition by side.
+    Q("q290_hits", Q.sql(s"""
+        WITH edges AS (
+          SELECT DISTINCT l_suppkey AS src, l_partkey AS dst FROM lineitem),
+        ${Hits.oracleCtes(2)},
+        sides AS (
+          SELECT 'auth' AS side, node, score FROM a2
+          UNION ALL SELECT 'hub' AS side, node, score FROM h2),
+        w AS (
+          SELECT side, node, score,
+            max(score) OVER (PARTITION BY side) AS mx,
+            row_number() OVER (PARTITION BY side ORDER BY score DESC, node)
+              AS rank
+          FROM sides)
+        SELECT side, node, score,
+          round(CAST(score AS DOUBLE) / CAST(mx AS DOUBLE), 6) AS share,
+          rank
+        FROM w WHERE rank <= 10 ORDER BY side, rank"""))(
+      (s, dir) => {
+        val edges = T(s, dir, "lineitem")
+          .select(col("l_suppkey").as("src"), col("l_partkey").as("dst"))
+          .distinct()
+        val sc = Hits.run(edges, 2)
+        val both = sc.auths
+          .select(lit("auth").as("side"), col("node"), col("score"))
+          .unionByName(sc.hubs
+            .select(lit("hub").as("side"), col("node"), col("score")))
+        val bySide = Window.partitionBy("side")
+        both
+          .withColumn("mx", max(col("score")).over(bySide))
+          .withColumn("rank", row_number().over(
+            bySide.orderBy(col("score").desc, col("node"))))
+          .where(col("rank") <= 10)
+          .select(col("side"), col("node"), col("score"),
+            round(col("score").cast("double") / col("mx").cast("double"), 6)
+              .as("share"),
+            col("rank"))
+          .orderBy("side", "rank")
       }),
 
     // Per-type z-score outliers over event values: decimal-exact moment

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.functions.StringSim
+import graft.functions.{PortableSql, StringSim}
 import graft.ops.Relational.dsum
 import graft.text.TextAnalysis
 
@@ -242,6 +242,109 @@ object LinkageQueries {
           .select(col("tok_a"), col("tok_b"),
             (col("rk_b") - col("rk_a")).as("rank_dist"), col("jw"))
           .orderBy("tok_a", "tok_b")
+      }),
+
+    // Fellegi-Sunter probabilistic linkage (JASA 1969): blocked
+    // candidate pairs scored by the log-likelihood ratio of their
+    // field-agreement vector, Σ log2(m_i/u_i) on agreement and
+    // Σ log2((1-m_i)/(1-u_i)) on disagreement, then classified by the
+    // two-threshold decision rule. The TYPE field's u-probability is
+    // ESTIMATED FROM THE DATA as the random-pair agreement rate
+    // Σ_v(n_v/N)² — exact integer sums, one division — the standard
+    // frequency-table estimate; name/price use assumed (m,u) embedded
+    // as shared 6-dp literals (EM estimation is the upgrade path).
+    // Scale = q219's blocking: pairs exist only inside (brand, size)
+    // blocks, the u-table is one broadcast row, scoring is pure scalar.
+    Q("q291_fellegi_sunter", {
+      val ln2 = PortableSql.doubleLit(math.log(2.0))
+      def r6(x: Double): String =
+        new java.math.BigDecimal(x).setScale(6,
+          java.math.RoundingMode.HALF_UP).toPlainString
+      val (mName, uName, mPrice, uPrice) = (0.9, 0.05, 0.85, 0.1)
+      val waN = r6(math.log(mName / uName) / math.log(2.0))
+      val wdN = r6(math.log((1 - mName) / (1 - uName)) / math.log(2.0))
+      val waP = r6(math.log(mPrice / uPrice) / math.log(2.0))
+      val wdP = r6(math.log((1 - mPrice) / (1 - uPrice)) / math.log(2.0))
+      Q.sql(s"""
+        WITH nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM part),
+        tf AS (
+          SELECT p_type, CAST(count(*) AS BIGINT) AS c FROM part GROUP BY 1),
+        uu AS (
+          SELECT CAST(sum(c * c) AS DOUBLE)
+            / (CAST(max(n) AS DOUBLE) * CAST(max(n) AS DOUBLE)) AS u
+          FROM tf, nn),
+        p AS (
+          SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+            CASE WHEN a.p_type = b.p_type THEN 1 ELSE 0 END AS agree_type,
+            CASE WHEN levenshtein(a.p_name, b.p_name) <= 4
+              THEN 1 ELSE 0 END AS agree_name,
+            CASE WHEN abs(a.p_retailprice - b.p_retailprice) <= 50
+              THEN 1 ELSE 0 END AS agree_price
+          FROM part a JOIN part b
+            ON a.p_brand = b.p_brand AND a.p_size = b.p_size
+            AND a.p_partkey < b.p_partkey),
+        scored AS (
+          SELECT id_a, id_b, agree_type, agree_name, agree_price,
+            round(
+              (CASE WHEN agree_type = 1
+                THEN round(ln(0.95 / uu.u) / ($ln2), 6)
+                ELSE round(ln(0.05 / (1 - uu.u)) / ($ln2), 6) END)
+              + (CASE WHEN agree_name = 1 THEN $waN ELSE $wdN END)
+              + (CASE WHEN agree_price = 1 THEN $waP ELSE $wdP END),
+              6) AS score
+          FROM p, uu)
+        SELECT id_a, id_b, agree_type, agree_name, agree_price, score,
+          CASE WHEN score >= 6 THEN 'match'
+               WHEN score >= 0 THEN 'possible'
+               ELSE 'non_match' END AS decision
+        FROM scored ORDER BY id_a, id_b""")
+    })(
+      (s, dir) => {
+        val ln2 = math.log(2.0)
+        def r6(x: Double): Double =
+          new java.math.BigDecimal(x).setScale(6,
+            java.math.RoundingMode.HALF_UP).doubleValue()
+        val (mName, uName, mPrice, uPrice) = (0.9, 0.05, 0.85, 0.1)
+        val part = T(s, dir, "part")
+        val nn = part.agg(count(lit(1)).as("n"))
+        val tf = part.groupBy("p_type").agg(count(lit(1)).as("c"))
+        val uu = tf.crossJoin(nn)
+          .agg((sum(col("c") * col("c")).cast("double")
+            / (max(col("n")).cast("double") * max(col("n")).cast("double")))
+            .as("u"))
+        val a = part.select(col("p_partkey").as("id_a"),
+          col("p_type").as("ta"), col("p_name").as("na"),
+          col("p_retailprice").as("pa"),
+          col("p_brand").as("brand"), col("p_size").as("size"))
+        val b = part.select(col("p_partkey").as("id_b"),
+          col("p_type").as("tb"), col("p_name").as("nb"),
+          col("p_retailprice").as("pb"),
+          col("p_brand").as("brand"), col("p_size").as("size"))
+        val typeW = when(col("agree_type") === 1,
+          round(log(lit(0.95) / col("u")) / lit(ln2), 6))
+          .otherwise(round(log(lit(0.05) / (lit(1.0) - col("u"))) / lit(ln2), 6))
+        val nameW = when(col("agree_name") === 1,
+          lit(r6(math.log(mName / uName) / ln2)))
+          .otherwise(lit(r6(math.log((1 - mName) / (1 - uName)) / ln2)))
+        val priceW = when(col("agree_price") === 1,
+          lit(r6(math.log(mPrice / uPrice) / ln2)))
+          .otherwise(lit(r6(math.log((1 - mPrice) / (1 - uPrice)) / ln2)))
+        a.join(b, Seq("brand", "size"))
+          .where(col("id_a") < col("id_b"))
+          .select(col("id_a"), col("id_b"),
+            when(col("ta") === col("tb"), 1).otherwise(0).as("agree_type"),
+            when(levenshtein(col("na"), col("nb")) <= 4, 1).otherwise(0)
+              .as("agree_name"),
+            when(abs(col("pa") - col("pb")) <= 50, 1).otherwise(0)
+              .as("agree_price"))
+          .crossJoin(broadcast(uu))
+          .withColumn("score", round(typeW + nameW + priceW, 6))
+          .select(col("id_a"), col("id_b"), col("agree_type"),
+            col("agree_name"), col("agree_price"), col("score"),
+            when(col("score") >= 6, "match")
+              .when(col("score") >= 0, "possible")
+              .otherwise("non_match").as("decision"))
+          .orderBy("id_a", "id_b")
       })
   )
 }

@@ -1,12 +1,13 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.PortableSql
 import graft.similarity.Quantize
-import graft.sketch.Hll
+import graft.sketch.{Hll, Quantiles}
 
 /** Sketch + quantization operators under the oracle gate: a
   * deterministic HyperLogLog register table ([[graft.sketch.Hll]]) and
@@ -19,6 +20,9 @@ object SketchQueries {
     Tables.load(s, dir, name)
 
   private val HllP = 6
+
+  /** DDSketch gamma for q287: alpha = (γ−1)/(γ+1) ≈ 0.99% relative error. */
+  private val DdGamma = 1.02
 
   def all: Seq[Q] = Seq(
 
@@ -232,6 +236,149 @@ object SketchQueries {
             round(col("n_fp").cast("double") / col("n_probes"), 6)
               .as("fp_rate"),
             round(t * t * t, 6).as("fp_theory"))
+      }),
+
+    // Mergeable quantile sketch (DDSketch, Masson et al. VLDB'19) built
+    // by the typed Aggregator — a TRUE partial+final aggregation, so
+    // the shuffle carries one O(bins) sketch per (partition, group);
+    // this is the cross-shard/incremental quantile path the exact
+    // two-pass percentiles can't provide (the q276 mergeable-partials
+    // pattern, for quantiles). Per returnflag: the q50/q90/q99
+    // estimates of l_extendedprice, the exact percentile_disc value at
+    // the same rank convention, and the relative error — which the
+    // DDSketch bound guarantees <= alpha = (gamma-1)/(gamma+1) ≈ 0.0099.
+    // The oracle replays the sketch deterministically (the q285
+    // pattern): the identical 9-dp-rounded log-gamma bucket mapping,
+    // cumulative walk, and 2γ^i/(γ+1) estimate, in pure SQL.
+    Q("q287_ddsketch_quantiles", {
+      val g = DdGamma
+      Q.sql(s"""
+        WITH v AS (
+          SELECT l_returnflag AS flag,
+            CAST(l_extendedprice AS DOUBLE) AS v, l_extendedprice AS p
+          FROM lineitem),
+        b AS (
+          SELECT flag, ${Quantiles.bucketSql("v", g)} AS bucket,
+            count(*) AS cnt
+          FROM v GROUP BY 1, 2),
+        n AS (SELECT flag, CAST(sum(cnt) AS BIGINT) AS n FROM b GROUP BY 1),
+        qq AS (SELECT CAST(unnest([0.5, 0.9, 0.99]) AS DOUBLE) AS q),
+        r AS (
+          SELECT n.flag, q, n,
+            greatest(CAST(1 AS BIGINT), CAST(ceil(q * n) AS BIGINT)) AS rk
+          FROM n, qq),
+        c AS (
+          SELECT flag, bucket,
+            sum(cnt) OVER (PARTITION BY flag ORDER BY bucket) AS cum
+          FROM b),
+        sel AS (
+          SELECT r.flag, r.q, r.n, min(c.bucket) AS bi
+          FROM r JOIN c ON c.flag = r.flag AND c.cum >= r.rk
+          GROUP BY 1, 2, 3),
+        ec AS (SELECT flag, p, count(*) AS cnt FROM v GROUP BY 1, 2),
+        ecc AS (
+          SELECT flag, p,
+            sum(cnt) OVER (PARTITION BY flag ORDER BY p) AS cum
+          FROM ec),
+        ex AS (
+          SELECT r.flag, r.q, min(e.p) AS exact_disc
+          FROM r JOIN ecc e ON e.flag = r.flag AND e.cum >= r.rk
+          GROUP BY 1, 2),
+        est AS (
+          SELECT flag, q, n, round(${Quantiles.estimateSql("bi", g)}, 6) AS dd_est
+          FROM sel)
+        SELECT est.flag AS flag, est.q AS q, est.n AS n, est.dd_est,
+          ex.exact_disc AS exact_disc,
+          round(abs(est.dd_est - CAST(ex.exact_disc AS DOUBLE))
+            / CAST(ex.exact_disc AS DOUBLE), 6) AS rel_err
+        FROM est JOIN ex ON ex.flag = est.flag AND ex.q = est.q
+        ORDER BY flag, q""")
+    })(
+      (s, dir) => {
+        val g = DdGamma
+        val qs = Seq(0.5, 0.9, 0.99)
+        val li = T(s, dir, "lineitem")
+          .select(col("l_returnflag").as("flag"),
+            col("l_extendedprice").as("p"))
+        val sk = udaf(new Quantiles.Agg(g), Encoders.scalaDouble)
+        val sketched = li.groupBy("flag")
+          .agg(sk(col("p").cast("double")).as("dd"))
+        val counts = sketched.select(col("flag"),
+          explode(col("dd.pos")).as(Seq("bucket", "cnt")))
+        val est = Quantiles.quantilesFromCounts(counts, Seq("flag"), qs, g)
+          .withColumnRenamed("est", "dd_est")
+        // exact percentile_disc at the same rank = max(1, ceil(q*n)):
+        // per-value counts, partitioned cumulative walk, min value at
+        // rank — written identically in the oracle so selection is FP-free
+        val ec = li.groupBy("flag", "p").agg(count(lit(1)).as("cnt"))
+        val ecc = ec.withColumn("cum", sum(col("cnt")).over(
+          Window.partitionBy(col("flag")).orderBy(col("p"))))
+        val ranks = est.withColumn("rk",
+          greatest(lit(1L), ceil(col("q") * col("n")).cast("long")))
+        val exact = ranks.join(ecc, "flag")
+          .where(col("cum") >= col("rk"))
+          .groupBy("flag", "q")
+          .agg(min(col("p")).as("exact_disc"))
+        est.join(exact, Seq("flag", "q"))
+          .select(col("flag"), col("q"), col("n"), col("dd_est"),
+            col("exact_disc"),
+            round(abs(col("dd_est") - col("exact_disc").cast("double"))
+              / col("exact_disc").cast("double"), 6).as("rel_err"))
+          .orderBy("flag", "q")
+      }),
+
+    // Incremental quantile refresh — the q276 mergeable-partials pattern
+    // applied to DISTRIBUTIONS, which plain partial sums can't give you:
+    // the first half-month's DDSketch (the standing profile) absorbs the
+    // second half's delta sketch by per-bucket count addition — no
+    // re-read of the base data — and the refreshed quantiles are
+    // BIT-IDENTICAL to a from-scratch build, which is exactly what the
+    // oracle computes (one pass over the union). At 100 TB this is a
+    // nightly tail-latency/price-distribution profile maintained at
+    // delta cost.
+    Q("q288_sketch_refresh", {
+      val g = DdGamma
+      Q.sql(s"""
+        WITH v AS (
+          SELECT event_type, value AS v FROM events WHERE value > 0),
+        b AS (
+          SELECT event_type, ${Quantiles.bucketSql("v", g)} AS bucket,
+            count(*) AS cnt
+          FROM v GROUP BY 1, 2),
+        n AS (SELECT event_type, CAST(sum(cnt) AS BIGINT) AS n FROM b GROUP BY 1),
+        qq AS (SELECT CAST(unnest([0.5, 0.95, 0.99]) AS DOUBLE) AS q),
+        r AS (
+          SELECT n.event_type, q, n,
+            greatest(CAST(1 AS BIGINT), CAST(ceil(q * n) AS BIGINT)) AS rk
+          FROM n, qq),
+        c AS (
+          SELECT event_type, bucket,
+            sum(cnt) OVER (PARTITION BY event_type ORDER BY bucket) AS cum
+          FROM b),
+        sel AS (
+          SELECT r.event_type, r.q, r.n, min(c.bucket) AS bi
+          FROM r JOIN c ON c.event_type = r.event_type AND c.cum >= r.rk
+          GROUP BY 1, 2, 3)
+        SELECT event_type, q, n,
+          round(${Quantiles.estimateSql("bi", g)}, 6) AS est
+        FROM sel ORDER BY event_type, q""")
+    })(
+      (s, dir) => {
+        val g = DdGamma
+        val e = T(s, dir, "events")
+          .select(col("event_type"), col("ts"), col("value"))
+        def shard(df: DataFrame): DataFrame =
+          Quantiles.bucketCounts(df, Seq("event_type"), col("value"), g)
+        val base = shard(e.where(col("ts") < lit("2024-01-16")))
+        val delta = shard(e.where(col("ts") >= lit("2024-01-16")))
+        // the refresh: per-bucket count addition — DDSketch merge as a
+        // 2-row-per-bucket aggregation, no base re-read
+        val merged = base.unionByName(delta)
+          .groupBy("event_type", "bucket")
+          .agg(sum(col("cnt")).as("cnt"))
+        Quantiles.quantilesFromCounts(merged, Seq("event_type"),
+            Seq(0.5, 0.95, 0.99), g)
+          .orderBy("event_type", "q")
       })
   )
 }

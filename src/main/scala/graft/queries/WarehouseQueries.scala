@@ -268,6 +268,48 @@ object WarehouseQueries {
           .agg(sum(col("n_orders")).as("n_orders"),
             sum(col("rev_part")).cast("double").as("revenue"))
           .orderBy("o_orderpriority")
+      }),
+
+    // Incremental view maintenance for a JOIN view (q276 covered the
+    // aggregate half): V = π(orders ⋈ customer) maintained under deltas
+    // on BOTH inputs via the delta-join algebra
+    //   ΔV = Δo⋈C_base ∪ O_base⋈Δc ∪ Δo⋈Δc
+    // — each term joins a DELTA (small) against one base or the other
+    // delta, never base⋈base again. The four terms' decimal partial
+    // aggregates merge per group; the oracle recomputes the view from
+    // scratch in one join, so the hash match proves the algebra exact.
+    // At 100 TB: the nightly refresh touches |Δ|-proportional data while
+    // the from-scratch rebuild re-shuffles the world; the delta terms
+    // broadcast their small side.
+    Q("q289_join_ivm", Q.sql("""
+        SELECT c_nationkey AS nation_key, count(*) AS n_orders,
+          CAST(sum(CAST(o_totalprice AS DECIMAL(27,4))) AS DOUBLE) AS revenue
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY 1 ORDER BY 1"""))(
+      (s, dir) => {
+        val o = T(s, dir, "orders")
+        val c = T(s, dir, "customer")
+          .select(col("c_custkey"), col("c_nationkey"))
+        val (oBase, oDelta) =
+          (o.where(col("o_orderkey") % 7 =!= 0), o.where(col("o_orderkey") % 7 === 0))
+        val (cBase, cDelta) =
+          (c.where(col("c_custkey") % 5 =!= 0), c.where(col("c_custkey") % 5 === 0))
+        def partial(ord: DataFrame, cust: DataFrame): DataFrame =
+          ord.join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+            .groupBy(col("c_nationkey").as("nation_key"))
+            .agg(count(lit(1)).as("n_part"),
+              sum(col("o_totalprice").cast("decimal(27,4)")).as("rev_part"))
+        // V_base plus the three delta-join terms; in a live system only
+        // the last three run per refresh (V_base is the standing view's
+        // retained partials)
+        partial(oBase, cBase)
+          .unionByName(partial(oDelta, cBase))
+          .unionByName(partial(oBase, cDelta))
+          .unionByName(partial(oDelta, cDelta))
+          .groupBy("nation_key")
+          .agg(sum(col("n_part")).as("n_orders"),
+            sum(col("rev_part")).cast("double").as("revenue"))
+          .orderBy("nation_key")
       })
   )
 }

@@ -162,4 +162,21 @@ class MiningSpec extends SparkSpec {
     scores.keySet shouldBe Set(1L, 2L)
     scores(1L) should be > scores(2L)
   }
+
+  test("Hits scores are exact alternating-path counts on a hand graph") {
+    // bipartite: hubs {1,2}, authorities {10, 20}; 1->{10,20}, 2->{10}
+    val edges = Seq((1L, 10L), (1L, 20L), (2L, 10L)).toDF("src", "dst")
+    val sc = graft.graph.Hits.run(edges, 2)
+    def toMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getDecimal(1).longValueExact()).toMap
+    // a1 = indegree: a(10)=2, a(20)=1; h1 = sum of a over out-edges:
+    // h(1)=3, h(2)=2; a2 = sum of h over in-edges: a(10)=5, a(20)=3;
+    // h2: h(1)=8, h(2)=5 — Fibonacci-flavored path counts
+    toMap(sc.auths) shouldBe Map(10L -> 5L, 20L -> 3L)
+    toMap(sc.hubs) shouldBe Map(1L -> 8L, 2L -> 5L)
+    // the broadcast=false regime computes the identical fixed point
+    val sc2 = graft.graph.Hits.run(edges, 2, broadcastScores = false)
+    toMap(sc2.auths) shouldBe toMap(sc.auths)
+    toMap(sc2.hubs) shouldBe toMap(sc.hubs)
+  }
 }

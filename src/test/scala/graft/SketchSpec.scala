@@ -1,9 +1,11 @@
 package graft
 
 import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
 
 import graft.similarity.Quantize
-import graft.sketch.Hll
+import graft.sketch.{Hll, Quantiles}
 
 /** Estimator/accuracy properties of the oracle-gated sketch operators
   * (the register/code VALUES are hash-checked by the driver; these specs
@@ -72,6 +74,82 @@ class SketchSpec extends SparkSpec {
       val exact = df.where(col("g") === g).select("k").distinct().count()
       math.abs(grouped(g) - exact) / exact should be <= 0.25
     }
+  }
+
+  // ---- DDSketch mergeable quantiles ----
+
+  private val DdG = 1.02
+  private def ddSamples[A](g: Gen[A], n: Int = 12): Seq[A] =
+    (0 until n).flatMap(i =>
+      g(Gen.Parameters.default.withSize(60), Seed(1700L + i)))
+  private def build(xs: Seq[Double], maxBins: Int = 4096): Quantiles.Sketch = {
+    val agg = new Quantiles.Agg(DdG, maxBins)
+    xs.foldLeft(agg.zero)(agg.reduce)
+  }
+  private val ddValues: Gen[List[Double]] =
+    Gen.listOf(Gen.chooseNum(-100000, 100000).map(_ / 7.0))
+
+  test("DDSketch merge is associative, commutative, and equals the whole's sketch") {
+    ddSamples(Gen.zip(ddValues, ddValues, ddValues)).foreach { case (a, b, c) =>
+      val (sa, sb, sc) = (build(a), build(b), build(c))
+      sa.merge(sb).merge(sc) shouldBe sa.merge(sb.merge(sc))
+      sa.merge(sb) shouldBe sb.merge(sa)
+      sa.merge(sb).merge(sc) shouldBe build(a ++ b ++ c)
+    }
+  }
+
+  test("DDSketch quantile lands within alpha relative error of percentile_disc") {
+    val alpha = (DdG - 1.0) / (DdG + 1.0) + 1e-9
+    ddSamples(ddValues.suchThat(_.nonEmpty), 8).foreach { xs =>
+      val sk = build(xs)
+      val sorted = xs.sorted
+      for (q <- Seq(0.0, 0.01, 0.25, 0.5, 0.75, 0.9, 0.99, 1.0)) {
+        val rank = math.max(1L, math.ceil(q * xs.size).toLong)
+        val exact = sorted((rank - 1).toInt)
+        val est = sk.quantile(q, DdG)
+        if (exact == 0.0) est shouldBe 0.0
+        else math.abs(est - exact) / math.abs(exact) should be <= alpha
+      }
+    }
+  }
+
+  test("DDSketch Aggregator state equals the codegen bucketCounts build") {
+    import spark.implicits._
+    val sk = udaf(new Quantiles.Agg(DdG),
+      org.apache.spark.sql.Encoders.scalaDouble)
+    val li = lineitem.select(col("l_returnflag").as("g"),
+      col("l_extendedprice").cast("double").as("v"))
+    val viaAgg = li.groupBy("g").agg(sk(col("v")).as("dd"))
+      .select(col("g"), explode(col("dd.pos")).as(Seq("bucket", "cnt")))
+      .as[(String, Int, Long)].collect().toSet
+    val viaFrame = Quantiles.bucketCounts(li, Seq("g"), col("v"), DdG)
+      .as[(String, Int, Long)].collect().toSet
+    viaAgg shouldBe viaFrame
+  }
+
+  test("DDSketch quantilesFromCounts agrees with the driver-side walk") {
+    import spark.implicits._
+    val xs = (1 to 500).map(i => (if (i % 2 == 0) "a" else "b", i * 3.5))
+    val counts = Quantiles.bucketCounts(xs.toDF("g", "v"), Seq("g"), col("v"), DdG)
+    val inFrame = Quantiles.quantilesFromCounts(counts, Seq("g"), Seq(0.5, 0.9), DdG)
+      .as[(String, Double, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._4).toMap
+    for (g <- Seq("a", "b"); q <- Seq(0.5, 0.9)) {
+      val sk = build(xs.filter(_._1 == g).map(_._2))
+      inFrame((g, q)) shouldBe
+        (math.rint(sk.quantile(q, DdG) * 1e6) / 1e6) +- 1e-9
+    }
+  }
+
+  test("DDSketch collapse caps the positive store and keeps count + upper quantiles") {
+    val xs = (1 to 2000).map(_.toDouble)
+    val full = build(xs)
+    val capped = build(xs, maxBins = 50)
+    capped.pos.size should be <= 50
+    capped.count shouldBe full.count
+    // collapse folds LOW buckets — the q99 estimate is untouched
+    capped.quantile(0.99, DdG) shouldBe full.quantile(0.99, DdG)
+    capped.quantile(1.0, DdG) shouldBe full.quantile(1.0, DdG)
   }
 
   test("mergeBy union of grouped sketches equals the union's own sketch") {

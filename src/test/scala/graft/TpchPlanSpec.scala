@@ -96,6 +96,67 @@ class TpchPlanSpec extends SparkSpec {
       .mkString should include("In(l_returnflag")
   }
 
+  test("q171 (Q5): region + order-year reach their scans; dims broadcast, no cartesian") {
+    val p = plan("q171_tpch_q5")
+    p should include("BroadcastHashJoin")
+    p should not include "CartesianProduct"
+    p should not include "BroadcastNestedLoopJoin"
+    // both selective predicates must be PUSHED, not post-scan: the
+    // order-date year on the orders scan, the region name on region
+    p.linesIterator.filter(_.contains("orders"))
+      .mkString should include("GreaterThanOrEqual(o_orderdate")
+    p.linesIterator.filter(_.contains("region"))
+      .mkString should include("EqualTo(r_name,ASIA)")
+  }
+
+  test("q172 (Q18): HAVING rollup reduces lineitem BEFORE any join; customer broadcasts") {
+    val p = plan("q172_tpch_q18")
+    p should include("BroadcastHashJoin")
+    p should not include "CartesianProduct"
+    // the lineitem aggregate must sit BELOW the orders join (the fact
+    // is reduced to qualifying orderkeys first): the plan string lists
+    // children above parents, so the first lineitem HashAggregate must
+    // appear after (deeper than) the last join line
+    val lines = p.linesIterator.toSeq
+    val aggIdx = lines.indexWhere(l =>
+      l.contains("HashAggregate") && l.contains("l_orderkey"))
+    val joinIdx = lines.lastIndexWhere(_.contains("Join"))
+    aggIdx should be > joinIdx
+  }
+
+  test("q155 (Q10): returnflag reaches the lineitem scan, order-date range the orders scan") {
+    val p = plan("q155_tpch_q10")
+    p should include("BroadcastHashJoin")
+    p should not include "CartesianProduct"
+    p.linesIterator.filter(_.contains("lineitem"))
+      .mkString should include("EqualTo(l_returnflag,R)")
+    p.linesIterator.filter(_.contains("orders"))
+      .mkString should include("GreaterThanOrEqual(o_orderdate")
+  }
+
+  test("q215 (Q13): priority filter pushes into the outer side's scan; join stays left-outer equi") {
+    val p = plan("q215_tpch_q13")
+    p should include("LeftOuter")
+    p should not include "CartesianProduct"
+    p should not include "BroadcastNestedLoopJoin"
+    // the <> '1-URGENT' restriction belongs ON the orders scan (it is
+    // part of the join, not a WHERE — pushing it post-join would turn
+    // the left join into an inner one)
+    p.linesIterator.filter(_.contains("orders"))
+      .mkString should include("Not(EqualTo(o_orderpriority,1-URGENT))")
+  }
+
+  test("q230 (Q8): type + region restrictions push to their dim scans; no cartesian") {
+    val p = plan("q230_tpch_q8")
+    p should include("BroadcastHashJoin")
+    p should not include "CartesianProduct"
+    p should not include "BroadcastNestedLoopJoin"
+    p.linesIterator.filter(_.contains("part"))
+      .mkString should include("EqualTo(p_type,ECONOMY)")
+    p.linesIterator.filter(_.contains("region"))
+      .mkString should include("EqualTo(r_name,ASIA)")
+  }
+
   test("q231 (Q15): exact-decimal max compared via broadcast scalar, no global sort") {
     val p = plan("q231_tpch_q15")
     withClue(p.linesIterator.filter(l =>
