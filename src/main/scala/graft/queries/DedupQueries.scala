@@ -623,6 +623,87 @@ object DedupQueries {
             incoming = docs.where(col("doc_id") >= 400),
             col("doc_id"), col("text"))
           .orderBy("id")
+      }),
+
+    // LSH threshold calibration: precision/recall of the q36 banding
+    // (K=8, 2 rows/band) against GROUND-TRUTH Jaccard, swept over five
+    // candidate thresholds in one pass — the operating curve that picks
+    // a production dedup threshold. Truth pairs come from the exact
+    // posting-list join (the q35 machinery); candidates with no shared
+    // shingle count as J=0. Run this calibration on a SAMPLE at 100 TB —
+    // the truth side is the quadratic pass LSH exists to avoid; the
+    // banding side is the production shape. All ratios are single
+    // divisions of exact integers.
+    Q("q293_dedup_calibration", Q.sql(s"""
+        $shingleCtes,
+        $minhashCandCtes,
+        inter AS (
+          SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_inter
+          FROM sh a JOIN sh b ON a.shash = b.shash AND a.id < b.id
+          GROUP BY 1, 2),
+        tj AS (
+          SELECT i.id_a, i.id_b,
+            round(n_inter * 1.0 / (ca.n_sh + cb.n_sh - n_inter), 6) AS j
+          FROM inter i
+          JOIN cnt ca ON ca.id = i.id_a
+          JOIN cnt cb ON cb.id = i.id_b),
+        th AS (SELECT unnest([40, 50, 60, 70, 80]) AS t_pct),
+        truth AS (
+          SELECT t_pct, CAST(count(*) AS BIGINT) AS n_truth
+          FROM tj, th WHERE j >= t_pct / 100.0 GROUP BY 1),
+        candj AS (
+          SELECT c.id_a, c.id_b, coalesce(tj.j, 0.0) AS j
+          FROM cand c LEFT JOIN tj ON tj.id_a = c.id_a AND tj.id_b = c.id_b),
+        cs AS (
+          SELECT t_pct, CAST(count(*) AS BIGINT) AS n_cand,
+            CAST(sum(CASE WHEN j >= t_pct / 100.0 THEN 1 ELSE 0 END)
+              AS BIGINT) AS tp
+          FROM candj, th GROUP BY 1)
+        SELECT cs.t_pct, cs.n_cand, cs.tp,
+          coalesce(truth.n_truth, CAST(0 AS BIGINT)) AS n_truth,
+          round(cs.tp * 1.0 / cs.n_cand, 6) AS prec,
+          CASE WHEN coalesce(truth.n_truth, CAST(0 AS BIGINT)) = 0 THEN NULL
+               ELSE round(cs.tp * 1.0 / truth.n_truth, 6) END AS recall
+        FROM cs LEFT JOIN truth ON truth.t_pct = cs.t_pct
+        ORDER BY cs.t_pct"""))(
+      (s, dir) => {
+        val docs = T(s, dir, "documents")
+        val shRaw = Dedup.shinglesRaw(docs, col("doc_id"), col("text"), 3)
+        val sh = Dedup.shingleHashSet(docs, col("doc_id"), col("text"), 3)
+        val cand = Dedup.minhashCandidates(
+          Dedup.minhashSignatures(shRaw, MinhashK), MinhashK, RowsPerBand)
+        val cnt = Dedup.shingleCounts(sh)
+        val inter = sh.select(col("id").as("id_a"), col("shash"))
+          .join(sh.select(col("id").as("id_b"), col("shash")), "shash")
+          .where(col("id_a") < col("id_b"))
+          .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_inter"))
+        val tj = inter
+          .join(cnt.withColumnRenamed("id", "id_a")
+            .withColumnRenamed("n_sh", "n_a"), "id_a")
+          .join(cnt.withColumnRenamed("id", "id_b")
+            .withColumnRenamed("n_sh", "n_b"), "id_b")
+          .select(col("id_a"), col("id_b"),
+            round(col("n_inter") * 1.0 /
+              (col("n_a") + col("n_b") - col("n_inter")), 6).as("j"))
+        val th = s.range(1)
+          .select(explode(typedlit(Seq(40, 50, 60, 70, 80))).as("t_pct"))
+        val cut = col("t_pct") / lit(100.0)
+        val truth = tj.crossJoin(broadcast(th)).where(col("j") >= cut)
+          .groupBy("t_pct").agg(count(lit(1)).as("n_truth"))
+        val candj = cand.join(tj, Seq("id_a", "id_b"), "left")
+          .select(col("id_a"), col("id_b"), coalesce(col("j"), lit(0.0)).as("j"))
+        val cs = candj.crossJoin(broadcast(th))
+          .groupBy("t_pct")
+          .agg(count(lit(1)).as("n_cand"),
+            sum(when(col("j") >= cut, 1L).otherwise(0L)).as("tp"))
+        cs.join(truth, Seq("t_pct"), "left")
+          .select(col("t_pct"), col("n_cand"), col("tp"),
+            coalesce(col("n_truth"), lit(0L)).as("n_truth"),
+            round(col("tp") * 1.0 / col("n_cand"), 6).as("prec"),
+            when(coalesce(col("n_truth"), lit(0L)) === 0, lit(null))
+              .otherwise(round(col("tp") * 1.0 / col("n_truth"), 6))
+              .as("recall"))
+          .orderBy("t_pct")
       })
   )
 }

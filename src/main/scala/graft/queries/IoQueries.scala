@@ -116,5 +116,46 @@ object IoQueries {
             (sum(col("rh").cast("decimal(38,0)")) % lit(1L << 48))
               .cast("long").as("checksum"))
           .orderBy("ship_month"))
+    ,
+
+    // Dynamic partition pruning — THE star-join scan optimization at
+    // 100 TB: the fact lands hive-partitioned on the join key, the dim
+    // carries a selective NON-key predicate, and Catalyst injects a
+    // runtime `dynamicpruning` subquery into the fact scan's
+    // PartitionFilters (reusing the dim's broadcast), so partitions
+    // whose keys the filtered dim can't match ARE NEVER READ — here 2
+    // of 3, at scale all but the selected slice. PlansSpec pins the
+    // dynamicpruning expression; the oracle proves the pruned scan
+    // returns exactly the plain join's rows.
+    Q("q294_dpp_join", Q.sql("""
+        WITH dim AS (
+          SELECT DISTINCT l_returnflag AS flag,
+            'grp_' || l_returnflag AS label
+          FROM lineitem)
+        SELECT l_returnflag AS flag, count(*) AS n,
+          CAST(sum(CAST(l_quantity AS DECIMAL(27,4))) AS DOUBLE) AS total_qty
+        FROM lineitem f JOIN dim d ON f.l_returnflag = d.flag
+        WHERE d.label IN ('grp_A', 'grp_R')
+        GROUP BY 1 ORDER BY 1"""))(
+      (s, dir) => {
+        val li = Tables.load(s, dir, "lineitem")
+        val factRoot = scratch(s, "dppfact", dir)
+        li.select(col("l_orderkey"), col("l_quantity"), col("l_returnflag"))
+          .write.partitionBy("l_returnflag").parquet(factRoot)
+        val dimRoot = scratch(s, "dppdim", dir)
+        li.select(col("l_returnflag").as("flag"),
+            concat(lit("grp_"), col("l_returnflag")).as("label"))
+          .distinct()
+          .write.parquet(dimRoot)
+        val fact = s.read.parquet(factRoot)
+        val dim = s.read.parquet(dimRoot)
+          .where(col("label").isin("grp_A", "grp_R"))
+        fact.join(dim, fact("l_returnflag") === dim("flag"))
+          .groupBy(col("l_returnflag").as("flag"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("l_quantity").cast("decimal(27,4)")).cast("double")
+              .as("total_qty"))
+          .orderBy("flag")
+      })
   )
 }

@@ -235,6 +235,62 @@ object StreamingQueries {
           watermark = "1 hour", keys = Seq(col("event_type")))
         StreamRun.runToTable("q168_sink", win, OutputMode.Complete())
           .orderBy("win_start", "event_type")
+      }),
+
+    // STREAMING quantile profile: the per-type DDSketch bucket counts
+    // are maintained AS the streaming aggregation state (Complete mode
+    // groupBy on the deterministic bucket expression — the engine's own
+    // partial-agg merge IS the DDSketch merge, per micro-batch), then
+    // the standing sketch table is walked for quantiles. The live form
+    // of q287/q288: a latency/price profile that stays current as
+    // events arrive, with O(types × bins) state regardless of stream
+    // length. The oracle is the identical one-pass batch walk.
+    Q("q292_stream_quantiles", {
+      val g = 1.02
+      Q.sql(s"""
+        WITH v AS (
+          SELECT event_type, value AS v FROM events WHERE value > 0),
+        b AS (
+          SELECT event_type, ${graft.sketch.Quantiles.bucketSql("v", g)} AS bucket,
+            count(*) AS cnt
+          FROM v GROUP BY 1, 2),
+        n AS (SELECT event_type, CAST(sum(cnt) AS BIGINT) AS n FROM b GROUP BY 1),
+        qq AS (SELECT CAST(unnest([0.5, 0.95, 0.99]) AS DOUBLE) AS q),
+        r AS (
+          SELECT n.event_type, q, n,
+            greatest(CAST(1 AS BIGINT), CAST(ceil(q * n) AS BIGINT)) AS rk
+          FROM n, qq),
+        c AS (
+          SELECT event_type, bucket,
+            sum(cnt) OVER (PARTITION BY event_type ORDER BY bucket) AS cum
+          FROM b),
+        sel AS (
+          SELECT r.event_type, r.q, r.n, min(c.bucket) AS bi
+          FROM r JOIN c ON c.event_type = r.event_type AND c.cum >= r.rk
+          GROUP BY 1, 2, 3)
+        SELECT event_type, q, n,
+          round(${graft.sketch.Quantiles.estimateSql("bi", g)}, 6) AS est
+        FROM sel ORDER BY event_type, q""")
+    })(
+      (s, dir) => {
+        import graft.sketch.Quantiles
+        val g = 1.02
+        val counts = StreamRun.eventsStream(s, dir)
+          .where(col("value") > 0)
+          .select(col("event_type"),
+            Quantiles.bucketCol(col("value").cast("double"), g).as("bucket"))
+          .groupBy("event_type", "bucket")
+          .agg(count(lit(1)).as("cnt"))
+        val raw =
+          StreamRun.runToTable("q292_sink", counts, OutputMode.Complete())
+        // the memory-sink view exposes ONE fixed attribute set, and the
+        // quantile walk joins two derivations of it (rank frame ⋈
+        // cumulative frame) — rebuild the tiny sketch table with fresh
+        // attribute ids so the self-join resolves
+        val sketchTable = s.createDataFrame(raw.rdd, raw.schema)
+        Quantiles.quantilesFromCounts(sketchTable, Seq("event_type"),
+            Seq(0.5, 0.95, 0.99), g)
+          .orderBy("event_type", "q")
       })
   )
 }

@@ -43,6 +43,17 @@ class PlansSpec extends SparkSpec {
       .foreach(l => l should include("bucket"))
   }
 
+  test("q294 fact scan carries a dynamicpruning partition filter (DPP fires)") {
+    spark.catalog.clearCache()
+    val plan = SparkEntry.queries("q294_dpp_join")(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    // the runtime subquery must sit IN the fact scan's partition
+    // filters — that is the "never read the pruned partitions" contract
+    plan.toLowerCase should include("dynamicpruning")
+    plan should include("BroadcastHashJoin")
+    plan should not include "CartesianProduct"
+  }
+
   test("adamicAdar wedge join is an equi-join on the center (no cartesian)") {
     // the candidate generator must be the neighbors-of-z × neighbors-of-z
     // equi-join — a cartesian/BNLJ over the edge list would be the n² trap
