@@ -4,8 +4,9 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.types.Decimal
 
-import graft.functions.{ArrayMath, StringSim}
+import graft.functions.{ArrayMath, DDSketchAgg, StringSim}
 
 /** SQL-surface registration for the engine's custom expressions, two ways:
   *
@@ -18,8 +19,10 @@ import graft.functions.{ArrayMath, StringSim}
   * After either, SQL users get `graft_dot(a, b)` (native codegen dot
   * product, [[ArrayMath.DotProduct]]), `graft_jaro_winkler(a, b)` /
   * `graft_damerau_levenshtein(a, b)` ([[StringSim]], DuckDB-compatible
-  * record-linkage metrics), and `graft_upper_tri(a)`
-  * ([[ArrayMath.UpperTriProducts]], the one-pass covariance kernel).
+  * record-linkage metrics), `graft_upper_tri(a)`
+  * ([[ArrayMath.UpperTriProducts]], the one-pass covariance kernel), and
+  * the aggregate `graft_dd_sketch(v, gamma)` ([[DDSketchAgg]], the
+  * mergeable quantile sketch as a SQL aggregate).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit =
@@ -56,6 +59,23 @@ object GraftFunctions {
       (exprs: Seq[Expression]) => {
         require(exprs.length == 1, "graft_upper_tri(array) takes 1 argument")
         ArrayMath.UpperTriProducts(exprs(0))
+      }), (
+      "graft_dd_sketch",
+      new ExpressionInfo(classOf[DDSketchAgg.Sketch].getName, "graft_dd_sketch"),
+      (exprs: Seq[Expression]) => {
+        // aggregate: the analyzer wraps a bare AggregateFunction in an
+        // AggregateExpression, so SQL `graft_dd_sketch(v, 1.02)` just works
+        require(exprs.length == 2,
+          "graft_dd_sketch(value, gamma) takes 2 arguments")
+        require(exprs(1).foldable, "gamma must be a literal")
+        val gamma = exprs(1).eval() match {
+          case d: java.lang.Double => d.doubleValue()
+          case d: java.math.BigDecimal => d.doubleValue()
+          case d: Decimal => d.toDouble
+          case other => throw new IllegalArgumentException(
+            s"gamma must be numeric, got $other")
+        }
+        DDSketchAgg.Sketch(exprs.head, gamma)
       }))
 
   /** Register the functions on a live session. */

@@ -1,0 +1,130 @@
+package graft.functions
+
+import java.nio.ByteBuffer
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.{Column, GraftSqlBridge}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/** DDSketch build as a `TypedImperativeAggregate` — the execution form
+  * Spark's own complex-state aggregates (approx_percentile, HLL++) use:
+  * the buffer is a PLAIN JVM OBJECT mutated in place per row and
+  * serialized ONLY at partial/final boundaries, where the
+  * `Aggregator`-via-`udaf` form ([[graft.sketch.Quantiles.Agg]]) pays an
+  * encoder round-trip of the whole bucket map on EVERY input row (~6x
+  * slower on a 600k-row build at sf0.1). Same state, same merge, same
+  * result struct `(pos map<int,bigint>, neg map<int,bigint>, zero
+  * bigint)` — SketchSpec proves all three build paths identical; the
+  * bucket mapping is the shared [[graft.sketch.Quantiles.bucketOf]].
+  */
+object DDSketchAgg {
+
+  /** Mutable aggregation state: bucket -> count (keys widened to Long
+    * for `LongMap`'s boxing-free updates), plus the zero count.
+    */
+  final class Buf(val pos: mutable.LongMap[Long],
+                  val neg: mutable.LongMap[Long],
+                  var zero: Long)
+
+  val OutType: StructType = StructType(Seq(
+    StructField("pos", MapType(IntegerType, LongType, valueContainsNull = false), nullable = false),
+    StructField("neg", MapType(IntegerType, LongType, valueContainsNull = false), nullable = false),
+    StructField("zero", LongType, nullable = false)))
+
+  /** `sketch(v, gamma)` — aggregate Column over a double value column. */
+  def sketch(v: Column, gamma: Double): Column =
+    GraftSqlBridge.column(
+      Sketch(GraftSqlBridge.expression(v), gamma)
+        .toAggregateExpression(isDistinct = false))
+
+  case class Sketch(child: Expression, gamma: Double,
+                    mutableAggBufferOffset: Int = 0,
+                    inputAggBufferOffset: Int = 0)
+      extends TypedImperativeAggregate[Buf] {
+
+    // no ExpectsInputTypes (AbstractDataType is private[sql]): the child
+    // must already be DoubleType — checked at analysis, not implicit-cast
+    override def checkInputDataTypes()
+        : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      if (child.dataType == DoubleType)
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      else
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"dd_sketch needs a double input, got ${child.dataType.simpleString}")
+    override def dataType: DataType = OutType
+    override def nullable: Boolean = false
+    override def prettyName: String = "dd_sketch"
+
+    override def children: Seq[Expression] = child :: Nil
+    override protected def withNewChildrenInternal(
+        newChildren: IndexedSeq[Expression]): Sketch =
+      copy(child = newChildren.head)
+    override def withNewMutableAggBufferOffset(n: Int): Sketch =
+      copy(mutableAggBufferOffset = n)
+    override def withNewInputAggBufferOffset(n: Int): Sketch =
+      copy(inputAggBufferOffset = n)
+
+    override def createAggregationBuffer(): Buf =
+      new Buf(mutable.LongMap.empty, mutable.LongMap.empty, 0L)
+
+    override def update(b: Buf, input: InternalRow): Buf = {
+      val v = child.eval(input)
+      if (v != null) {
+        val d = v.asInstanceOf[Double]
+        if (d == 0.0) b.zero += 1
+        else if (d > 0) {
+          val i = graft.sketch.Quantiles.bucketOf(d, gamma).toLong
+          b.pos(i) = b.pos.getOrElse(i, 0L) + 1
+        } else {
+          val i = graft.sketch.Quantiles.bucketOf(-d, gamma).toLong
+          b.neg(i) = b.neg.getOrElse(i, 0L) + 1
+        }
+      }
+      b
+    }
+
+    override def merge(a: Buf, b: Buf): Buf = {
+      b.pos.foreach { case (k, v) => a.pos(k) = a.pos.getOrElse(k, 0L) + v }
+      b.neg.foreach { case (k, v) => a.neg(k) = a.neg.getOrElse(k, 0L) + v }
+      a.zero += b.zero
+      a
+    }
+
+    private def toMapData(m: mutable.LongMap[Long]): ArrayBasedMapData = {
+      val ks = new Array[Any](m.size)
+      val vs = new Array[Any](m.size)
+      var i = 0
+      m.foreach { case (k, v) => ks(i) = k.toInt; vs(i) = v; i += 1 }
+      new ArrayBasedMapData(new GenericArrayData(ks), new GenericArrayData(vs))
+    }
+
+    override def eval(b: Buf): Any =
+      InternalRow(toMapData(b.pos), toMapData(b.neg), b.zero)
+
+    override def serialize(b: Buf): Array[Byte] = {
+      val bb = ByteBuffer.allocate(8 + 4 * 2 + 12 * (b.pos.size + b.neg.size))
+      bb.putLong(b.zero)
+      bb.putInt(b.pos.size)
+      b.pos.foreach { case (k, v) => bb.putInt(k.toInt); bb.putLong(v) }
+      bb.putInt(b.neg.size)
+      b.neg.foreach { case (k, v) => bb.putInt(k.toInt); bb.putLong(v) }
+      bb.array()
+    }
+
+    override def deserialize(bytes: Array[Byte]): Buf = {
+      val bb = ByteBuffer.wrap(bytes)
+      val b = createAggregationBuffer()
+      b.zero = bb.getLong
+      var n = bb.getInt
+      while (n > 0) { b.pos(bb.getInt.toLong) = bb.getLong; n -= 1 }
+      n = bb.getInt
+      while (n > 0) { b.neg(bb.getInt.toLong) = bb.getLong; n -= 1 }
+      b
+    }
+  }
+}

@@ -669,7 +669,11 @@ object DedupQueries {
       (s, dir) => {
         val docs = T(s, dir, "documents")
         val shRaw = Dedup.shinglesRaw(docs, col("doc_id"), col("text"), 3)
-        val sh = Dedup.shingleHashSet(docs, col("doc_id"), col("text"), 3)
+        // cached: the distinct (id, shash) set feeds BOTH sides of the
+        // truth self-join plus the df census — uncached, the shingle
+        // explode pipeline runs three times
+        val sh = graft.ops.Frames.cached(
+          Dedup.shingleHashSet(docs, col("doc_id"), col("text"), 3))
         val cand = Dedup.minhashCandidates(
           Dedup.minhashSignatures(shRaw, MinhashK), MinhashK, RowsPerBand)
         val cnt = Dedup.shingleCounts(sh)
@@ -677,14 +681,16 @@ object DedupQueries {
           .join(sh.select(col("id").as("id_b"), col("shash")), "shash")
           .where(col("id_a") < col("id_b"))
           .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_inter"))
-        val tj = inter
+        // cached: the truth frame is consumed by the per-threshold census
+        // AND the candidate left-join
+        val tj = graft.ops.Frames.cached(inter
           .join(cnt.withColumnRenamed("id", "id_a")
             .withColumnRenamed("n_sh", "n_a"), "id_a")
           .join(cnt.withColumnRenamed("id", "id_b")
             .withColumnRenamed("n_sh", "n_b"), "id_b")
           .select(col("id_a"), col("id_b"),
             round(col("n_inter") * 1.0 /
-              (col("n_a") + col("n_b") - col("n_inter")), 6).as("j"))
+              (col("n_a") + col("n_b") - col("n_inter")), 6).as("j")))
         val th = s.range(1)
           .select(explode(typedlit(Seq(40, 50, 60, 70, 80))).as("t_pct"))
         val cut = col("t_pct") / lit(100.0)

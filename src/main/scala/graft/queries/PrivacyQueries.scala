@@ -18,6 +18,9 @@ object PrivacyQueries {
 
   private val HashDim = 512
   private val AnonK = 10
+
+  /** Distinct-l threshold for the q296 l-diversity audit. */
+  private val DiversityL = 3
   /** Laplace scale b = sensitivity/ε = 1/0.5. */
   private val LaplaceB = 2.0
 
@@ -128,6 +131,53 @@ object PrivacyQueries {
             round(col("n").cast("double") + col("noise"), 6).as("noisy_count"),
             lit(LaplaceB).as("laplace_b"))
           .orderBy("c_mktsegment")
+      }),
+
+    // l-diversity audit (Machanavajjhala et al., ICDE'06 — the k-anonymity
+    // companion q228 leaves open): a k-anonymous class is still
+    // attribute-disclosing if everyone in it shares the sensitive value.
+    // Per QI class (segment, region): class size, DISTINCT sensitive
+    // values (nation), the modal value's share, and the violates-l flag
+    // (distinct-l with l=3). Same one-hash-agg scale shape as q228 —
+    // the audit frame is QI-bounded, never row-scaled.
+    Q("q296_l_diversity", Q.sql(s"""
+        WITH j AS (
+          SELECT c_mktsegment, r_name, n_name
+          FROM customer
+          JOIN nation ON c_nationkey = n_nationkey
+          JOIN region ON n_regionkey = r_regionkey),
+        cls AS (
+          SELECT c_mktsegment, r_name, n_name, count(*) AS n_v
+          FROM j GROUP BY 1, 2, 3),
+        agg AS (
+          SELECT c_mktsegment, r_name,
+            CAST(sum(n_v) AS BIGINT) AS class_size,
+            CAST(count(*) AS BIGINT) AS l_distinct,
+            CAST(max(n_v) AS BIGINT) AS modal_n
+          FROM cls GROUP BY 1, 2)
+        SELECT c_mktsegment, r_name, class_size, l_distinct,
+          round(modal_n * 1.0 / class_size, 6) AS modal_share,
+          CAST(l_distinct < $DiversityL AS INT) AS violates_l
+        FROM agg ORDER BY 1, 2"""))(
+      (s, dir) => {
+        val j = T(s, dir, "customer")
+          .join(broadcast(T(s, dir, "nation")),
+            col("c_nationkey") === col("n_nationkey"))
+          .join(broadcast(T(s, dir, "region")),
+            col("n_regionkey") === col("r_regionkey"))
+          .select(col("c_mktsegment"), col("r_name"), col("n_name"))
+        val cls = j.groupBy("c_mktsegment", "r_name", "n_name")
+          .agg(count(lit(1)).as("n_v"))
+        cls.groupBy("c_mktsegment", "r_name")
+          .agg(sum(col("n_v")).as("class_size"),
+            count(lit(1)).as("l_distinct"),
+            max(col("n_v")).as("modal_n"))
+          .select(col("c_mktsegment"), col("r_name"), col("class_size"),
+            col("l_distinct"),
+            round(col("modal_n") * 1.0 / col("class_size"), 6)
+              .as("modal_share"),
+            (col("l_distinct") < DiversityL).cast("int").as("violates_l"))
+          .orderBy("c_mktsegment", "r_name")
       })
   )
 }

@@ -300,9 +300,12 @@ object SketchQueries {
         val li = T(s, dir, "lineitem")
           .select(col("l_returnflag").as("flag"),
             col("l_extendedprice").as("p"))
-        val sk = udaf(new Quantiles.Agg(g), Encoders.scalaDouble)
+        // the TypedImperativeAggregate build (object buffer, serialized
+        // only at shuffle boundaries) — SketchSpec proves it identical
+        // to the typed Aggregator and the codegen bucketCounts paths
         val sketched = li.groupBy("flag")
-          .agg(sk(col("p").cast("double")).as("dd"))
+          .agg(graft.functions.DDSketchAgg
+            .sketch(col("p").cast("double"), g).as("dd"))
         val counts = sketched.select(col("flag"),
           explode(col("dd.pos")).as(Seq("bucket", "cnt")))
         val est = Quantiles.quantilesFromCounts(counts, Seq("flag"), qs, g)

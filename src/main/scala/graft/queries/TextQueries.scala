@@ -166,6 +166,78 @@ object TextQueries {
     // Rabin-Karp rolling-hash fingerprint over the normalized text — the
     // streaming-hash counterpart to q33's md5 (custom codegen expression;
     // oracle folds the identical polynomial with list_reduce).
+    // Winnowing fingerprints (Schleimer, Wilkerson & Aiken, SIGMOD'03 —
+    // the MOSS algorithm): per document, hash every 4-token k-gram, then
+    // keep the MINIMUM hash of each sliding window of w=4 consecutive
+    // k-grams (packed as h·4096+pos so min() alone selects hash-then-
+    // leftmost-position — one deterministic BIGINT op, no argmin
+    // tiebreak ambiguity; start-of-doc windows are frame-truncated, so
+    // every non-empty doc fingerprints). Guarantees: any shared run of
+    // ≥ w+k−1 tokens shares a fingerprint, expected density 2/(w+1) —
+    // the sublinear fingerprint index a plagiarism/mirror detector
+    // builds INSTEAD of indexing every k-gram. Windows partition by doc.
+    // Positions must fit the 4096 packing (docs here are ≤4k tokens;
+    // shard longer docs before fingerprinting).
+    Q("q295_winnowing", Q.sql(s"""
+        WITH w AS (
+          SELECT doc_id AS id,
+            string_split($normSql, ' ') AS ws
+          FROM documents),
+        kg AS (
+          SELECT id, pos,
+            ${PortableSql.hexToLong(
+              "md5(ws[pos] || ' ' || ws[pos+1] || ' ' || ws[pos+2] || ' ' || ws[pos+3])",
+              12)} AS h
+          FROM w, LATERAL (
+            SELECT unnest(generate_series(1, greatest(len(ws) - 3, 0))) AS pos) t),
+        sel AS (
+          SELECT id, min(h * 4096 + pos) OVER (
+            PARTITION BY id ORDER BY pos
+            ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS m
+          FROM kg),
+        fp AS (SELECT DISTINCT id, m FROM sel),
+        nk AS (SELECT id, count(*) AS n_kgrams FROM kg GROUP BY 1),
+        nf AS (SELECT id, count(*) AS n_fps FROM fp GROUP BY 1)
+        SELECT nk.id AS doc_id, nk.n_kgrams, nf.n_fps,
+          round(nf.n_fps * 1.0 / nk.n_kgrams, 6) AS density
+        FROM nk JOIN nf ON nf.id = nk.id
+        ORDER BY doc_id"""))(
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        // tokenize in a SEPARATE projection: an expression referenced
+        // inside a transform() lambda is re-evaluated per element — the
+        // lambda below must see `ws` as a bound attribute, or the
+        // regex tokenizer runs O(tokens) times per doc
+        val toks = T(s, dir, "documents")
+          .select(col("doc_id").as("id"),
+            TextAnalysis.tokens(TextAnalysis.normalizeText(col("text")))
+              .as("ws"))
+        // cached: both the fingerprint window and the k-gram census read
+        // this frame — without the barrier the explode pipeline runs twice
+        val kg = graft.ops.Frames.cached(toks
+          .select(col("id"),
+            posexplode(transform(
+              // sequence(1,0) would step BACKWARD in Spark — emit an
+              // explicit empty array for docs under k tokens (DuckDB's
+              // generate_series(1,0) is empty)
+              when(size(col("ws")) >= 4, sequence(lit(1), size(col("ws")) - 3))
+                .otherwise(array().cast("array<int>")),
+              i => concat_ws(" ", slice(col("ws"), i, lit(4)))))
+              .as(Seq("pos0", "shingle")))
+          .select(col("id"), (col("pos0") + 1).as("pos"),
+            graft.functions.Hashing.hash48(col("shingle")).as("h")))
+        val win = Window.partitionBy("id").orderBy("pos").rowsBetween(-3, 0)
+        val fp = kg
+          .select(col("id"), min(col("h") * 4096 + col("pos")).over(win).as("m"))
+          .distinct()
+        val nk = kg.groupBy("id").agg(count(lit(1)).as("n_kgrams"))
+        val nf = fp.groupBy("id").agg(count(lit(1)).as("n_fps"))
+        nk.join(nf, "id")
+          .select(col("id").as("doc_id"), col("n_kgrams"), col("n_fps"),
+            round(col("n_fps") * 1.0 / col("n_kgrams"), 6).as("density"))
+          .orderBy("doc_id")
+      }),
+
     Q("q51_rolling_hash", Q.sql(s"""
         SELECT doc_id, list_reduce(
           list_prepend(CAST(0 AS BIGINT),

@@ -116,7 +116,11 @@ object Quantiles {
     */
   def bucketOf(v: Double, gamma: Double): Int = {
     require(v > 0, s"bucketOf needs v > 0, got $v")
-    val q = new JBigDecimal(math.log(v) / math.log(gamma))
+    // BigDecimal.valueOf (shortest decimal repr), NOT new BigDecimal
+    // (exact binary expansion): Spark's Round expression rounds the
+    // shortest repr, and the JVM-side mapping must agree bit-for-bit
+    // with [[bucketCol]] on every double
+    val q = JBigDecimal.valueOf(math.log(v) / math.log(gamma))
       .setScale(9, RoundingMode.HALF_UP).doubleValue()
     math.ceil(q).toInt
   }

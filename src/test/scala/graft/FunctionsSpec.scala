@@ -51,6 +51,21 @@ class FunctionsSpec extends SparkSpec {
     d shouldBe 11.0
   }
 
+  test("graft_dd_sketch aggregates from SQL; gamma must be a literal") {
+    GraftFunctions.register(spark)
+    Seq(1.0, 10.0, 10.0, 100.0).toDF("v").createOrReplaceTempView("ddvals")
+    val r = spark.sql(
+      "SELECT dd.zero AS z, cardinality(dd.pos) AS n_buckets FROM " +
+        "(SELECT graft_dd_sketch(v, CAST(1.02 AS DOUBLE)) AS dd FROM ddvals)")
+      .head()
+    r.getLong(0) shouldBe 0L
+    // 1, 10, 100 land in three distinct gamma-buckets
+    r.getInt(1) shouldBe 3
+    // non-literal gamma is rejected at registration-builder time
+    an[Exception] should be thrownBy
+      spark.sql("SELECT graft_dd_sketch(v, v) FROM ddvals").collect()
+  }
+
   test("GraftExtensions injects the same functions via the extensions hook") {
     // the injection point itself (sessions created with
     // spark.sql.extensions=graft.GraftExtensions): apply must register

@@ -113,7 +113,7 @@ class SketchSpec extends SparkSpec {
     }
   }
 
-  test("DDSketch Aggregator state equals the codegen bucketCounts build") {
+  test("DDSketch Aggregator, imperative aggregate, and codegen bucketCounts agree") {
     import spark.implicits._
     val sk = udaf(new Quantiles.Agg(DdG),
       org.apache.spark.sql.Encoders.scalaDouble)
@@ -124,7 +124,23 @@ class SketchSpec extends SparkSpec {
       .as[(String, Int, Long)].collect().toSet
     val viaFrame = Quantiles.bucketCounts(li, Seq("g"), col("v"), DdG)
       .as[(String, Int, Long)].collect().toSet
+    // the TypedImperativeAggregate (object buffer, shuffle-only serde)
+    // must produce the identical state — including across its partial/
+    // final merge and serialize/deserialize path
+    val viaImp = li.repartition(7).groupBy("g")
+      .agg(graft.functions.DDSketchAgg.sketch(col("v"), DdG).as("dd"))
+      .select(col("g"), explode(col("dd.pos")).as(Seq("bucket", "cnt")))
+      .as[(String, Int, Long)].collect().toSet
     viaAgg shouldBe viaFrame
+    viaImp shouldBe viaFrame
+    // negatives and zeros land in their stores (imperative path)
+    val mixed = Seq(-5.0, -5.0, 0.0, 3.0).toDF("v")
+      .agg(graft.functions.DDSketchAgg.sketch(col("v"), DdG).as("dd"))
+      .select(col("dd.zero"),
+        org.apache.spark.sql.functions.map_values(col("dd.neg")))
+      .head()
+    mixed.getLong(0) shouldBe 1L
+    mixed.getSeq[Long](1).sum shouldBe 2L
   }
 
   test("DDSketch quantilesFromCounts agrees with the driver-side walk") {
