@@ -382,6 +382,49 @@ object SketchQueries {
         Quantiles.quantilesFromCounts(merged, Seq("event_type"),
             Seq(0.5, 0.95, 0.99), g)
           .orderBy("event_type", "q")
+      }),
+
+    // Bitmap-word EXACT distinct (the roaring-bitmap primitive,
+    // flattened relational): per group, OR together one 64-bit word per
+    // id-block — `(type, id div 63) -> bit_or(1 << id mod 63)` (63-bit words: bit 63 would overflow DuckDB's CHECKED left shift) — and
+    // popcount the words. Unlike HLL (q125) this is EXACT, and unlike
+    // count(DISTINCT) the per-(group, word) state MERGES by bitwise OR:
+    // shards/days combine without re-reading ids (the q276/q288
+    // refresh pattern for distinct counts over a bounded id domain).
+    // State is domain/63 words per group, independent of row count;
+    // ids must be non-negative (doc contract).
+    Q("q298_bitmap_distinct", Q.sql("""
+        WITH w AS (
+          SELECT event_type, CAST(user_id // 63 AS BIGINT) AS word,
+            bit_or(CAST(1 AS BIGINT) << CAST(user_id % 63 AS INT)) AS bits
+          FROM events GROUP BY 1, 2),
+        d AS (
+          SELECT event_type, CAST(count(*) AS BIGINT) AS n_words,
+            CAST(sum(bit_count(bits)) AS BIGINT) AS bitmap_distinct
+          FROM w GROUP BY 1),
+        ex AS (
+          SELECT event_type, count(DISTINCT user_id) AS exact_distinct
+          FROM events GROUP BY 1)
+        SELECT d.event_type, n_words, bitmap_distinct, ex.exact_distinct
+        FROM d JOIN ex ON ex.event_type = d.event_type
+        ORDER BY 1"""))(
+      (s, dir) => {
+        val e = T(s, dir, "events").select(col("event_type"), col("user_id"))
+        val w = e
+          .groupBy(col("event_type"),
+            expr("CAST(user_id DIV 63 AS BIGINT)").as("word"))
+          .agg(expr(
+            "bit_or(shiftleft(CAST(1 AS BIGINT), CAST(user_id % 63 AS INT)))")
+            .as("bits"))
+        val d = w.groupBy("event_type")
+          .agg(count(lit(1)).as("n_words"),
+            sum(expr("bit_count(bits)")).as("bitmap_distinct"))
+        val ex = e.groupBy("event_type")
+          .agg(countDistinct(col("user_id")).as("exact_distinct"))
+        d.join(ex, "event_type")
+          .select(col("event_type"), col("n_words"), col("bitmap_distinct"),
+            col("exact_distinct"))
+          .orderBy("event_type")
       })
   )
 }

@@ -291,6 +291,43 @@ object StreamingQueries {
         Quantiles.quantilesFromCounts(sketchTable, Seq("event_type"),
             Seq(0.5, 0.95, 0.99), g)
           .orderBy("event_type", "q")
+      }),
+
+    // Streaming LAKEHOUSE ingest — the reference's nightly
+    // `lakehouse_data_igestion.py` append, live: the event stream lands
+    // in the versioned table through foreachBatch, each micro-batch ONE
+    // atomic APPEND commit (exactly the optimistic-concurrency commit
+    // path two jobs can share), and the query reads the committed table
+    // back. A crashed batch leaves unreferenced files, never a torn
+    // table; restart replays from the source offset log. The oracle is
+    // the batch aggregate over the same events — hash equality proves
+    // the stream→commit→read loop loses and duplicates nothing.
+    Q("q297_stream_lakehouse", Q.sql("""
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(CAST(value AS DECIMAL(27,8))) AS DOUBLE) AS total_value
+        FROM events
+        GROUP BY 1 ORDER BY 1"""))(
+      (s, dir) => {
+        import org.apache.spark.sql.{Dataset, Row}
+        import org.apache.spark.sql.streaming.Trigger
+        import graft.versioned.VersionedTable
+        val root = s"${sys.props("java.io.tmpdir")}/graft_vt/stream-lake-" +
+          dir.replaceAll("[^A-Za-z0-9.]", "_")
+        graft.io.Lake.rm(graft.io.Lake.conf(s), root)
+        val src = StreamRun.eventsStream(s, dir)
+          .select("event_id", "event_type", "value")
+        val q = src.writeStream
+          .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+            if (batchId == 0L) { VersionedTable.create(s, root, batch.toDF); () }
+            else { VersionedTable.open(s, root).append(batch.toDF); () }
+          }
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        VersionedTable.open(s, root).toDF
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"), dsum(col("value"), 8).as("total_value"))
+          .orderBy("event_type")
       })
   )
 }

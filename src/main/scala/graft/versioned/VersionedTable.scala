@@ -110,9 +110,20 @@ final class VersionedTable private (val spark: SparkSession, val root: String) {
   private def commit(m: Manifest): Unit = {
     val f = fs
     f.mkdirs(logDir)
+    // stats-in-log enrichment: every file in the new manifest gets a
+    // column-stats entry — carried files reuse the prior manifest's
+    // entry, only NEW files pay one footer read, here at commit time.
+    // Readers (scanPruned) then plan range scans from the manifest alone.
+    val prior: Map[String, ColStats] =
+      scala.util.Try(latest().stats).getOrElse(Map.empty)
+    val enriched = m.copy(stats = m.files.map { fl =>
+      fl -> m.stats.getOrElse(fl,
+        prior.getOrElse(fl, collectFileStats(fl)))
+    }.toMap)
     val tmp = new Path(logDir, s".tmp-${java.util.UUID.randomUUID()}")
     val out = f.create(tmp, false)
-    try out.write(m.toJson.getBytes(StandardCharsets.UTF_8)) finally out.close()
+    try out.write(enriched.toJson.getBytes(StandardCharsets.UTF_8))
+    finally out.close()
     val fc = org.apache.hadoop.fs.FileContext.getFileContext(
       rootPath.toUri, spark.sparkContext.hadoopConfiguration)
     try fc.rename(tmp, manifestPath(m.version)) // Rename.NONE: no overwrite
@@ -462,26 +473,145 @@ final class VersionedTable private (val spark: SparkSession, val root: String) {
   /** Current snapshot. */
   def toDF: DataFrame = read(latest())
 
+  /** Read one data file's footer and summarize its column chunks into a
+    * manifest stats entry — called once per NEW file at commit time.
+    * Per column: all groups provably all-null → `None` (prunable);
+    * encodable min/max (numeric as `n:<decimal>`, string as `s:<utf8>`)
+    * aggregated across row groups → the file-level hull; anything the
+    * encoding can't express → the keep marker (the file stays scannable
+    * without a footer re-read). Zero-row files record every column
+    * all-null.
+    */
+  private def collectFileStats(file: String): ColStats = {
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    val conf = spark.sparkContext.hadoopConfiguration
+    val reader =
+      try org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new Path(rootPath, file), conf))
+      catch { case _: Exception => return Map.empty } // unreadable: no entry
+    try {
+      val groups = reader.getFooter.getBlocks.asScala.toSeq
+      val cols = reader.getFooter.getFileMetaData.getSchema.getColumns.asScala
+        .map(_.getPath.mkString("."))
+      // the reserved __rows record makes count(*) a metadata-only read
+      // ([[countFast]]); footer row counts are exact
+      val rowRec = {
+        val n = groups.map(_.getRowCount).sum
+        RowCountKey -> Some((s"n:$n", s"n:$n"))
+      }
+      if (groups.isEmpty) return (cols.map(_ -> None) :+ rowRec).toMap
+      (Seq(rowRec) ++ cols.map { name =>
+        val chunks = groups.flatMap(
+          _.getColumns.asScala.find(_.getPath.toDotString == name))
+        val keep = name -> Some(("?", "?"))
+        if (chunks.size != groups.size) keep
+        else {
+          val sts = chunks.map(_.getStatistics)
+          if (sts.exists(st => st == null || st.isEmpty)) keep
+          else {
+            val (valued, empty) = sts.partition(_.hasNonNullValue)
+            val allNullOk = empty.forall(st =>
+              st.isNumNullsSet && st.getNumNulls > 0)
+            if (!allNullOk) keep
+            else if (valued.isEmpty) name -> None
+            else {
+              def enc(v: AnyRef, tpe: org.apache.parquet.schema.PrimitiveType)
+                  : Option[String] = (tpe.getPrimitiveTypeName, v) match {
+                case (BINARY, b: org.apache.parquet.io.api.Binary)
+                    if tpe.getLogicalTypeAnnotation ==
+                      org.apache.parquet.schema.LogicalTypeAnnotation.stringType() =>
+                  Some("s:" + b.toStringUsingUTF8)
+                case (INT32 | INT64 | FLOAT | DOUBLE, n: java.lang.Number)
+                    if tpe.getLogicalTypeAnnotation == null ||
+                      tpe.getLogicalTypeAnnotation.isInstanceOf[
+                        org.apache.parquet.schema.LogicalTypeAnnotation.IntLogicalTypeAnnotation] =>
+                  Some("n:" + new java.math.BigDecimal(n.toString).toPlainString)
+                case _ => None
+              }
+              val tpe = chunks.head.getPrimitiveType
+              val mins = valued.flatMap(st =>
+                enc(st.genericGetMin.asInstanceOf[AnyRef], tpe))
+              val maxs = valued.flatMap(st =>
+                enc(st.genericGetMax.asInstanceOf[AnyRef], tpe))
+              if (mins.size != valued.size || maxs.size != valued.size) keep
+              else name -> Some((minEnc(mins), maxEnc(maxs)))
+            }
+          }
+        }
+      }).toMap
+    } finally reader.close()
+  }
+
+  /** Metadata-only `count(*)`: sums the per-file row counts the manifest
+    * records at commit ([[collectFileStats]]'s `__rows` entry) — zero
+    * data reads, the Delta `SELECT count(*)` fast path. Falls back to a
+    * real count when any file lacks the record (legacy manifest).
+    */
+  def countFast: Long = {
+    val m = latest()
+    val perFile = m.files.map(f =>
+      m.stats.get(f).flatMap(_.get(RowCountKey)).flatten
+        .map(_._1.drop(2).toLong))
+    if (perFile.forall(_.isDefined)) perFile.flatten.sum
+    else toDF.count()
+  }
+
+  private def encCompare(a: String, b: String): Int =
+    if (a.startsWith("n:") && b.startsWith("n:"))
+      BigDecimal(a.drop(2)).compare(BigDecimal(b.drop(2)))
+    else a.drop(2).getBytes(StandardCharsets.UTF_8)
+      .zipAll(b.drop(2).getBytes(StandardCharsets.UTF_8), 0.toByte, 0.toByte)
+      .iterator.map { case (x, y) => (x & 0xff) - (y & 0xff) }
+      .find(_ != 0).getOrElse(a.length - b.length)
+  private def minEnc(xs: Seq[String]): String = xs.reduce((a, b) =>
+    if (encCompare(a, b) <= 0) a else b)
+  private def maxEnc(xs: Seq[String]): String = xs.reduce((a, b) =>
+    if (encCompare(a, b) >= 0) a else b)
+
+  /** Does a manifest stat entry's [min,max] overlap [lower,upper]? The
+    * decoded twin of [[rangeOverlaps]]; un-decodable combinations keep
+    * the file.
+    */
+  private def encodedOverlaps(mn: String, mx: String,
+                              lower: Any, upper: Any): Boolean = {
+    def num(x: Any): Option[BigDecimal] = x match {
+      case n: java.lang.Number => Some(BigDecimal(n.toString))
+      case _ => None
+    }
+    if (mn == "?") true
+    else if (mn.startsWith("n:"))
+      (for { lo <- num(lower); hi <- num(upper) } yield
+        BigDecimal(mn.drop(2)) <= hi && BigDecimal(mx.drop(2)) >= lo)
+        .getOrElse(true)
+    else (lower, upper) match {
+      case (lo: String, hi: String) =>
+        encCompare(mn, "s:" + hi) <= 0 && encCompare("s:" + lo, mx) <= 0
+      case _ => true
+    }
+  }
+
   /** Stats-pruned range scan: `toDF.where(lower <= col <= upper)` that
-    * OPENS only the data files whose parquet footer min/max for `colName`
-    * intersect `[lower, upper]` — the file-skipping half of clustering
+    * reads only the data files whose min/max for `colName` intersect
+    * `[lower, upper]` — the file-skipping half of clustering
     * ([[compact]] range-sort / [[zorder]] Morton curve exist to make
     * these ranges narrow per file). Equivalent rows, strictly fewer
     * files; files without stats for the column (e.g. pre-evolution) are
     * kept conservatively.
     *
-    * Footers are metadata-only reads, O(#files) on the driver per query.
-    * At 200k-file scale the upgrade path is memoizing these (min, max)
-    * pairs into the manifest at commit time (Delta's stats-in-log
-    * design) — the pruning logic below is unchanged, only its input
-    * moves from footers to the log.
+    * Planning input is the MANIFEST's stats-in-log entries
+    * ([[collectFileStats]], written at commit time — Delta's stats-in-log
+    * design): at 200k-file scale the scan plans from one manifest read,
+    * no per-query footer sweep. Files a legacy manifest carries without
+    * stats fall back to a footer read, preserving the original behavior
+    * exactly.
     */
   def scanPruned(colName: String, lower: Any, upper: Any): DataFrame = {
     val m = latest()
     require(m.schema.fieldNames.contains(colName),
       s"scanPruned: no column $colName in ${m.schema.fieldNames.mkString(", ")}")
     val conf = spark.sparkContext.hadoopConfiguration
-    def overlaps(file: String): Boolean = {
+    def footerOverlaps(file: String): Boolean = {
       val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
         org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
           new Path(rootPath, file), conf))
@@ -506,6 +636,12 @@ final class VersionedTable private (val spark: SparkSession, val root: String) {
         }
       } finally reader.close()
     }
+    def overlaps(file: String): Boolean =
+      m.stats.get(file).flatMap(_.get(colName)) match {
+        case Some(None) => false // provably all-null in this file
+        case Some(Some((mn, mx))) => encodedOverlaps(mn, mx, lower, upper)
+        case None => footerOverlaps(file) // legacy manifest / unknown col
+      }
     val kept = m.files.filter(overlaps)
     val pruned =
       if (kept.isEmpty)
@@ -590,16 +726,34 @@ object VersionedTable {
     */
   private[versioned] val MaxCommitRetries = 10
 
+  /** Reserved stats-entry key holding a file's exact row count (named to
+    * never collide with a parquet column path; see [[VersionedTable#countFast]]).
+    */
+  private[versioned] val RowCountKey = "__rows"
+
   private val LogDir = "_graft_log"
   private val ManifestName = """v(\d{8})\.json""".r
+
+  /** Per-file, per-column stat entry in the manifest (Delta's
+    * stats-in-log design): `None` = the column is provably all-null in
+    * the file (range scans prune it outright); `Some((min, max))` with
+    * `"n:<decimal>"` / `"s:<utf8>"` encodings; the `("?", "?")` marker =
+    * stats were inspected but not encodable — keep the file without
+    * re-opening its footer.
+    */
+  private[versioned] type ColStats = Map[String, Option[(String, String)]]
 
   /** Manifest: complete table state at one version. JSON codec is
     * hand-rolled (no JSON library in the unmanaged classpath beyond
     * Spark's shaded ones); schema round-trips via Spark's own
-    * `StructType.json`/`DataType.fromJson`.
+    * `StructType.json`/`DataType.fromJson`. `stats` maps each data file
+    * to its column stats — populated at COMMIT time (one footer read per
+    * NEW file, carried entries reused), so range-scan planning at
+    * 200k-file scale reads one manifest instead of 200k footers.
     */
   private[versioned] final case class Manifest(
-      version: Long, operation: String, schema: StructType, files: Seq[String]) {
+      version: Long, operation: String, schema: StructType, files: Seq[String],
+      stats: Map[String, ColStats] = Map.empty) {
     def toJson: String = {
       def esc(s: String) =
         s.flatMap {
@@ -608,17 +762,26 @@ object VersionedTable {
           case c if c < ' ' => f"\\u${c.toInt}%04x"
           case c => c.toString
         }
+      def statJson(cs: ColStats): String =
+        cs.toSeq.sortBy(_._1).map {
+          case (c, None) => s""""${esc(c)}":null"""
+          case (c, Some((mn, mx))) =>
+            s""""${esc(c)}":["${esc(mn)}","${esc(mx)}"]"""
+        }.mkString("{", ",", "}")
+      val statsJson = files.flatMap(f => stats.get(f).map(cs =>
+        s""""${esc(f)}":${statJson(cs)}""")).mkString("{", ",", "}")
       s"""{"version":$version,"operation":"${esc(operation)}",""" +
         s""""schemaJson":"${esc(schema.json)}",""" +
-        s""""files":[${files.map(f => s""""${esc(f)}"""").mkString(",")}]}"""
+        s""""files":[${files.map(f => s""""${esc(f)}"""").mkString(",")}],""" +
+        s""""stats":$statsJson}"""
     }
   }
 
   private[versioned] object Manifest {
     /** Minimal parser for the exact shape [[Manifest.toJson]] emits, via
-      * Spark's own JSON machinery to avoid a hand-written string parser:
-      * parse the blob as a 1-row DataFrame... too heavy. Instead use
-      * Jackson, which Spark ships.
+      * Jackson, which Spark ships. Manifests written before the stats
+      * field (or by older writers) parse with empty stats — readers fall
+      * back to footer reads for those files.
       */
     def fromJson(s: String): Manifest = {
       val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
@@ -627,11 +790,27 @@ object VersionedTable {
         val arr = node.get("files")
         (0 until arr.size()).map(arr.get(_).asText())
       }
+      val stats: Map[String, ColStats] = Option(node.get("stats")).map { sn =>
+        val b = Map.newBuilder[String, ColStats]
+        val it = sn.fields()
+        while (it.hasNext) {
+          val e = it.next()
+          val cb = Map.newBuilder[String, Option[(String, String)]]
+          val cit = e.getValue.fields()
+          while (cit.hasNext) {
+            val ce = cit.next()
+            cb += ce.getKey -> (if (ce.getValue.isNull) None
+              else Some((ce.getValue.get(0).asText(), ce.getValue.get(1).asText())))
+          }
+          b += e.getKey -> cb.result()
+        }
+        b.result()
+      }.getOrElse(Map.empty)
       Manifest(
         node.get("version").asLong(),
         node.get("operation").asText(),
         DataType.fromJson(node.get("schemaJson").asText()).asInstanceOf[StructType],
-        files)
+        files, stats)
     }
   }
 

@@ -223,6 +223,107 @@ class VersionedTableSpec extends SparkSpec {
     v1Files.subsetOf(t.toDF.inputFiles.toSet) shouldBe true
   }
 
+  test("manifest carries stats-in-log: range scans plan without opening pruned files") {
+    val t = VersionedTable.create(spark, tmpDir("vt-statslog"),
+      (1 to 1000).map(i => (i.toLong, s"s$i")).toDF("k", "v"))
+    t.compact(numFiles = 10, clusterBy = Seq("k"))
+    // the manifest itself records per-file column stats
+    val logDir = new java.io.File(t.root, "_graft_log")
+    val manifest = logDir.listFiles.filter(_.getName.endsWith(".json"))
+      .maxBy(_.getName)
+    val json = new String(
+      java.nio.file.Files.readAllBytes(manifest.toPath), "UTF-8")
+    json should include(""""stats":{""")
+    json should include(""""k":["n:""")
+    json should include(""""v":["s:""")
+    // the proof the read path plans from the MANIFEST, not footers:
+    // physically truncate a file the range excludes — a footer-based
+    // planner would crash opening it, the stats-in-log planner never
+    // touches it
+    val files = t.toDF.inputFiles.sorted
+    val lowRows = t.scanPruned("k", 1L, 50L).count()
+    val excluded = new java.io.File(new java.net.URI(files.last))
+    java.nio.file.Files.write(excluded.toPath, Array[Byte](0, 1, 2))
+    t.scanPruned("k", 1L, 50L).count() shouldBe lowRows
+    lowRows shouldBe 50L
+  }
+
+  test("countFast answers count(*) from the manifest; legacy falls back") {
+    val t = VersionedTable.create(spark, tmpDir("vt-countfast"),
+      (1 to 400).map(i => (i.toLong, s"s$i")).toDF("k", "v"))
+    t.countFast shouldBe 400L
+    t.append((401 to 450).map(i => (i.toLong, s"s$i")).toDF("k", "v"))
+    t.countFast shouldBe 450L
+    t.delete($"k" > 430L)
+    t.countFast shouldBe 430L
+    t.countFast shouldBe t.toDF.count()
+    // strip stats from the latest manifest: countFast must fall back to
+    // a real count, not a wrong sum
+    val logDir = new java.io.File(t.root, "_graft_log")
+    val manifest = logDir.listFiles.filter(_.getName.endsWith(".json"))
+      .maxBy(_.getName)
+    val json = new String(
+      java.nio.file.Files.readAllBytes(manifest.toPath), "UTF-8")
+    java.nio.file.Files.write(manifest.toPath,
+      json.replaceAll(""","stats":\{.*\}\}$""", "}").getBytes("UTF-8"))
+    new java.io.File(logDir, s".${manifest.getName}.crc").delete()
+    VersionedTable.open(spark, t.root).countFast shouldBe 430L
+  }
+
+  test("legacy manifests without stats still read and prune via footers") {
+    val t = VersionedTable.create(spark, tmpDir("vt-legacy"),
+      (1 to 100).map(i => (i.toLong, s"s$i")).toDF("k", "v"))
+    t.compact(numFiles = 4, clusterBy = Seq("k"))
+    // strip the stats field from the latest manifest, simulating a
+    // manifest written before stats-in-log
+    val logDir = new java.io.File(t.root, "_graft_log")
+    val manifest = logDir.listFiles.filter(_.getName.endsWith(".json"))
+      .maxBy(_.getName)
+    val json = new String(
+      java.nio.file.Files.readAllBytes(manifest.toPath), "UTF-8")
+    val stripped = json.replaceAll(""","stats":\{.*\}\}$""", "}")
+    stripped should not include """"stats""""
+    java.nio.file.Files.write(manifest.toPath, stripped.getBytes("UTF-8"))
+    // drop Hadoop local-FS's checksum sidecar — the out-of-band rewrite
+    // above invalidates it (a real legacy manifest has a matching crc)
+    new java.io.File(logDir, s".${manifest.getName}.crc").delete()
+    val t2 = VersionedTable.open(spark, t.root)
+    t2.scanPruned("k", 1L, 25L).count() shouldBe 25L
+    t2.toDF.count() shouldBe 100L
+  }
+
+  test("racing updates never lose silently: each reported success is visible") {
+    val t = VersionedTable.create(spark, tmpDir("vt-updrace"),
+      (1 to 100).map(i => (i.toLong, "old")).toDF("k", "v"))
+    import scala.concurrent._
+    import scala.concurrent.duration._
+    import scala.util.Try
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    // two handles update DISJOINT row sets concurrently; a lost commit
+    // race must THROW (updates derive their file list from the base
+    // version — unlike appends they cannot rebase), never commit a
+    // manifest that drops the winner's rows
+    val handles = Seq(1L -> "A", 2L -> "B").map { case (m, tag) =>
+      (m, tag, VersionedTable.open(spark, t.root))
+    }
+    val outcomes = Await.result(Future.sequence(handles.map {
+      case (m, tag, h) => Future(
+        (tag, Try(h.update($"k" % 10 === m, Map("v" -> lit(tag))))))
+    }), 120.seconds)
+    val won = outcomes.collect { case (tag, r) if r.isSuccess => tag }
+    won should not be empty
+    val vals = t.toDF.select("k", "v").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    // every SUCCESSFUL update's rows carry its tag; a failed one's don't
+    for ((m, tag, _) <- handles) {
+      val expected = if (won.contains(tag)) tag else "old"
+      (1 to 100).filter(_ % 10 == m)
+        .foreach(k => vals(k.toLong) shouldBe expected)
+    }
+    // untouched rows always survive
+    vals(5L) shouldBe "old"
+  }
+
   test("update applies under a RELATIVE table root (path qualification)") {
     val rel = s"target/vt-rel-${java.util.UUID.randomUUID().toString.take(8)}"
     try {
