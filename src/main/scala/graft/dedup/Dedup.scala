@@ -233,6 +233,23 @@ object Dedup {
           ((h1 + lit(i.toLong) * h2) % lit(1L << 48)).as(s"h$i")): _*)
   }
 
+  /** The cached one-pass hash frame [[minhashNearDups]] builds
+    * internally, exposed for pipelines that need BOTH the signature and
+    * the verify projections (e.g. q293's calibration study): one shingle
+    * explode + one md5 per occurrence feeds everything downstream.
+    */
+  def hashedShingleFrame(df: DataFrame, idCol: Column, textCol: Column,
+                         n: Int, k: Int): DataFrame =
+    cached(perShingleHashes(shinglesRaw(df, idCol, textCol, n), k))
+
+  /** Signatures from an existing [[hashedShingleFrame]] (the same
+    * aggregation [[minhashSignatures]] performs, minus the re-hash).
+    */
+  def signaturesOf(hashed: DataFrame, k: Int): DataFrame =
+    hashed.groupBy("id")
+      .agg(min(col("h0")).as("m0"),
+        (1 until k).map(i => min(col(s"h$i")).as(s"m$i")): _*)
+
   /** LSH banding: group the K signature columns into bands of `rowsPerBand`,
     * key each band by the concatenated min-hashes, and emit candidate
     * pairs sharing any band key. Equi-join on (band_idx, band_key) — no
@@ -310,10 +327,8 @@ object Dedup {
     // the shingle string never reaches a shuffle. Signatures aggregate the
     // raw multiset directly (min is multiset-invariant); the verify side
     // distincts the two-long (id, shash) projection.
-    val hashed = cached(perShingleHashes(shinglesRaw(df, idCol, textCol, n), k))
-    val sig = hashed.groupBy("id")
-      .agg(min(col("h0")).as("m0"),
-        (1 until k).map(i => min(col(s"h$i")).as(s"m$i")): _*)
+    val hashed = hashedShingleFrame(df, idCol, textCol, n, k)
+    val sig = signaturesOf(hashed, k)
     val cands = minhashCandidates(sig, k, rowsPerBand)
     val sh = hashed.select("id", "shash").distinct()
     val inter = cands

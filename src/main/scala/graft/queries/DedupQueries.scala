@@ -668,14 +668,15 @@ object DedupQueries {
         ORDER BY cs.t_pct"""))(
       (s, dir) => {
         val docs = T(s, dir, "documents")
-        val shRaw = Dedup.shinglesRaw(docs, col("doc_id"), col("text"), 3)
-        // cached: the distinct (id, shash) set feeds BOTH sides of the
-        // truth self-join plus the df census — uncached, the shingle
-        // explode pipeline runs three times
+        // ONE cached shingle-explode+md5 pass feeds the signature
+        // pipeline AND the verify/truth projections (the
+        // minhashNearDups sharing, externalized)
+        val hashed = Dedup.hashedShingleFrame(
+          docs, col("doc_id"), col("text"), 3, MinhashK)
         val sh = graft.ops.Frames.cached(
-          Dedup.shingleHashSet(docs, col("doc_id"), col("text"), 3))
+          hashed.select("id", "shash").distinct())
         val cand = Dedup.minhashCandidates(
-          Dedup.minhashSignatures(shRaw, MinhashK), MinhashK, RowsPerBand)
+          Dedup.signaturesOf(hashed, MinhashK), MinhashK, RowsPerBand)
         val cnt = Dedup.shingleCounts(sh)
         val inter = sh.select(col("id").as("id_a"), col("shash"))
           .join(sh.select(col("id").as("id_b"), col("shash")), "shash")

@@ -152,6 +152,36 @@ object VersionedQueries {
             .toDF("n_nationkey", "n_name", "n_regionkey"))
         t.upsert(source, keys = Seq("n_nationkey"))
         ordered(t.toDF)
+      }),
+
+    // TPC-H refresh functions RF1/RF2 on the versioned layer — the part
+    // of the TPC-H kit the 22 queries leave out: RF1 appends the "new
+    // sales" stream (one atomic commit, no base rewrite), RF2 deletes
+    // the "old sales" slice (file-pruned copy-on-write), then the
+    // priority rollup runs against the refreshed table. The oracle
+    // reconstructs the final state in pure SQL (base ∪ RF1 minus RF2),
+    // proving insert+delete composition is exact. countFast = the
+    // post-refresh row count from the manifest alone.
+    Q("q300_tpch_refresh", Q.sql("""
+        WITH refreshed AS (
+          SELECT * FROM orders WHERE NOT (o_orderkey % 97 = 0))
+        SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders,
+          CAST(sum(CAST(o_totalprice AS DECIMAL(27,4))) AS DOUBLE) AS revenue,
+          (SELECT CAST(count(*) AS BIGINT) FROM refreshed) AS table_rows
+        FROM refreshed
+        GROUP BY 1 ORDER BY 1"""))(
+      (s, dir) => {
+        val orders = Tables.load(s, dir, "orders")
+        val t = VersionedTable.create(s, scratch(s, "rf", dir),
+          orders.where(col("o_orderkey") % 100 =!= 0))
+        t.append(orders.where(col("o_orderkey") % 100 === 0)) // RF1
+        t.delete(col("o_orderkey") % 97 === 0)                // RF2
+        t.toDF.groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n_orders"),
+            sum(col("o_totalprice").cast("decimal(27,4)")).cast("double")
+              .as("revenue"),
+            lit(t.countFast).as("table_rows"))
+          .orderBy("o_orderpriority")
       })
   )
 }

@@ -310,6 +310,56 @@ object WarehouseQueries {
           .agg(sum(col("n_part")).as("n_orders"),
             sum(col("rev_part")).cast("double").as("revenue"))
           .orderBy("nation_key")
+      }),
+
+    // Join-cardinality estimation from hashed equi-width histograms —
+    // the cost-model primitive behind join reordering and AQE sizing:
+    // |A ⋈ B| is bounded above by Σ_b cA(b)·cB(b) over B=64 hash
+    // buckets of the join key (exact when no two keys share a bucket;
+    // the over_ratio column measures the collision slack). Two
+    // tiny-state aggregation passes + a 64-row join — the estimate
+    // costs O(histograms), the exact join costs the shuffle it predicts.
+    Q("q299_join_size_estimate", {
+      val h = graft.functions.PortableSql
+        .hexToLong("md5(CAST(o_custkey AS VARCHAR))", 12)
+      val hc = graft.functions.PortableSql
+        .hexToLong("md5(CAST(c_custkey AS VARCHAR))", 12)
+      Q.sql(s"""
+        WITH ha AS (
+          SELECT ($h) % 64 AS b, CAST(count(*) AS BIGINT) AS ca
+          FROM orders GROUP BY 1),
+        hb AS (
+          SELECT ($hc) % 64 AS b, CAST(count(*) AS BIGINT) AS cb
+          FROM customer GROUP BY 1),
+        est AS (
+          SELECT CAST(sum(ca * cb) AS BIGINT) AS est_rows
+          FROM ha JOIN hb USING (b)),
+        ex AS (
+          SELECT CAST(count(*) AS BIGINT) AS exact_rows
+          FROM orders JOIN customer ON o_custkey = c_custkey)
+        SELECT est_rows, exact_rows,
+          round(est_rows * 1.0 / exact_rows, 6) AS over_ratio
+        FROM est, ex""")
+    })(
+      (s, dir) => {
+        import graft.functions.Md5Long
+        val ha = T(s, dir, "orders")
+          .groupBy((Md5Long.md5PrefixLong(col("o_custkey").cast("string"), 0, 6)
+            % 64).as("b"))
+          .agg(count(lit(1)).as("ca"))
+        val hb = T(s, dir, "customer")
+          .groupBy((Md5Long.md5PrefixLong(col("c_custkey").cast("string"), 0, 6)
+            % 64).as("b"))
+          .agg(count(lit(1)).as("cb"))
+        val est = ha.join(hb, "b")
+          .agg(sum(col("ca") * col("cb")).as("est_rows"))
+        val ex = T(s, dir, "orders")
+          .join(T(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+          .agg(count(lit(1)).as("exact_rows"))
+        est.crossJoin(broadcast(ex))
+          .select(col("est_rows"), col("exact_rows"),
+            round(col("est_rows") * 1.0 / col("exact_rows"), 6)
+              .as("over_ratio"))
       })
   )
 }
