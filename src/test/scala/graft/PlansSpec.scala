@@ -43,6 +43,28 @@ class PlansSpec extends SparkSpec {
       .foreach(l => l should include("bucket"))
   }
 
+  test("round-7 query batch plans no cartesian products or nested-loop joins") {
+    // every join in these is an equi-join (bands, postings, buckets,
+    // keys) or an explicit broadcast — a cartesian/BNLJ appearing in any
+    // of them is the n² regression this pins against. (q291/q285-style
+    // single-row broadcast cross joins are excluded by design — those
+    // are model-sized fan-outs, not data×data.)
+    // q293's 5-row broadcast threshold fan-out and q299's single-row
+    // scalar cross join are legitimate model-sized nested-loops (the
+    // q285/q291 class) — they get the cartesian assertion only
+    val bnljFree = Set("q289_join_ivm", "q290_hits", "q295_winnowing")
+    for (q <- bnljFree ++ Seq("q293_dedup_calibration",
+        "q299_join_size_estimate")) {
+      spark.catalog.clearCache()
+      val plan = SparkEntry.queries(q)(spark, "/root/testdata/sf0.001")
+        .queryExecution.executedPlan.toString
+      withClue(s"$q:") {
+        plan should not include "CartesianProduct"
+        if (bnljFree(q)) plan should not include "BroadcastNestedLoopJoin"
+      }
+    }
+  }
+
   test("q294 fact scan carries a dynamicpruning partition filter (DPP fires)") {
     spark.catalog.clearCache()
     val plan = SparkEntry.queries("q294_dpp_join")(spark, "/root/testdata/sf0.001")
