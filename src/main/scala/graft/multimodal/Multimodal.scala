@@ -55,6 +55,31 @@ object Multimodal {
     * `stride`-th byte offset, up to `maxFrames` — the partition/batch shape
     * of a real frame sampler.
     */
+  /** Stub-decode → RESIZE (average-pool) feature extraction — the
+    * "thumbnail" step of a media pipeline with the codec stubbed by a
+    * deterministic fake decode: the payload's first `side`² characters
+    * (space-padded/truncated) are a `side`×`side` grayscale grid of
+    * codepoints, pooled `pool`×`pool` by integer-average. The Spark-side
+    * plumbing is the real thing — per-row grid explode (no shuffle),
+    * hash aggregation to (id, pool_y, pool_x) cells — and all math is
+    * exact integers, so a real decoder drops in by replacing ONE
+    * projection. Output: (id, pool_y, pool_x, pool_val).
+    */
+  def pooledFeatures(df: DataFrame, idCol: Column, payload: Column,
+                     side: Int = 16, pool: Int = 2): DataFrame = {
+    require(side % pool == 0, s"side $side must be divisible by pool $pool")
+    df.select(idCol.as("id"),
+        rpad(payload, side * side, " ").as("padded"))
+      .select(col("id"), col("padded"),
+        explode(sequence(lit(0), lit(side * side - 1))).as("pos"))
+      .select(col("id"),
+        (col("pos") / (side * pool)).cast("int").as("pool_y"),
+        ((col("pos") % side) / pool).cast("int").as("pool_x"),
+        expr("ascii(substr(padded, pos + 1, 1))").as("v"))
+      .groupBy("id", "pool_y", "pool_x")
+      .agg(expr(s"CAST(sum(v) DIV ${pool * pool} AS BIGINT)").as("pool_val"))
+  }
+
   def frameOffsets(nBytes: Column, stride: Int, maxFrames: Int): Column =
     slice(sequence(lit(0), greatest(nBytes - 1, lit(0)), lit(stride)),
       1, maxFrames)

@@ -769,6 +769,76 @@ object TextQueries {
             col("doc_id") % 5 =!= 0)
           .orderBy("id")),
 
+    // Perplexity-gate operating curve (the CCNet filtering decision,
+    // swept): held-out cross-entropy per doc (q271's scorer — the LM
+    // never saw the scored text) evaluated at four candidate cutoffs in
+    // one pass, reporting docs/tokens retained and their fractions —
+    // the q293 calibration pattern applied to QUALITY filtering: dedup
+    // has its threshold curve, the quality gate gets one too. Exact
+    // integer counts, single-division fractions.
+    Q("q302_quality_sweep", Q.sql(s"""
+        WITH toks AS (
+          SELECT doc_id AS id, (doc_id % 5 <> 0) AS is_train,
+            unnest(string_split_regex($normSql, '\\s+')) AS tok
+          FROM documents),
+        cnts AS (
+          SELECT tok, count(*) AS cnt FROM toks WHERE is_train GROUP BY 1),
+        model AS (
+          SELECT CAST(sum(cnt) AS BIGINT) AS t_total, count(*) AS v_size
+          FROM cnts),
+        lp AS (
+          SELECT tok,
+            round(ln((cnt + 1) * 1.0 / (t_total + v_size + 1)), 6) AS logp
+          FROM cnts CROSS JOIN model),
+        sc AS (
+          SELECT t.id,
+            coalesce(lp.logp, round(ln(1.0 / (t_total + v_size + 1)), 6)) AS l
+          FROM toks t LEFT JOIN lp USING (tok) CROSS JOIN model
+          WHERE NOT is_train),
+        ce AS (
+          SELECT id, count(*) AS n_tokens,
+            round((-(CAST(sum(CAST(l AS DECIMAL(27,6))) AS DOUBLE))) / count(*), 6)
+              AS cross_entropy
+          FROM sc GROUP BY id),
+        th AS (SELECT CAST(unnest([3.38, 3.4, 3.42, 3.45]) AS DOUBLE) AS cutoff),
+        tot AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_docs,
+            CAST(sum(n_tokens) AS BIGINT) AS n_toks
+          FROM ce),
+        kept AS (
+          SELECT cutoff,
+            CAST(sum(CASE WHEN cross_entropy <= cutoff THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_docs_kept,
+            CAST(sum(CASE WHEN cross_entropy <= cutoff THEN n_tokens ELSE 0 END)
+              AS BIGINT) AS n_tokens_kept
+          FROM ce, th GROUP BY 1)
+        SELECT cutoff, n_docs_kept, n_tokens_kept,
+          round(n_docs_kept * 1.0 / tot.n_docs, 6) AS frac_docs,
+          round(n_tokens_kept * 1.0 / tot.n_toks, 6) AS frac_tokens
+        FROM kept, tot ORDER BY cutoff"""))(
+      (s, dir) => {
+        val ce = graft.text.UnigramLm.heldoutCrossEntropy(
+          T(s, dir, "documents"), col("doc_id"), col("text"),
+          col("doc_id") % 5 =!= 0)
+        val th = s.range(1)
+          .select(explode(typedlit(Seq(3.38, 3.4, 3.42, 3.45))).as("cutoff"))
+        val tot = ce.agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("n_toks"))
+        ce.crossJoin(broadcast(th))
+          .groupBy("cutoff")
+          .agg(
+            sum(when(col("cross_entropy") <= col("cutoff"), 1L).otherwise(0L))
+              .as("n_docs_kept"),
+            sum(when(col("cross_entropy") <= col("cutoff"), col("n_tokens"))
+              .otherwise(0L)).as("n_tokens_kept"))
+          .crossJoin(broadcast(tot))
+          .select(col("cutoff"), col("n_docs_kept"), col("n_tokens_kept"),
+            round(col("n_docs_kept") * 1.0 / col("n_docs"), 6).as("frac_docs"),
+            round(col("n_tokens_kept") * 1.0 / col("n_toks"), 6)
+              .as("frac_tokens"))
+          .orderBy("cutoff")
+      }),
+
     // Language-ID evaluation: confusion-derived per-class metrics of the
     // q31 classifier against the labeled `lang` column. Three bounded
     // aggregations over the scored frame (classes, not rows); F1 is

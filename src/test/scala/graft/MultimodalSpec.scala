@@ -38,6 +38,24 @@ class MultimodalSpec extends SparkSpec {
     offs shouldBe Seq(0, 100, 200)
   }
 
+  test("pooledFeatures average-pools the stub-decoded grid exactly") {
+    // side=2, pool=2: one output cell = avg of the 4 codepoints
+    // 'a'=97 'b'=98 'c'=99 'e'=101 -> (97+98+99+101) DIV 4 = 98
+    val docs = Seq((7L, "abce")).toDF("id", "payload")
+    val r = Multimodal.pooledFeatures(docs, $"id", $"payload",
+      side = 2, pool = 2).head()
+    (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3)) shouldBe
+      (7L, 0, 0, 98L)
+    // short payloads pad with spaces (32): 'a'=97 + 3 spaces -> 193 DIV 4 = 48
+    val short = Multimodal.pooledFeatures(
+      Seq((1L, "a")).toDF("id", "payload"), $"id", $"payload", 2, 2).head()
+    short.getLong(3) shouldBe ((97L + 32 * 3) / 4)
+    // a 4x4 grid pools to 2x2 = 4 cells
+    Multimodal.pooledFeatures(
+      Seq((1L, "x" * 16)).toDF("id", "payload"), $"id", $"payload", 4, 2)
+      .count() shouldBe 4L
+  }
+
   test("nativeMeta matches the stub decode for ascii payloads") {
     val docs = Seq((1L, "AB hello")).toDF("doc_id", "text")
     val r = Multimodal.nativeMeta(docs, $"text").head()
