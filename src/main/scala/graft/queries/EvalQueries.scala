@@ -263,6 +263,127 @@ object EvalQueries {
             round(col("cnt").cast("double") /
               (col("total").cast("double") / col("n_keys")), 6).as("skew_factor"))
           .orderBy("rank")
+      }),
+
+    // Randomization tests with Benjamini-Hochberg FDR control — the
+    // multiple-testing discipline an experimentation platform needs: per
+    // event type t, H0 "mean(value) for type-t events equals the rest",
+    // tested by 12 seeded md5 relabelings (proportion-preserving in
+    // expectation: event e joins the pseudo-treatment iff
+    // md5_48(e|t|p)·N < n_t·2^48, an EXACT DECIMAL(38) comparison), with
+    // p = (1 + #{|diff_perm| ≥ |diff_obs|}) / 13. The BH step-up is then
+    // PURE INTEGER arithmetic: with p = c/13 and threshold rank·(q=1/4)/5
+    // = rank/20, the condition p ≤ rank·q/m becomes 20·c ≤ 13·rank —
+    // no float in the decision. Ranking the 5 p-values is a 5×5
+    // model-frame self-join (no window at all); all sums decimal-routed.
+    Q("q304_permutation_fdr", {
+      val perms = (0 until 12).mkString("[", ", ", "]")
+      Q.sql(s"""
+        WITH e AS (SELECT event_id, event_type, value FROM events),
+        tot AS (
+          SELECT CAST(count(*) AS BIGINT) AS n,
+            sum(CAST(value AS DECIMAL(27,8))) AS s
+          FROM e),
+        g AS (
+          SELECT event_type, CAST(count(*) AS BIGINT) AS n_t,
+            sum(CAST(value AS DECIMAL(27,8))) AS s_t
+          FROM e GROUP BY 1),
+        obs AS (
+          SELECT event_type, n_t,
+            (CAST(s_t AS DOUBLE) / n_t)
+              - (CAST(tot.s - s_t AS DOUBLE) / (tot.n - n_t)) AS diff_obs
+          FROM g, tot),
+        pp AS (SELECT unnest($perms) AS p),
+        asg AS (
+          SELECT g.event_type, pp.p, e.value,
+            (CAST(${graft.functions.PortableSql.hexToLong(
+              "md5(CAST(e.event_id AS VARCHAR) || '|' || g.event_type || '|' || CAST(pp.p AS VARCHAR))",
+              12)} AS DECIMAL(38,0)) * tot.n
+              < CAST(g.n_t AS DECIMAL(38,0)) * ${1L << 48}) AS a
+          FROM e, g, pp, tot),
+        pd AS (
+          SELECT event_type, p,
+            (CAST(sum(CASE WHEN a THEN CAST(value AS DECIMAL(27,8))
+                ELSE 0 END) AS DOUBLE)
+              / sum(CASE WHEN a THEN 1 ELSE 0 END))
+            - (CAST(sum(CASE WHEN a THEN 0
+                ELSE CAST(value AS DECIMAL(27,8)) END) AS DOUBLE)
+              / sum(CASE WHEN a THEN 0 ELSE 1 END)) AS diff_p
+          FROM asg GROUP BY 1, 2),
+        cc AS (
+          SELECT o.event_type, o.n_t, o.diff_obs,
+            CAST(1 + sum(CASE WHEN abs(pd.diff_p) >= abs(o.diff_obs)
+              THEN 1 ELSE 0 END) AS BIGINT) AS c
+          FROM obs o JOIN pd ON pd.event_type = o.event_type
+          GROUP BY 1, 2, 3),
+        rk AS (
+          SELECT a.event_type, a.n_t, a.diff_obs, a.c,
+            CAST(count(*) AS BIGINT) AS rank
+          FROM cc a JOIN cc b
+            ON b.c < a.c OR (b.c = a.c AND b.event_type <= a.event_type)
+          GROUP BY 1, 2, 3, 4),
+        khat AS (
+          SELECT coalesce(max(rank), CAST(0 AS BIGINT)) AS k
+          FROM rk WHERE 20 * c <= 13 * rank)
+        SELECT event_type, n_t, round(diff_obs, 6) AS diff_obs, c,
+          round(c / 13.0, 6) AS p_value,
+          rank, CAST(rank <= khat.k AS INT) AS rejected
+        FROM rk, khat
+        ORDER BY event_type""")
+    })(
+      (s, dir) => {
+        import graft.functions.Md5Long
+        val e = T(s, dir, "events")
+          .select(col("event_id"), col("event_type"), col("value"))
+        val tot = e.agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(27,8)")).as("s"))
+        val g = e.groupBy("event_type")
+          .agg(count(lit(1)).as("n_t"),
+            sum(col("value").cast("decimal(27,8)")).as("s_t"))
+        val obs = g.crossJoin(broadcast(tot))
+          .select(col("event_type"), col("n_t"),
+            ((col("s_t").cast("double") / col("n_t"))
+              - ((col("s") - col("s_t")).cast("double")
+                / (col("n") - col("n_t")))).as("diff_obs"))
+        val pp = s.range(1)
+          .select(explode(typedlit((0 until 12).toList)).as("p"))
+        val h = Md5Long.md5PrefixLong(
+          concat(col("event_id").cast("string"), lit("|"),
+            col("t_type"), lit("|"), col("p").cast("string")), 0, 6)
+        val asg = e
+          .crossJoin(broadcast(g.select(col("event_type").as("t_type"),
+            col("n_t"))))
+          .crossJoin(broadcast(pp))
+          .crossJoin(broadcast(tot.select(col("n"))))
+          .select(col("t_type"), col("p"), col("value"),
+            (h.cast("decimal(38,0)") * col("n")
+              < col("n_t").cast("decimal(38,0)") * lit(1L << 48)).as("a"))
+        val pd = asg.groupBy(col("t_type").as("event_type"), col("p"))
+          .agg(
+            ((sum(when(col("a"), col("value").cast("decimal(27,8)"))
+              .otherwise(lit(0))).cast("double")
+              / sum(when(col("a"), 1).otherwise(0)))
+            - (sum(when(col("a"), lit(0))
+              .otherwise(col("value").cast("decimal(27,8)"))).cast("double")
+              / sum(when(col("a"), 0).otherwise(1)))).as("diff_p"))
+        val cc = obs.join(pd, "event_type")
+          .groupBy("event_type", "n_t", "diff_obs")
+          .agg((lit(1L) + sum(when(abs(col("diff_p")) >= abs(col("diff_obs")),
+            1L).otherwise(0L))).as("c"))
+        val rk = cc.as("a").join(cc.select(col("event_type").as("b_type"),
+            col("c").as("b_c")),
+            col("b_c") < col("c") ||
+              (col("b_c") === col("c") && col("b_type") <= col("event_type")))
+          .groupBy("event_type", "n_t", "diff_obs", "c")
+          .agg(count(lit(1)).as("rank"))
+        val khat = rk.where(lit(20) * col("c") <= lit(13) * col("rank"))
+          .agg(coalesce(max(col("rank")), lit(0L)).as("k"))
+        rk.crossJoin(broadcast(khat))
+          .select(col("event_type"), col("n_t"),
+            round(col("diff_obs"), 6).as("diff_obs"), col("c"),
+            round(col("c") / lit(13.0), 6).as("p_value"),
+            col("rank"), (col("rank") <= col("k")).cast("int").as("rejected"))
+          .orderBy("event_type")
       })
   )
 }

@@ -187,5 +187,65 @@ object RankQueries {
           round((col("rank_sum_pos") -
             col("n_pos").cast("double") * (col("n_pos") + 1) / 2) /
             (col("n_pos").cast("double") * col("n_neg")), 6).as("auc"))
+      }),
+
+    // Average precision (the PR-curve summary, q205's ROC companion —
+    // AP weights errors by rank, the metric retrieval/filtering actually
+    // optimizes): rank docs by quality DESC, AP = mean over positives of
+    // precision@its-rank. Both cumulative counts (rank k AND running
+    // true positives) come from ONE distributed-prefix pass
+    // (Prefix.runningTotals — no unpartitioned window); per-positive
+    // terms tp/k are 9-dp rounded then DECIMAL-summed, one final
+    // division. Ties broken by doc_id (a concrete ranking, stated).
+    Q("q303_average_precision", Q.sql("""
+        WITH scored AS (
+          SELECT doc_id,
+            CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos,
+            round(least(n_tokens / 100.0, 1.0) * 0.4
+              + (alpha / n_chr) * 0.4
+              + (1.0 - least(symbols * 5.0 / n_chr, 1.0)) * 0.2, 6) AS quality
+          FROM (
+            SELECT doc_id, lang,
+              CAST(len(string_split_regex(trim(text), '\s+')) AS INT) AS n_tokens,
+              CAST(length(text) AS DOUBLE) AS n_chr,
+              CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE) AS alpha,
+              CAST(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS DOUBLE) AS symbols
+            FROM documents) t),
+        r AS (
+          SELECT pos,
+            row_number() OVER (ORDER BY quality * -1, doc_id) AS k,
+            sum(pos) OVER (ORDER BY quality * -1, doc_id
+              ROWS UNBOUNDED PRECEDING) AS tp
+          FROM scored),
+        terms AS (
+          SELECT CAST(round(tp * 1.0 / k, 9) AS DECIMAL(27,9)) AS term
+          FROM r WHERE pos = 1),
+        np AS (
+          SELECT CAST(sum(pos) AS BIGINT) AS n_pos,
+            CAST(count(*) AS BIGINT) AS n
+          FROM scored)
+        SELECT n_pos, n,
+          round(CAST((SELECT sum(term) FROM terms) AS DOUBLE) / n_pos, 6)
+            AS avg_precision
+        FROM np"""))(
+      (s, dir) => {
+        import graft.text.TextAnalysis
+        val scored = T(s, dir, "documents")
+          .select(col("doc_id"),
+            when(col("lang") === "en", 1).otherwise(0).as("pos"),
+            TextAnalysis.qualityScore(col("text")).as("quality"))
+        val r = graft.ops.Prefix.runningTotals(scored,
+          Seq(col("quality") * -1, col("doc_id")),
+          Seq((lit(1L), "k"), (col("pos").cast("long"), "tp")))
+        val termSum = r.where(col("pos") === 1)
+          .select(round(col("tp") * 1.0 / col("k"), 9)
+            .cast("decimal(27,9)").as("term"))
+          .agg(sum(col("term")).as("s"))
+        val np = scored.agg(sum(col("pos")).cast("long").as("n_pos"),
+          count(lit(1)).as("n"))
+        np.crossJoin(broadcast(termSum))
+          .select(col("n_pos"), col("n"),
+            round(col("s").cast("double") / col("n_pos"), 6)
+              .as("avg_precision"))
       }))
 }
