@@ -268,47 +268,61 @@ object EvalQueries {
     // Randomization tests with Benjamini-Hochberg FDR control — the
     // multiple-testing discipline an experimentation platform needs: per
     // event type t, H0 "mean(value) for type-t events equals the rest",
-    // tested by 12 seeded md5 relabelings (proportion-preserving in
-    // expectation: event e joins the pseudo-treatment iff
-    // md5_48(e|t|p)·N < n_t·2^48, an EXACT DECIMAL(38) comparison), with
+    // tested by 12 seeded relabelings (proportion-preserving in
+    // expectation: event e joins the pseudo-treatment iff u_p < the
+    // per-type threshold n_t·2^48/N — five doubles computed once, the
+    // identical IEEE expression both engines, compared against the
+    // exactly-representable u_p = (h1 + p·h2) mod 2^48, which
+    // double-hashes the two 48-bit halves of ONE md5(e|t): the 60×
+    // fan-out pays one digest and one long-vs-double compare), with
     // p = (1 + #{|diff_perm| ≥ |diff_obs|}) / 13. The BH step-up is then
     // PURE INTEGER arithmetic: with p = c/13 and threshold rank·(q=1/4)/5
     // = rank/20, the condition p ≤ rank·q/m becomes 20·c ≤ 13·rank —
     // no float in the decision. Ranking the 5 p-values is a 5×5
-    // model-frame self-join (no window at all); all sums decimal-routed.
+    // model-frame self-join (no window at all); values carry as exact 4-dp fixed-point LONGS, so every sum is order-independent integer arithmetic.
     Q("q304_permutation_fdr", {
       val perms = (0 until 12).mkString("[", ", ", "]")
       Q.sql(s"""
-        WITH e AS (SELECT event_id, event_type, value FROM events),
+        WITH e AS (
+          SELECT event_id, event_type,
+            CAST(floor(value * 10000 + 0.5) AS BIGINT) AS v
+          FROM events),
         tot AS (
-          SELECT CAST(count(*) AS BIGINT) AS n,
-            sum(CAST(value AS DECIMAL(27,8))) AS s
+          SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(v) AS BIGINT) AS s
           FROM e),
         g AS (
           SELECT event_type, CAST(count(*) AS BIGINT) AS n_t,
-            sum(CAST(value AS DECIMAL(27,8))) AS s_t
+            CAST(sum(v) AS BIGINT) AS s_t
           FROM e GROUP BY 1),
         obs AS (
           SELECT event_type, n_t,
-            (CAST(s_t AS DOUBLE) / n_t)
-              - (CAST(tot.s - s_t AS DOUBLE) / (tot.n - n_t)) AS diff_obs
+            ((CAST(s_t AS DOUBLE) / n_t)
+              - (CAST(tot.s - s_t AS DOUBLE) / (tot.n - n_t))) / 10000.0
+              AS diff_obs
           FROM g, tot),
         pp AS (SELECT unnest($perms) AS p),
+        gt AS (
+          SELECT event_type, n_t,
+            CAST(n_t AS DOUBLE) * ${1L << 48} / tot.n AS thr
+          FROM g, tot),
+        hh AS (
+          SELECT gt.event_type, gt.thr, e.v,
+            ${graft.functions.PortableSql.hexToLong(
+              "md5(CAST(e.event_id AS VARCHAR) || '|' || gt.event_type)", 12)} AS h1,
+            ${graft.functions.PortableSql.hexToLong(
+              "substr(md5(CAST(e.event_id AS VARCHAR) || '|' || gt.event_type), 13, 12)",
+              12)} AS h2
+          FROM e, gt),
         asg AS (
-          SELECT g.event_type, pp.p, e.value,
-            (CAST(${graft.functions.PortableSql.hexToLong(
-              "md5(CAST(e.event_id AS VARCHAR) || '|' || g.event_type || '|' || CAST(pp.p AS VARCHAR))",
-              12)} AS DECIMAL(38,0)) * tot.n
-              < CAST(g.n_t AS DECIMAL(38,0)) * ${1L << 48}) AS a
-          FROM e, g, pp, tot),
+          SELECT event_type, pp.p, v,
+            ((h1 + pp.p * h2) % ${1L << 48} < thr) AS a
+          FROM hh, pp),
         pd AS (
           SELECT event_type, p,
-            (CAST(sum(CASE WHEN a THEN CAST(value AS DECIMAL(27,8))
-                ELSE 0 END) AS DOUBLE)
+            ((CAST(sum(CASE WHEN a THEN v ELSE 0 END) AS DOUBLE)
               / sum(CASE WHEN a THEN 1 ELSE 0 END))
-            - (CAST(sum(CASE WHEN a THEN 0
-                ELSE CAST(value AS DECIMAL(27,8)) END) AS DOUBLE)
-              / sum(CASE WHEN a THEN 0 ELSE 1 END)) AS diff_p
+            - (CAST(sum(CASE WHEN a THEN 0 ELSE v END) AS DOUBLE)
+              / sum(CASE WHEN a THEN 0 ELSE 1 END))) / 10000.0 AS diff_p
           FROM asg GROUP BY 1, 2),
         cc AS (
           SELECT o.event_type, o.n_t, o.diff_obs,
@@ -333,39 +347,57 @@ object EvalQueries {
     })(
       (s, dir) => {
         import graft.functions.Md5Long
+        // value in exact 4-dp fixed point: every sum is a plain LONG —
+        // order-independent AND fast (a 6M-row DECIMAL(27,8) sum ran
+        // ~3x slower); the /10000.0 rescale is one deterministic
+        // division at the end of each mean
         val e = T(s, dir, "events")
-          .select(col("event_id"), col("event_type"), col("value"))
-        val tot = e.agg(count(lit(1)).as("n"),
-          sum(col("value").cast("decimal(27,8)")).as("s"))
+          .select(col("event_id"), col("event_type"),
+            floor(col("value") * 10000 + 0.5).cast("long").as("v"))
+        val tot = e.agg(count(lit(1)).as("n"), sum(col("v")).as("s"))
         val g = e.groupBy("event_type")
-          .agg(count(lit(1)).as("n_t"),
-            sum(col("value").cast("decimal(27,8)")).as("s_t"))
+          .agg(count(lit(1)).as("n_t"), sum(col("v")).as("s_t"))
         val obs = g.crossJoin(broadcast(tot))
           .select(col("event_type"), col("n_t"),
-            ((col("s_t").cast("double") / col("n_t"))
+            (((col("s_t").cast("double") / col("n_t"))
               - ((col("s") - col("s_t")).cast("double")
-                / (col("n") - col("n_t")))).as("diff_obs"))
-        val pp = s.range(1)
-          .select(explode(typedlit((0 until 12).toList)).as("p"))
-        val h = Md5Long.md5PrefixLong(
-          concat(col("event_id").cast("string"), lit("|"),
-            col("t_type"), lit("|"), col("p").cast("string")), 0, 6)
-        val asg = e
-          .crossJoin(broadcast(g.select(col("event_type").as("t_type"),
-            col("n_t"))))
-          .crossJoin(broadcast(pp))
-          .crossJoin(broadcast(tot.select(col("n"))))
-          .select(col("t_type"), col("p"), col("value"),
-            (h.cast("decimal(38,0)") * col("n")
-              < col("n_t").cast("decimal(38,0)") * lit(1L << 48)).as("a"))
+                / (col("n") - col("n_t")))) / 10000.0).as("diff_obs"))
+        // ONE md5 per (event, test); the 12 per-permutation hashes are
+        // double-hashed (h1 + p·h2 mod 2^48, Kirsch-Mitzenmacher — the
+        // minhash/bloom trick). The 5× type fan-out rides a constant-key
+        // BroadcastHashJoin and the 12× perm fan-out a generator explode
+        // — both stay inside whole-stage codegen, where a crossJoin
+        // chain would run the 6M-row pipeline through nested-loop
+        // iterators (~4× slower measured).
+        val key = concat(col("event_id").cast("string"), lit("|"),
+          col("t_type"))
+        // the per-type threshold u < n_t·2^48/N is computed ONCE per
+        // test as a double (deterministic: same IEEE expression both
+        // engines; u < 2^48 is exact as a double) — a per-row
+        // DECIMAL(38) product here cost ~5s on the 6M-row fan-out
+        val gt = g.crossJoin(broadcast(tot.select(col("n"))))
+          .select(col("event_type").as("t_type"),
+            (col("n_t").cast("double") * lit((1L << 48).toDouble)
+              / col("n")).as("thr"))
+        val hh = e.withColumn("j", lit(1))
+          .join(broadcast(gt.withColumn("j", lit(1))), "j")
+          .select(col("t_type"), col("thr"), col("v"),
+            Md5Long.md5PrefixLong(key, 0, 6).as("h1"),
+            Md5Long.md5PrefixLong(key, 6, 6).as("h2"))
+        val asg = hh
+          .withColumn("p", explode(typedlit((0 until 12).toList)))
+          .select(col("t_type"), col("p"), col("v"),
+            (((col("h1") + col("p") * col("h2")) % lit(1L << 48))
+              < col("thr")).as("a"))
         val pd = asg.groupBy(col("t_type").as("event_type"), col("p"))
           .agg(
-            ((sum(when(col("a"), col("value").cast("decimal(27,8)"))
-              .otherwise(lit(0))).cast("double")
+            (((sum(when(col("a"), col("v")).otherwise(lit(0L)))
+              .cast("double")
               / sum(when(col("a"), 1).otherwise(0)))
-            - (sum(when(col("a"), lit(0))
-              .otherwise(col("value").cast("decimal(27,8)"))).cast("double")
-              / sum(when(col("a"), 0).otherwise(1)))).as("diff_p"))
+            - (sum(when(col("a"), lit(0L)).otherwise(col("v")))
+              .cast("double")
+              / sum(when(col("a"), 0).otherwise(1)))) / 10000.0)
+              .as("diff_p"))
         val cc = obs.join(pd, "event_type")
           .groupBy("event_type", "n_t", "diff_obs")
           .agg((lit(1L) + sum(when(abs(col("diff_p")) >= abs(col("diff_obs")),
