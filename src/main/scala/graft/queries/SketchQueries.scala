@@ -425,6 +425,64 @@ object SketchQueries {
           .select(col("event_type"), col("n_words"), col("bitmap_distinct"),
             col("exact_distinct"))
           .orderBy("event_type")
+      }),
+
+    // HLL precision sizing sweep — the third sizing study (q285 sizes a
+    // bloom filter, q286 a watermark, this one an HLL): the per-type
+    // distinct-user estimate at p ∈ {4, 6, 8} (16/64/256 registers) with
+    // its relative error, from ONE shared md5 pass — the measurement
+    // that picks a register budget before trusting sketch counts across
+    // a 100 TB fleet. Every estimator is the q125 dyadic-exact shape,
+    // replayed per precision by the oracle.
+    Q("q305_hll_precision_sweep", {
+      val hx = PortableSql.hexToLong("md5(CAST(user_id AS VARCHAR))", 12)
+      def regs(p: Int): String = {
+        val mi = 1 << p
+        val maxRho = 48 - p + 1
+        val w = s"CAST(floor(h / $mi) AS BIGINT)"
+        s"""r$p AS (
+          SELECT event_type, h % $mi AS bucket,
+            max(CASE WHEN $w = 0 THEN $maxRho
+                 ELSE CAST(bit_count(($w & (-($w))) - 1) AS BIGINT) + 1 END)
+              AS max_rho
+          FROM h GROUP BY 1, 2)"""
+      }
+      Q.sql(s"""
+        WITH h AS (SELECT event_type, $hx AS h FROM events),
+        ${regs(4)}, ${regs(6)}, ${regs(8)},
+        ${Hll.oracleEstimatorCtes("e4", "r4", "event_type", 4)},
+        ${Hll.oracleEstimatorCtes("e6", "r6", "event_type", 6)},
+        ${Hll.oracleEstimatorCtes("e8", "r8", "event_type", 8)},
+        ex AS (
+          SELECT event_type, count(DISTINCT user_id) AS exact_n
+          FROM events GROUP BY 1),
+        un AS (
+          SELECT 4 AS p, 16 AS m, event_type, est FROM e4
+          UNION ALL SELECT 6, 64, event_type, est FROM e6
+          UNION ALL SELECT 8, 256, event_type, est FROM e8)
+        SELECT un.p, un.m, un.event_type AS event_type, ex.exact_n,
+          round(est, 6) AS hll_est,
+          round(abs(est - exact_n) / exact_n, 6) AS rel_err
+        FROM un JOIN ex ON ex.event_type = un.event_type
+        ORDER BY p, un.event_type""")
+    })(
+      (s, dir) => {
+        val e = T(s, dir, "events")
+        val exact = e.groupBy("event_type")
+          .agg(countDistinct(col("user_id")).as("exact_n"))
+        val sweep = Seq(4, 6, 8).map { p =>
+          Hll.estimateBy(
+              Hll.registersBy(e, col("user_id"), Seq("event_type"), p),
+              Seq("event_type"), p)
+            .select(lit(p).as("p"), lit(1 << p).as("m"),
+              col("event_type"), col("hll_est"))
+        }.reduce(_ unionByName _)
+        sweep.join(exact, "event_type")
+          .select(col("p"), col("m"), col("event_type"), col("exact_n"),
+            round(col("hll_est"), 6).as("hll_est"),
+            round(abs(col("hll_est") - col("exact_n")) / col("exact_n"), 6)
+              .as("rel_err"))
+          .orderBy("p", "event_type")
       })
   )
 }
