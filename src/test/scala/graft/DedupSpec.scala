@@ -229,4 +229,26 @@ class DedupSpec extends SparkSpec {
     Dedup.dedupByBest(scored, $"doc_id", $"score", pairs).count() shouldBe
       Dedup.dedupByComponents(scored, $"doc_id", pairs).count()
   }
+
+  test("signaturesOf over hashedShingleFrame equals minhashSignatures (shared-pass refactor)") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox leaps over the lazy dog"),
+      (3L, "completely different content here entirely now"))
+      .toDF("doc_id", "text")
+    val k = 6
+    val direct = Dedup.minhashSignatures(
+        Dedup.shinglesRaw(docs, $"doc_id", $"text", 3), k)
+      .collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    val hashed = Dedup.hashedShingleFrame(docs, $"doc_id", $"text", 3, k)
+    val shared = Dedup.signaturesOf(hashed, k)
+      .collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    shared shouldBe direct
+    // and the verify projection from the SAME pass equals shingleHashSet
+    val viaShared = hashed.select("id", "shash").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val viaDirect = Dedup.shingleHashSet(docs, $"doc_id", $"text", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    viaShared shouldBe viaDirect
+  }
 }
