@@ -69,11 +69,12 @@ object GraftFunctions {
           "graft_dd_sketch(value, gamma) takes 2 arguments")
         require(exprs(1).foldable, "gamma must be a literal")
         val gamma = exprs(1).eval() match {
-          case d: java.lang.Double => d.doubleValue()
-          case d: java.math.BigDecimal => d.doubleValue()
           case d: Decimal => d.toDouble
+          // any JVM numeric literal — double, decimal, AND integers
+          // (graft_dd_sketch(v, 2) is a legal exact-power-of-gamma ask)
+          case n: java.lang.Number => n.doubleValue()
           case other => throw new IllegalArgumentException(
-            s"gamma must be numeric, got $other")
+            s"gamma must be a numeric literal, got $other")
         }
         DDSketchAgg.Sketch(exprs.head, gamma)
       }))

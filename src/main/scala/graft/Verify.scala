@@ -22,6 +22,25 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // canonical per-query content hash (round-7 verdict ask): sha256 over
+    // the WRITTEN parquet re-read, columns sorted by name, each row
+    // rendered with to_json (deterministic for a given Spark version),
+    // rows sorted lexicographically. A builder-side run and a driver-side
+    // run of Verify at the same commit/SF can now be diffed hash-for-hash
+    // without re-deriving anything through pandas.
+    val rowHashes = scala.collection.mutable.LinkedHashMap[String, String]()
+    def canonicalHash(path: String): String = {
+      import org.apache.spark.sql.functions.{to_json, struct, col}
+      val df = spark.read.parquet(path)
+      val cols = df.columns.sorted.map(col).toIndexedSeq
+      val lines = df.select(to_json(struct(cols: _*)).as("j"))
+        .collect().map(_.getString(0)).sorted
+      val md = java.security.MessageDigest.getInstance("SHA-256")
+      lines.foreach { l =>
+        md.update(l.getBytes("UTF-8")); md.update('\n'.toByte)
+      }
+      md.digest().map(b => f"$b%02x").mkString
+    }
     SparkEntry.queries
       .filter { case (name, _) => nameFilter.forall(name.startsWith) }
       .foreach { case (name, fn) =>
@@ -31,8 +50,11 @@ object Verify {
       // driver contract: result lands at outDir/<name>.parquet (a parquet
       // directory with that literal name — readable by pyarrow/duckdb
       // either as a dir or via <name>.parquet/*.parquet)
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name.parquet")
+      try {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name.parquet")
+        rowHashes(name) = canonicalHash(s"$outDir/$name.parquet")
+      }
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
@@ -69,6 +91,20 @@ object Verify {
     SparkEntry.oracleSql.foreach { case (k, v) =>
       Files.writeString(Paths.get(s"$outDir/$k.sql"), v)
     }
+    // canonical hashes + engine-version stamp: makes a builder run and a
+    // driver run directly comparable (which side diverged, and on what
+    // engine version) instead of reconstructing via pandas
+    Files.writeString(Paths.get(s"$outDir/row_hashes.json"),
+      rowHashes.map { case (k, v) => s"${q(k)}: ${q(v)}" }
+        .mkString("{", ",", "}"))
+    Files.writeString(Paths.get(s"$outDir/env.json"),
+      Seq(
+        "spark" -> spark.version,
+        "java" -> System.getProperty("java.version"),
+        "scala" -> scala.util.Properties.versionNumberString,
+        "timezone" -> spark.conf.get("spark.sql.session.timeZone"))
+        .map { case (k, v) => s"${q(k)}: ${q(v)}" }
+        .mkString("{", ",", "}"))
     spark.stop()
   }
 }

@@ -37,12 +37,13 @@ object DDSketchAgg {
     StructField("zero", LongType, nullable = false)))
 
   /** `sketch(v, gamma)` — aggregate Column over a double value column. */
-  def sketch(v: Column, gamma: Double): Column =
+  def sketch(v: Column, gamma: Double, maxBins: Int = 4096): Column =
     GraftSqlBridge.column(
-      Sketch(GraftSqlBridge.expression(v), gamma)
+      Sketch(GraftSqlBridge.expression(v), gamma, maxBins)
         .toAggregateExpression(isDistinct = false))
 
   case class Sketch(child: Expression, gamma: Double,
+                    maxBins: Int = 4096,
                     mutableAggBufferOffset: Int = 0,
                     inputAggBufferOffset: Int = 0)
       extends TypedImperativeAggregate[Buf] {
@@ -72,6 +73,26 @@ object DDSketchAgg {
     override def createAggregationBuffer(): Buf =
       new Buf(mutable.LongMap.empty, mutable.LongMap.empty, 0L)
 
+    /** [[graft.sketch.Quantiles.Sketch.collapsed]]'s policy on the
+      * mutable store: when the positive store exceeds `maxBins`, fold
+      * the LOWEST buckets into the lowest kept one — upper quantiles
+      * keep their gamma guarantee, state stays O(maxBins) on
+      * unbounded-range inputs. A no-op below the cap, so the
+      * spec-proven identity with `Quantiles.Agg` holds exactly (same
+      * cap, same policy, same default).
+      */
+    private def collapse(m: mutable.LongMap[Long]): Unit =
+      if (m.size > maxBins) {
+        val keys = m.keys.toArray
+        java.util.Arrays.sort(keys)
+        val nLow = keys.length - maxBins
+        val floorIdx = keys(nLow)
+        var folded = 0L
+        var i = 0
+        while (i < nLow) { folded += m(keys(i)); m -= keys(i); i += 1 }
+        m(floorIdx) = m(floorIdx) + folded
+      }
+
     override def update(b: Buf, input: InternalRow): Buf = {
       val v = child.eval(input)
       if (v != null) {
@@ -80,6 +101,7 @@ object DDSketchAgg {
         else if (d > 0) {
           val i = graft.sketch.Quantiles.bucketOf(d, gamma).toLong
           b.pos(i) = b.pos.getOrElse(i, 0L) + 1
+          collapse(b.pos)
         } else {
           val i = graft.sketch.Quantiles.bucketOf(-d, gamma).toLong
           b.neg(i) = b.neg.getOrElse(i, 0L) + 1
@@ -92,6 +114,7 @@ object DDSketchAgg {
       b.pos.foreach { case (k, v) => a.pos(k) = a.pos.getOrElse(k, 0L) + v }
       b.neg.foreach { case (k, v) => a.neg(k) = a.neg.getOrElse(k, 0L) + v }
       a.zero += b.zero
+      collapse(a.pos)
       a
     }
 

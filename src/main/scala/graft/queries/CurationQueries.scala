@@ -198,8 +198,13 @@ object CurationQueries {
     // 2 full rounds. Unnormalized integer power iteration — every score
     // an exact DECIMAL(38,0) path count, the whole recurrence replayed
     // in the oracle's CTE chain (see graph.Hits for why dropping the
-    // rank-invariant L2 normalization makes this FP-free); `share` is
-    // the one IEEE division at the end. Windows partition by side.
+    // rank-invariant L2 normalization makes this FP-free); `share_ppm`
+    // keeps even the last mile FP-free: round-half-up((score/mx)*1e6)
+    // computed as the integer floor((2*score*1e6 + mx) / (2*mx)) over
+    // exact decimals — there is NO floating-point value anywhere in the
+    // result, so the driver hash cannot drift across engines or
+    // library versions (round-7 flake-proofing). Windows partition by
+    // side.
     Q("q290_hits", Q.sql(s"""
         WITH edges AS (
           SELECT DISTINCT l_suppkey AS src, l_partkey AS dst FROM lineitem),
@@ -214,7 +219,8 @@ object CurationQueries {
               AS rank
           FROM sides)
         SELECT side, node, score,
-          round(CAST(score AS DOUBLE) / CAST(mx AS DOUBLE), 6) AS share,
+          CAST((2 * CAST(score AS HUGEINT) * 1000000 + CAST(mx AS HUGEINT))
+               // (2 * CAST(mx AS HUGEINT)) AS BIGINT) AS share_ppm,
           rank
         FROM w WHERE rank <= 10 ORDER BY side, rank"""))(
       (s, dir) => {
@@ -233,8 +239,10 @@ object CurationQueries {
             bySide.orderBy(col("score").desc, col("node"))))
           .where(col("rank") <= 10)
           .select(col("side"), col("node"), col("score"),
-            round(col("score").cast("double") / col("mx").cast("double"), 6)
-              .as("share"),
+            // integral div of exact decimals -> LONG; identical integer
+            // round-half-up in both engines, zero IEEE involvement
+            expr("""CAST((2 * score * 1000000L + mx) div (2 * mx)
+                    AS BIGINT)""").as("share_ppm"),
             col("rank"))
           .orderBy("side", "rank")
       }),

@@ -176,8 +176,11 @@ object TextQueries {
     // ≥ w+k−1 tokens shares a fingerprint, expected density 2/(w+1) —
     // the sublinear fingerprint index a plagiarism/mirror detector
     // builds INSTEAD of indexing every k-gram. Windows partition by doc.
-    // Positions must fit the 4096 packing (docs here are ≤4k tokens;
-    // shard longer docs before fingerprinting).
+    // Positions pack below the 48-bit hash with multiplier 2^15 — the
+    // exact headroom a 63-bit positive long leaves ((2^48-1)*2^15 +
+    // 32767 = 2^63-1) — and a GUARDED branch raises on pos >= 32768 in
+    // BOTH engines, so an oversized doc fails loudly instead of
+    // fingerprinting wrong (shard longer docs before fingerprinting).
     Q("q295_winnowing", Q.sql(s"""
         WITH w AS (
           SELECT doc_id AS id,
@@ -191,7 +194,9 @@ object TextQueries {
           FROM w, LATERAL (
             SELECT unnest(generate_series(1, greatest(len(ws) - 3, 0))) AS pos) t),
         sel AS (
-          SELECT id, min(h * 4096 + pos) OVER (
+          SELECT id, min(CASE WHEN pos < 32768 THEN h * 32768 + pos
+            ELSE error('winnowing: doc exceeds 32767 k-grams; shard it')
+            END) OVER (
             PARTITION BY id ORDER BY pos
             ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS m
           FROM kg),
@@ -227,8 +232,11 @@ object TextQueries {
           .select(col("id"), (col("pos0") + 1).as("pos"),
             graft.functions.Hashing.hash48(col("shingle")).as("h")))
         val win = Window.partitionBy("id").orderBy("pos").rowsBetween(-3, 0)
+        val packed = when(col("pos") < 32768, col("h") * 32768 + col("pos"))
+          .otherwise(raise_error(
+            lit("winnowing: doc exceeds 32767 k-grams; shard it")).cast("long"))
         val fp = kg
-          .select(col("id"), min(col("h") * 4096 + col("pos")).over(win).as("m"))
+          .select(col("id"), min(packed).over(win).as("m"))
           .distinct()
         val nk = kg.groupBy("id").agg(count(lit(1)).as("n_kgrams"))
         val nf = fp.groupBy("id").agg(count(lit(1)).as("n_fps"))

@@ -526,7 +526,18 @@ final class VersionedTable private (val spark: SparkSession, val root: String) {
                     if tpe.getLogicalTypeAnnotation == null ||
                       tpe.getLogicalTypeAnnotation.isInstanceOf[
                         org.apache.parquet.schema.LogicalTypeAnnotation.IntLogicalTypeAnnotation] =>
-                  Some("n:" + new java.math.BigDecimal(n.toString).toPlainString)
+                  // ±Infinity / NaN are legal FLOAT/DOUBLE footer stats but
+                  // have no BigDecimal form — encoding one would throw AFTER
+                  // the data batch was written and abort the whole commit.
+                  // Returning None here routes the column to the keep marker
+                  // ("?","?"): the file stays scannable, just unprunable on
+                  // that column.
+                  val d = n.doubleValue()
+                  if ((n.isInstanceOf[java.lang.Double] ||
+                       n.isInstanceOf[java.lang.Float]) &&
+                      (d.isNaN || d.isInfinite)) None
+                  else Some(
+                    "n:" + new java.math.BigDecimal(n.toString).toPlainString)
                 case _ => None
               }
               val tpe = chunks.head.getPrimitiveType

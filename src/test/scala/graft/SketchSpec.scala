@@ -168,6 +168,43 @@ class SketchSpec extends SparkSpec {
     capped.quantile(1.0, DdG) shouldBe full.quantile(1.0, DdG)
   }
 
+  test("imperative DDSketch applies the maxBins collapse (pos store capped)") {
+    import spark.implicits._
+    // 2000 distinct magnitudes at gamma=1.02 -> far more than 50 buckets
+    val xs = (1 to 2000).map(_.toDouble)
+    val row = xs.toDF("v").repartition(3)
+      .agg(graft.functions.DDSketchAgg.sketch(col("v"), DdG, maxBins = 50)
+        .as("dd"))
+      .select(org.apache.spark.sql.functions.size(col("dd.pos")),
+        org.apache.spark.sql.functions
+          .aggregate(org.apache.spark.sql.functions.map_values(col("dd.pos")),
+            lit(0L), (a, b) => a + b))
+      .head()
+    row.getInt(0) should be <= 50
+    row.getLong(1) shouldBe 2000L // collapse folds, never drops
+    // ...and the same policy as Quantiles.Sketch.collapsed: the capped
+    // state walks to the same upper quantile as the driver-side build
+    val capped = build(xs, maxBins = 50)
+    val viaSql = xs.toDF("v")
+      .agg(graft.functions.DDSketchAgg.sketch(col("v"), DdG, maxBins = 50)
+        .as("dd"))
+      .select(explode(col("dd.pos")).as(Seq("bucket", "cnt")))
+      .as[(Int, Long)].collect().toMap
+    viaSql shouldBe capped.pos
+  }
+
+  test("graft_dd_sketch accepts an integer literal gamma") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    Seq(1.0, 4.0, 16.0).toDF("v").createOrReplaceTempView("gdd_int_gamma")
+    // gamma=2: exact powers of gamma, every value its own bucket
+    val n = spark.sql(
+      """SELECT size(dd.pos) FROM
+        (SELECT graft_dd_sketch(v, 2) AS dd FROM gdd_int_gamma)""")
+      .head().getInt(0)
+    n shouldBe 3
+  }
+
   test("mergeBy union of grouped sketches equals the union's own sketch") {
     import spark.implicits._
     val p = 6

@@ -28,6 +28,10 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
 
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    # engine-version stamp (round-7 verdict ask): a hash mismatch between
+    # two runs must be attributable to an engine-version delta in one read
+    print(f"ENV  duckdb={duckdb.__version__} pandas={pd.__version__} "
+          f"numpy={np.__version__}")
     con = duckdb.connect()
     for t in ["region","nation","customer","supplier","part","orders",
               "lineitem","events","documents","embeddings"]:
