@@ -4,11 +4,14 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing (north-star set): media payloads travel as
-  * opaque `binary` columns with typed metadata alongside. The Spark-side
-  * shape — schema, batching, partitioning — is real; the actual codec
-  * decode is STUBBED with a deterministic fake (no image/audio libraries
-  * in this environment; at deployment the stub body is replaced by a real
-  * decoder, the dataflow is unchanged).
+  * opaque `binary` columns with typed metadata alongside. Container
+  * HEADER decode is REAL for PNG / JPEG / WAV — pure-JVM byte parsing,
+  * no codec library needed (round 8). Payloads in no recognized
+  * container fall back to a deterministic fake (`format = "fake"`), so
+  * synthetic fixtures keep flowing; full PIXEL/SAMPLE decode beyond the
+  * header would need codec libraries absent from this environment and
+  * stays behind the same signature (drop a real decoder into
+  * [[decode]]'s fallback arm at deployment — the dataflow is unchanged).
   *
   * Scale: payload bytes stay columnar in parquet; metadata extraction is a
   * narrow projection. Decode runs partition-parallel via a JVM-resident
@@ -17,14 +20,91 @@ import org.apache.spark.sql.functions._
   */
 object Multimodal {
 
-  /** Decoded-media metadata produced by the (stubbed) decoder. */
+  /** Decoded-media metadata. Image formats: pixel width/height, 1 frame.
+    * WAV: `width` = sample rate (Hz), `height` = channel count,
+    * `nFrames` = sample frames (data bytes / block align) — the three
+    * numbers an audio curation pass filters on.
+    */
   case class MediaMeta(width: Int, height: Int, nFrames: Int, format: String)
 
-  /** STUB decoder: deterministic fake dimensions derived from the payload
-    * bytes. Replace the body with a real codec (e.g. javax.imageio /
-    * ffmpeg bindings) at deployment; the signature and dataflow stay.
+  private def u16be(b: Array[Byte], i: Int): Int =
+    ((b(i) & 0xff) << 8) | (b(i + 1) & 0xff)
+  private def u32be(b: Array[Byte], i: Int): Int =
+    ((b(i) & 0xff) << 24) | ((b(i + 1) & 0xff) << 16) |
+      ((b(i + 2) & 0xff) << 8) | (b(i + 3) & 0xff)
+  private def u16le(b: Array[Byte], i: Int): Int =
+    (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
+  private def u32le(b: Array[Byte], i: Int): Int =
+    (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8) |
+      ((b(i + 2) & 0xff) << 16) | ((b(i + 3) & 0xff) << 24)
+  private def ascii4(b: Array[Byte], i: Int): String =
+    new String(b, i, 4, java.nio.charset.StandardCharsets.US_ASCII)
+
+  /** PNG: 8-byte signature, then the IHDR chunk — width/height are the
+    * two big-endian u32 at bytes 16 and 20 (PNG spec §11.2.2).
     */
-  val stubDecode: Array[Byte] => MediaMeta = { bytes =>
+  private[multimodal] def decodePng(b: Array[Byte]): Option[MediaMeta] = {
+    val sig = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
+    if (b.length < 24 || !sig.indices.forall(i => (b(i) & 0xff) == sig(i)) ||
+        ascii4(b, 12) != "IHDR") None
+    else Some(MediaMeta(u32be(b, 16), u32be(b, 20), 1, "png"))
+  }
+
+  /** JPEG: FFD8 SOI, then a marker-segment walk to the first
+    * start-of-frame (SOF0/SOF2 and friends — every SOFn except
+    * DHT/JPG/DAC), whose payload is [len][precision][height u16be]
+    * [width u16be] (ITU T.81 §B.2.2). Standalone markers (RSTn, TEM)
+    * have no length field and are skipped as bare bytes.
+    */
+  private[multimodal] def decodeJpeg(b: Array[Byte]): Option[MediaMeta] = {
+    if (b.length < 4 || (b(0) & 0xff) != 0xff || (b(1) & 0xff) != 0xd8)
+      return None
+    var i = 2
+    while (i + 3 < b.length) {
+      if ((b(i) & 0xff) != 0xff) return None // lost marker sync: corrupt
+      val marker = b(i + 1) & 0xff
+      if (marker == 0xff) { i += 1 } // fill byte
+      else if (marker == 0x01 || (marker >= 0xd0 && marker <= 0xd9)) i += 2
+      else if (marker >= 0xc0 && marker <= 0xcf &&
+          marker != 0xc4 && marker != 0xc8 && marker != 0xcc) {
+        if (i + 8 >= b.length) return None
+        return Some(MediaMeta(u16be(b, i + 7), u16be(b, i + 5), 1, "jpeg"))
+      } else i += 2 + u16be(b, i + 2)
+    }
+    None
+  }
+
+  /** WAV: RIFF/WAVE container, then a chunk walk — `fmt ` carries
+    * channels (u16le at +2) and sample rate (u32le at +4) and block
+    * align (u16le at +12); `data`'s size / block align = sample frames.
+    */
+  private[multimodal] def decodeWav(b: Array[Byte]): Option[MediaMeta] = {
+    if (b.length < 36 || ascii4(b, 0) != "RIFF" || ascii4(b, 8) != "WAVE")
+      return None
+    var i = 12
+    var channels = 0; var sampleRate = 0; var blockAlign = 0
+    var dataBytes = -1
+    while (i + 8 <= b.length && (channels == 0 || dataBytes < 0)) {
+      val id = ascii4(b, i)
+      val size = u32le(b, i + 4)
+      if (id == "fmt " && i + 8 + 16 <= b.length) {
+        channels = u16le(b, i + 10)
+        sampleRate = u32le(b, i + 12)
+        blockAlign = u16le(b, i + 20)
+      } else if (id == "data") dataBytes = size
+      i += 8 + size + (size & 1) // chunks are word-aligned
+    }
+    if (channels == 0) None
+    else Some(MediaMeta(sampleRate, channels,
+      if (blockAlign > 0 && dataBytes > 0) dataBytes / blockAlign else 0,
+      "wav"))
+  }
+
+  /** Deterministic fake for payloads in no recognized container (the
+    * remaining documented stub — synthetic fixtures and the formats a
+    * real deployment would route to codec libraries).
+    */
+  private def fakeMeta(bytes: Array[Byte]): MediaMeta = {
     val b0 = if (bytes.nonEmpty) bytes(0) & 0xff else 0
     val b1 = if (bytes.length > 1) bytes(1) & 0xff else 0
     MediaMeta(
@@ -34,7 +114,19 @@ object Multimodal {
       format = "fake")
   }
 
-  private val decodeUdf = udf(stubDecode)
+  /** Header decoder: real PNG/JPEG/WAV parsing, deterministic fake
+    * otherwise. Total — never throws on arbitrary bytes.
+    */
+  val decode: Array[Byte] => MediaMeta = { bytes =>
+    try decodePng(bytes)
+      .orElse(decodeJpeg(bytes))
+      .orElse(decodeWav(bytes))
+      .getOrElse(fakeMeta(bytes))
+    catch { case _: IndexOutOfBoundsException |
+                 _: ArithmeticException => fakeMeta(bytes) }
+  }
+
+  private val decodeUdf = udf(decode)
 
   /** Attach decoded metadata as a struct column next to the payload. */
   def withDecodedMeta(df: DataFrame, payload: Column): DataFrame =

@@ -17,9 +17,10 @@ import org.apache.spark.sql.functions._
   *  2. per-partition running sums — an ordinary partitioned window,
   *     fully parallel;
   *  3. per-partition TOTALS (one row per partition) prefix-summed via a
-  *     predecessor self-join over the ≤ P-row totals frame and broadcast
-  *     back as offsets; final value = local running sum + partition
-  *     offset.
+  *     predecessor self-join (broadcast: the predecessor side is the
+  *     ≤ P-row totals frame — cluster-sized, never data-sized) and
+  *     broadcast back as offsets; final value = local running sum +
+  *     partition offset.
   *
   * No unpartitioned window remains anywhere on the path (the offsets
   * prefix is a join-aggregation over a cluster-size-bounded frame), so
@@ -93,7 +94,7 @@ object Prefix {
         col("__ptotal").as("__ppt"): _*)
     val predCond = (strataCols.map(n => col(n) <=> col(s"__s_$n")) :+
       (col("__ppid") < col("__pid"))).reduce(_ && _)
-    val offsets = totals.join(pred, predCond, "left")
+    val offsets = totals.join(broadcast(pred), predCond, "left")
       .groupBy(col("__pid") +: strata: _*)
       .agg(coalesce(sum(col("__ppt")), lit(0L)).as("__offset"))
       .select(col("__pid") +: (strata :+ col("__offset")): _*)
@@ -144,7 +145,8 @@ object Prefix {
         vals.indices.map(i => sum(col(s"__v$i")).as(s"__pt$i")).tail: _*)
     val pred = totals.select(col("__pid").as("__ppid") +:
       vals.indices.map(i => col(s"__pt$i").as(s"__ppt$i")): _*)
-    val offsets = totals.join(pred, col("__ppid") < col("__pid"), "left")
+    val offsets = totals.join(broadcast(pred),
+        col("__ppid") < col("__pid"), "left")
       .groupBy(col("__pid"))
       .agg(
         vals.indices.map(i =>
@@ -222,7 +224,8 @@ object Prefix {
       .agg(ext(col("__v")).as("__pext"))
     val pred = totals.select(col("__pid").as("__ppid"),
       col("__pext").as("__ppm"))
-    val offsets = totals.join(pred, col("__ppid") < col("__pid"), "left")
+    val offsets = totals.join(broadcast(pred),
+        col("__ppid") < col("__pid"), "left")
       .groupBy(col("__pid"))
       .agg(ext(col("__ppm")).as("__offext"))
       .select(col("__pid"), col("__offext"))

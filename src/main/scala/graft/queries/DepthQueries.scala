@@ -326,13 +326,17 @@ object DepthQueries {
         val regs = graft.ops.Frames.cached(
           Hll.registersBy(ev, col("user_id"), Seq("day"), p))
         val spine = regs.select(col("day")).distinct()
-        val merged = spine.join(regs.withColumnRenamed("day", "day_r"),
+        // the spine is calendar-bounded (one row per day) — broadcast it
+        // into both trailing-window range joins
+        val merged = regs.withColumnRenamed("day", "day_r")
+          .join(broadcast(spine),
             col("day_r") >= date_sub(col("day"), 6) &&
               col("day_r") <= col("day"))
           .groupBy(col("day"), col("bucket"))
           .agg(max(col("max_rho")).as("max_rho"))
         val est = Hll.estimateBy(merged, Seq("day"), p)
-        val exact = spine.join(ev.withColumnRenamed("day", "day_e"),
+        val exact = ev.withColumnRenamed("day", "day_e")
+          .join(broadcast(spine),
             col("day_e") >= date_sub(col("day"), 6) &&
               col("day_e") <= col("day"))
           .groupBy(col("day"))

@@ -402,8 +402,12 @@ object EvalQueries {
           .groupBy("event_type", "n_t", "diff_obs")
           .agg((lit(1L) + sum(when(abs(col("diff_p")) >= abs(col("diff_obs")),
             1L).otherwise(0L))).as("c"))
-        val rk = cc.as("a").join(cc.select(col("event_type").as("b_type"),
-            col("c").as("b_c")),
+        // per-type rank via a broadcast non-equi self-join of the
+        // |event_type|-row (model-sized) counts frame — the global
+        // row_number this replaces would be an unpartitioned window
+        val rk = cc.as("a").join(
+            broadcast(cc.select(col("event_type").as("b_type"),
+              col("c").as("b_c"))),
             col("b_c") < col("c") ||
               (col("b_c") === col("c") && col("b_type") <= col("event_type")))
           .groupBy("event_type", "n_t", "diff_obs", "c")

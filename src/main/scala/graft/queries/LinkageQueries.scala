@@ -85,7 +85,12 @@ object LinkageQueries {
     // transposition-tolerant edit distance (native codegen expression,
     // Lowrance-Wagner DP — "ca"→"abc" is 2, matching DuckDB's
     // damerau_levenshtein), catching swapped-letter typos plain edit
-    // distance over-counts. Same vocab-bounded pair frame as q220.
+    // distance over-counts. Unlike q220, DL <= 2 implies the lengths
+    // differ by <= 2, so the pair frame is LENGTH-BLOCKED: side a
+    // explodes to its 5 candidate lengths (la-2..la+2) and equi-joins
+    // side b on exact length — each qualifying pair matches exactly
+    // once (at key = len(b)), the length-filter classic that turns the
+    // vocab all-pairs into a banded hash join.
     Q("q235_dl_linkage", Q.sql(s"""
         WITH v AS (
           SELECT DISTINCT unnest(string_split_regex($normSql, '\\s+')) AS tok
@@ -100,12 +105,17 @@ object LinkageQueries {
           .select(explode(TextAnalysis.tokens(
             TextAnalysis.normalizeText(col("text")))).as("tok"))
           .distinct()
-        val a = v.select(col("tok").as("tok_a"))
-        val b = v.select(col("tok").as("tok_b"))
-        a.join(b, col("tok_a") < col("tok_b"))
+        val a = v.select(col("tok").as("tok_a"),
+            explode(sequence(length(col("tok")) - 2,
+              length(col("tok")) + 2)).as("lb"))
+        val b = v.select(col("tok").as("tok_b"),
+          length(col("tok")).as("lb"))
+        a.join(b, "lb")
+          .where(col("tok_a") < col("tok_b"))
           .withColumn("dl",
             StringSim.damerauLevenshteinCol(col("tok_a"), col("tok_b")))
           .where(col("dl") <= 2)
+          .select("tok_a", "tok_b", "dl")
           .orderBy("tok_a", "tok_b")
       }),
 

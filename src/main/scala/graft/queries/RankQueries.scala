@@ -111,7 +111,8 @@ object RankQueries {
           col("n_orders").as("ya"))
         val b = m.select(col("mser").as("mb"), col("rev").as("xb"),
           col("n_orders").as("yb"))
-        val pairs = a.join(b, col("ma") < col("mb"))
+        // month pairs: both sides calendar-bounded (~80 rows) — broadcast
+        val pairs = a.join(broadcast(b), col("ma") < col("mb"))
           .select(
             (when(col("xa") < col("xb"), -1).when(col("xa") > col("xb"), 1)
               .otherwise(0) *

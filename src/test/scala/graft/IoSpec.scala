@@ -2,6 +2,8 @@ package graft
 
 import java.nio.file.{Files, Paths}
 
+import org.apache.spark.sql.functions.col
+
 import graft.io.{Lake, Readers, Writers}
 
 class IoSpec extends SparkSpec {
@@ -59,7 +61,11 @@ class IoSpec extends SparkSpec {
       table = Some("graft_test.t1"))
     graft.io.Catalog.tableExists(spark, "graft_test.t1") shouldBe true
     spark.table("graft_test.t1").count() shouldBe 1
-    graft.io.Catalog.showTables(spark, "graft_test").count() shouldBe 1
+    // SHOW TABLES includes the session's temp views (SQL semantics —
+    // other suites share this session and legitimately leave views);
+    // the assertion is about the DATABASE's persistent tables only
+    graft.io.Catalog.showTables(spark, "graft_test")
+      .where(!col("isTemporary")).count() shouldBe 1
     graft.io.Catalog.dropDatabase(spark, "graft_test")
   }
 

@@ -12,7 +12,75 @@ class MultimodalSpec extends SparkSpec {
     (2L, Array.fill[Byte](250)(7)),
     (3L, Array.empty[Byte])).toDF("media_id", "payload")
 
-  test("withDecodedMeta (stub UDF decode path) yields deterministic struct metadata") {
+  // hand-built container headers: the real pure-JVM parsing paths
+  private def pngBytes(w: Int, h: Int): Array[Byte] = {
+    val b = java.nio.ByteBuffer.allocate(26)
+    b.put(Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
+      .map(_.toByte))
+    b.putInt(13).put("IHDR".getBytes("US-ASCII"))
+    b.putInt(w).putInt(h).put(8.toByte).put(2.toByte)
+    b.array()
+  }
+
+  private def jpegBytes(w: Int, h: Int): Array[Byte] = {
+    val b = java.nio.ByteBuffer.allocate(64)
+    b.put(0xff.toByte).put(0xd8.toByte)                 // SOI
+    b.put(0xff.toByte).put(0xe0.toByte).putShort(16)    // APP0, len 16
+    b.put(new Array[Byte](14))                          //   JFIF payload
+    b.put(0xff.toByte).put(0xc4.toByte).putShort(5)     // DHT (NOT a SOF)
+    b.put(new Array[Byte](3))
+    b.put(0xff.toByte).put(0xc2.toByte).putShort(11)    // SOF2 (progressive)
+    b.put(8.toByte).putShort(h.toShort).putShort(w.toShort)
+    b.array()
+  }
+
+  private def wavBytes(rate: Int, channels: Int, frames: Int): Array[Byte] = {
+    val blockAlign = channels * 2 // 16-bit PCM
+    val b = java.nio.ByteBuffer.allocate(44)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put("RIFF".getBytes("US-ASCII")).putInt(36 + frames * blockAlign)
+    b.put("WAVE".getBytes("US-ASCII"))
+    b.put("fmt ".getBytes("US-ASCII")).putInt(16)
+    b.putShort(1).putShort(channels.toShort).putInt(rate)
+    b.putInt(rate * blockAlign).putShort(blockAlign.toShort).putShort(16)
+    b.put("data".getBytes("US-ASCII")).putInt(frames * blockAlign)
+    b.array()
+  }
+
+  test("decode parses real PNG IHDR / JPEG SOF / WAV fmt headers from raw bytes") {
+    val png = Multimodal.decode(pngBytes(640, 480))
+    (png.width, png.height, png.nFrames, png.format) shouldBe
+      (640, 480, 1, "png")
+    // the SOF walk must skip APP0 and DHT segments and read SOF2
+    val jpg = Multimodal.decode(jpegBytes(1024, 768))
+    (jpg.width, jpg.height, jpg.format) shouldBe (1024, 768, "jpeg")
+    val wav = Multimodal.decode(wavBytes(44100, 2, 1000))
+    (wav.width, wav.height, wav.nFrames, wav.format) shouldBe
+      (44100, 2, 1000, "wav")
+    // ...and the same paths through the Spark UDF, partition-parallel
+    val rows = Seq((1L, pngBytes(32, 16)), (2L, jpegBytes(8, 4)),
+        (3L, wavBytes(8000, 1, 50)))
+      .toDF("media_id", "payload")
+    val out = Multimodal.withDecodedMeta(rows, $"payload")
+      .select($"media_meta.format", $"media_meta.width")
+      .orderBy("media_id").collect()
+    out.map(_.getString(0)).toSeq shouldBe Seq("png", "jpeg", "wav")
+    out.map(_.getInt(1)).toSeq shouldBe Seq(32, 8, 8000)
+  }
+
+  test("truncated / corrupt headers fall back to the fake, never throw") {
+    for (full <- Seq(pngBytes(9, 9), jpegBytes(9, 9), wavBytes(9, 1, 9));
+         n <- Seq(0, 1, 3, 8, 12)) {
+      val m = Multimodal.decode(full.take(n))
+      m.format shouldBe "fake"
+    }
+    // marker desync mid-JPEG (a segment where 0xff must be): corrupt,
+    // falls back
+    val bad = jpegBytes(9, 9); bad(2) = 0x00
+    Multimodal.decode(bad).format shouldBe "fake"
+  }
+
+  test("withDecodedMeta (fallback decode path) yields deterministic struct metadata") {
     val out = Multimodal.withDecodedMeta(media, $"payload")
       .select($"media_id", $"media_meta.width", $"media_meta.height",
         $"media_meta.nFrames", $"media_meta.format")

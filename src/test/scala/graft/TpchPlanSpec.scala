@@ -157,6 +157,45 @@ class TpchPlanSpec extends SparkSpec {
       .mkString should include("EqualTo(r_name,ASIA)")
   }
 
+  test("classic star shape (Q5 slice): DPP prunes a suppkey-partitioned fact staging") {
+    // The TPC-H star DPP invariant, pinned as a standing shape rather
+    // than q294's one-off: fact hive-partitioned ON the star join key,
+    // the selectivity arriving through region (a NON-key predicate two
+    // dims away) — Catalyst must inject the runtime dynamicpruning
+    // subquery into the fact scan's PartitionFilters, so the pruned
+    // supplier partitions are never read. If DPP silently stops firing
+    // on the classic shape, this fails — not the bench.
+    import org.apache.spark.sql.functions._
+    spark.catalog.clearCache()
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_dpp_star").toString
+    spark.read.parquet(s"$dir/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"),
+        col("l_suppkey"))
+      .write.mode("overwrite").partitionBy("l_suppkey").parquet(root)
+    val fact = spark.read.parquet(root)
+    val supplier = spark.read.parquet(s"$dir/supplier.parquet")
+    val nation = spark.read.parquet(s"$dir/nation.parquet")
+    val region = spark.read.parquet(s"$dir/region.parquet")
+      .where(col("r_name") === "ASIA")
+    val dim = supplier
+      .join(nation, supplier("s_nationkey") === nation("n_nationkey"))
+      .join(region, nation("n_regionkey") === region("r_regionkey"))
+    val q = fact.join(dim, fact("l_suppkey") === dim("s_suppkey"))
+      .groupBy(col("n_name"))
+      .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .cast("decimal(27,4)")).as("revenue"))
+    val p = q.queryExecution.executedPlan.toString
+    p should include("BroadcastHashJoin")
+    // the runtime subquery must sit IN the fact scan's PartitionFilters
+    withClue(p.linesIterator.filter(_.contains("PartitionFilters"))
+        .mkString("\n", "\n", "\n")) {
+      assert(p.linesIterator.exists(l =>
+        l.contains("PartitionFilters") &&
+          l.toLowerCase.contains("dynamicpruning")))
+    }
+  }
+
   test("q231 (Q15): exact-decimal max compared via broadcast scalar, no global sort") {
     val p = plan("q231_tpch_q15")
     withClue(p.linesIterator.filter(l =>
