@@ -90,6 +90,84 @@ object PageRank {
     rank
   }
 
+  /** Personalized PageRank / TrustRank (Gyöngyi VLDB'04 "Combating web
+    * spam with TrustRank"): the teleport mass lands ONLY on `seeds`
+    * instead of uniformly — rank flows outward from a trusted seed set,
+    * so a node's score is its random-walk reachability FROM trust, the
+    * signal a corpus-curation pipeline uses to extend a small
+    * hand-audited source list to the whole graph. Same per-iteration
+    * shape as [[run]] (one equi-join + one hash aggregation + a
+    * seed-side union), same decimal-routed determinism; `seeds` is a
+    * (node) frame, typically model-sized (broadcast with the rank
+    * vector via `broadcastRanks`). Nodes unreachable from the seeds
+    * simply never appear (score 0), so the output is the reached set —
+    * at web scale that sparsity is the point. No-dangling contract as
+    * in [[run]] (symmetrize the graph).
+    */
+  def runPersonalized(edges: DataFrame, iters: Int, seeds: DataFrame,
+      damping: Double = 0.85, broadcastRanks: Boolean = true): DataFrame = {
+    import graft.ops.Frames.materialize
+    val e = materialize(edges)
+    val deg = materialize(
+      e.groupBy("src").agg(count(lit(1)).as("deg")).coalesce(4))
+    val sd = materialize(seeds.select(col("node")).distinct().coalesce(4))
+    val nSeeds = sd.count()
+    require(nSeeds > 0, "runPersonalized needs a non-empty seed set")
+    val baseSeed = (1.0 - damping) / nSeeds
+    def bc(df: DataFrame): DataFrame = if (broadcastRanks) broadcast(df) else df
+    var rank = sd.select(col("node"), lit(1.0 / nSeeds).as("pr"))
+    for (it <- 1 to iters) {
+      // same round-then-decimal-sum discipline as run()'s contrib
+      val walk = e
+        .join(bc(rank.withColumnRenamed("node", "src")), "src")
+        .join(bc(deg), "src")
+        .select(col("dst").as("node"),
+          round(col("pr") / col("deg"), 12).as("c"))
+        .groupBy("node")
+        .agg(dsum(col("c"), 12).cast("double").as("w"))
+      // pr = [node ∈ seeds]·baseSeed + damping·walk — assembled as the
+      // same two-branch sum the oracle's FULL JOIN computes
+      val seeded = walk
+        .join(bc(sd.withColumn("__seed", lit(1))), Seq("node"), "left")
+        .select(col("node"),
+          (when(col("__seed") === 1, lit(baseSeed)).otherwise(lit(0.0))
+            + lit(damping) * col("w")).as("pr"))
+      val seedOnly = sd
+        .join(walk.select("node"), Seq("node"), "left_anti")
+        .select(col("node"), lit(baseSeed).as("pr"))
+      val next = seeded.unionByName(seedOnly)
+      rank = if (it < iters) materialize(next.coalesce(4)) else next
+    }
+    rank
+  }
+
+  /** DuckDB oracle for [[runPersonalized]]: unrolled CTEs over
+    * `edges(src, dst)` and `seeds(node)`; the caller selects from
+    * `p{iters}`. Literal discipline as in [[oracleCtes]].
+    */
+  def personalizedOracleCtes(iters: Int, damping: Double = 0.85): String = {
+    import graft.functions.PortableSql.doubleLit
+    val d = s"CAST(${doubleLit(damping)} AS DOUBLE)"
+    val base =
+      s"(CAST(${doubleLit(1.0 - damping)} AS DOUBLE) / (SELECT count(*) FROM seeds))"
+    val p0 =
+      "p0 AS (SELECT node, CAST(1 AS DOUBLE) / (SELECT count(*) FROM seeds) AS pr FROM seeds)"
+    val degree = "pdeg AS (SELECT src, count(*) AS deg FROM edges GROUP BY 1)"
+    val its = (1 to iters).map { i =>
+      s"""w$i AS (
+         SELECT e.dst AS node,
+           CAST(sum(CAST(round(r.pr / pdeg.deg, 12) AS DECIMAL(27,12))) AS DOUBLE) AS w
+         FROM edges e JOIN p${i - 1} r ON e.src = r.node JOIN pdeg ON e.src = pdeg.src
+         GROUP BY 1),
+       p$i AS (
+         SELECT coalesce(a.node, s.node) AS node,
+           (CASE WHEN s.node IS NOT NULL THEN $base ELSE CAST(0 AS DOUBLE) END)
+           + (CASE WHEN a.node IS NULL THEN CAST(0 AS DOUBLE) ELSE $d * a.w END) AS pr
+         FROM w$i a FULL JOIN seeds s ON s.node = a.node)"""
+    }
+    (Seq(degree, p0) ++ its).mkString(", ")
+  }
+
   /** DuckDB oracle for [[run]]: unrolled iteration CTEs over an edge CTE
     * named `edges(src, dst)` and a node CTE `nodes(node)`. Appends to a
     * caller-provided WITH chain; the caller selects from `r{iters}`.

@@ -247,6 +247,47 @@ object CurationQueries {
           .orderBy("side", "rank")
       }),
 
+    // TrustRank (Gyöngyi VLDB'04): personalized PageRank whose teleport
+    // lands only on a trusted seed set — here suppliers from nations
+    // 0–4 — propagated 2 damped rounds over the symmetrized
+    // part↔supplier graph. The curation move this encodes: extend a
+    // small audited source list to trust scores for EVERY connected
+    // node (parts inherit trust from trusted suppliers, then further
+    // suppliers from those parts), the seed-propagation half every
+    // link-graph quality pipeline pairs with PageRank's global prior.
+    // Oracle replays the recurrence in CTEs (decimal-routed sums, FULL
+    // JOIN teleport merge — see graph.PageRank.personalizedOracleCtes).
+    Q("q310_trustrank", Q.sql(s"""
+        WITH pairs AS (
+          SELECT DISTINCT l_partkey * 2 AS a, l_suppkey * 2 + 1 AS b FROM lineitem),
+        edges AS (
+          SELECT a AS src, b AS dst FROM pairs
+          UNION ALL SELECT b AS src, a AS dst FROM pairs),
+        seeds AS (
+          SELECT DISTINCT s_suppkey * 2 + 1 AS node
+          FROM supplier WHERE s_nationkey < 5),
+        ${PageRank.personalizedOracleCtes(2)}
+        SELECT node, CAST(node % 2 AS INT) AS is_supplier, pr
+        FROM p2 ORDER BY node"""))(
+      (s, dir) => {
+        val pairs = T(s, dir, "lineitem")
+          .select((col("l_partkey") * 2).as("a"), (col("l_suppkey") * 2 + 1).as("b"))
+          .distinct()
+        val edges = pairs
+          .select(explode(array(
+            struct(col("a").as("src"), col("b").as("dst")),
+            struct(col("b").as("src"), col("a").as("dst")))).as("e"))
+          .select(col("e.src").as("src"), col("e.dst").as("dst"))
+        val seeds = T(s, dir, "supplier")
+          .where(col("s_nationkey") < 5)
+          .select((col("s_suppkey") * 2 + 1).as("node"))
+          .distinct()
+        PageRank.runPersonalized(edges, 2, seeds)
+          .select(col("node"), (col("node") % 2).cast("int").as("is_supplier"),
+            col("pr"))
+          .orderBy("node")
+      }),
+
     // Per-type z-score outliers over event values: decimal-exact moment
     // sums (order-independent), one broadcast join of the 5-row stats
     // table back onto the stream, pure-scalar z computation. The shape
@@ -350,6 +391,65 @@ object CurationQueries {
             T(s, dir, "documents"), col("doc_id"), col("text"))
           .select(col("id").as("doc_id"), col("n_bigrams"), col("avg_logp"))
           .orderBy("doc_id")),
+
+    // Interpolated Kneser-Ney bigram LM (Kneser & Ney ICASSP'95, the
+    // n-gram smoothing that held SOTA until neural LMs; Chen & Goodman
+    // TR-10-98 evaluation): unlike q105's add-one, the backoff mass is
+    // CONTINUATION probability — "how many distinct contexts precede
+    // w2" — so frequent-but-context-locked tokens (the "Francisco"
+    // effect) stop stealing mass. P(w2|w1) = (c(w1w2)−D)/c(w1) +
+    // D·N1+(w1·)/c(w1) · N1+(·w2)/B with D=0.75. Everything is an
+    // integer count off ONE bigram aggregation (three vocab-bounded
+    // re-aggs + a scalar broadcast); the one double expression is
+    // written operand-for-operand in both engines. Top-20 by smoothed
+    // probability, fully tie-broken.
+    Q("q312_kn_bigram", Q.sql(s"""
+        $wordsCte,
+        shr AS (
+          SELECT id, ws[pos] AS w1, ws[pos+1] AS w2
+          FROM w, LATERAL (SELECT unnest(generate_series(1, greatest(len(ws) - 1, 0))) AS pos) t),
+        c2 AS (SELECT w1, w2, count(*) AS c2 FROM shr GROUP BY 1, 2),
+        c1 AS (
+          SELECT w1, CAST(sum(c2) AS BIGINT) AS c1, count(*) AS n1f
+          FROM c2 GROUP BY 1),
+        nr AS (SELECT w2, count(*) AS n1r FROM c2 GROUP BY 1),
+        bt AS (SELECT count(*) AS b FROM c2),
+        p AS (
+          SELECT c2.w1, c2.w2, c2.c2,
+            round((CAST(c2.c2 AS DOUBLE) - CAST(0.75 AS DOUBLE)) / CAST(c1.c1 AS DOUBLE)
+              + (CAST(0.75 AS DOUBLE) * CAST(c1.n1f AS DOUBLE) / CAST(c1.c1 AS DOUBLE))
+                * (CAST(nr.n1r AS DOUBLE) / CAST(bt.b AS DOUBLE)), 6) AS pkn
+          FROM c2 JOIN c1 USING (w1) JOIN nr USING (w2), bt)
+        SELECT w1, w2, c2, pkn FROM p
+        ORDER BY pkn DESC, w1, w2 LIMIT 20"""))(
+      (s, dir) => {
+        val toks = T(s, dir, "documents")
+          .select(col("doc_id").as("id"),
+            TextAnalysis.tokens(TextAnalysis.normalizeText(col("text")))
+              .as("ws"))
+        val pairs = toks
+          .select(col("ws"), explode(
+            when(size(col("ws")) >= 2, sequence(lit(1), size(col("ws")) - 1))
+              .otherwise(array().cast("array<int>"))).as("pos"))
+          .select(element_at(col("ws"), col("pos")).as("w1"),
+            element_at(col("ws"), col("pos") + 1).as("w2"))
+        val c2 = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+        val c1 = c2.groupBy("w1")
+          .agg(sum(col("c2")).as("c1"), count(lit(1)).as("n1f"))
+        val nr = c2.groupBy("w2").agg(count(lit(1)).as("n1r"))
+        val bt = c2.agg(count(lit(1)).as("b"))
+        c2.join(c1, "w1").join(nr, "w2")
+          .crossJoin(broadcast(bt))
+          .select(col("w1"), col("w2"), col("c2"),
+            round((col("c2").cast("double") - lit(0.75))
+                / col("c1").cast("double")
+              + (lit(0.75) * col("n1f").cast("double")
+                / col("c1").cast("double"))
+                * (col("n1r").cast("double") / col("b").cast("double")), 6)
+              .as("pkn"))
+          .orderBy(col("pkn").desc, col("w1"), col("w2"))
+          .limit(20)
+      }),
 
     // Streaming per-key earliest-k under the oracle gate: keep each
     // user's 5 first events with flatMapGroupsWithState (bounded O(cap)

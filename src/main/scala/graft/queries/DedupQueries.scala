@@ -141,6 +141,81 @@ object DedupQueries {
 
   def all: Seq[Q] = Seq(
 
+    // Content-defined chunking (the LBFS/rsync/FastCDC idea): chunk
+    // boundaries fall where the 48-bit hash of the local 8-char window
+    // is ≡ 0 (mod 64) — so an insertion early in a document SHIFTS
+    // boundaries only until the next hash-synchronized cut, unlike
+    // fixed-size blocks where one byte shifts every block. Expected
+    // chunk length = the modulus (64 chars). Per-chunk signature =
+    // sum of position hashes mod 2^48 (order-free integer, replayed
+    // exactly in the oracle); chunks whose (signature, length) recurs
+    // in ANOTHER doc are cross-doc duplicates — sub-document dedup at
+    // the granularity storage dedup uses. At 100 TB: one narrow
+    // gram-explode (no shuffle), one per-doc window, one hash-agg per
+    // chunk, one signature-count join — no all-pairs anywhere.
+    Q("q307_cdc_chunking", Q.sql(s"""
+        WITH d AS (
+          SELECT doc_id, lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS norm
+          FROM documents),
+        g AS (
+          SELECT doc_id, pos,
+            ${PortableSql.hexToLong("md5(substr(norm, pos, 8))", 12)} AS h
+          FROM d, LATERAL (
+            SELECT unnest(generate_series(1, greatest(length(norm) - 7, 0))) AS pos) t),
+        c AS (
+          SELECT doc_id, pos, h,
+            1 + coalesce(sum(CASE WHEN h % 64 = 0 THEN 1 ELSE 0 END) OVER (
+              PARTITION BY doc_id ORDER BY pos
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk
+          FROM g),
+        ch AS (
+          SELECT doc_id, chunk, count(*) AS clen,
+            CAST(CAST(sum(h) AS DECIMAL(38,0)) % ${1L << 48} AS BIGINT) AS sig
+          FROM c GROUP BY 1, 2),
+        dup AS (
+          SELECT sig, clen, count(DISTINCT doc_id) AS n_docs
+          FROM ch GROUP BY 1, 2)
+        SELECT ch.doc_id AS doc_id, count(*) AS n_chunks,
+          CAST(sum(CASE WHEN dup.n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_dup_chunks,
+          round(CAST(sum(ch.clen) AS DOUBLE) / count(*), 6) AS avg_chunk_len
+        FROM ch JOIN dup ON dup.sig = ch.sig AND dup.clen = ch.clen
+        GROUP BY 1 ORDER BY doc_id"""))(
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val d = T(s, dir, "documents")
+          .select(col("doc_id"), TextAnalysis.normalizeText(col("text")).as("norm"))
+        // per-position 8-char window hashes; docs under 8 chars emit no
+        // grams (sequence(1,0) would step BACKWARD in Spark — emit an
+        // explicit empty array, the q295 guard)
+        val g = d.select(col("doc_id"),
+            posexplode(transform(
+              when(length(col("norm")) >= 8,
+                sequence(lit(1), length(col("norm")) - 7))
+                .otherwise(array().cast("array<int>")),
+              i => col("norm").substr(i, lit(8)))).as(Seq("pos0", "gram")))
+          .select(col("doc_id"), (col("pos0") + 1).as("pos"),
+            graft.functions.Hashing.hash48(col("gram")).as("h"))
+        val w = Window.partitionBy("doc_id").orderBy("pos")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val ch = g
+          .withColumn("chunk", lit(1) + coalesce(
+            sum(when(col("h") % 64 === 0, 1).otherwise(0)).over(w), lit(0)))
+          .groupBy("doc_id", "chunk")
+          .agg(count(lit(1)).as("clen"),
+            (sum(col("h")).cast("decimal(38,0)") % lit(1L << 48))
+              .cast("long").as("sig"))
+        val dup = ch.groupBy("sig", "clen")
+          .agg(countDistinct(col("doc_id")).as("n_docs"))
+        ch.join(dup, Seq("sig", "clen"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_chunks"),
+            sum(when(col("n_docs") > 1, 1L).otherwise(0L)).as("n_dup_chunks"),
+            round(sum(col("clen")).cast("double") / count(lit(1)), 6)
+              .as("avg_chunk_len"))
+          .orderBy("doc_id")
+      }),
+
     // Exact dedup: one row per content hash with survivor id + copy count.
     Q("q34_dedup_exact", Q.sql("""
         SELECT md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS content_hash,

@@ -39,6 +39,49 @@ object QualityQueries {
 
   def all: Seq[Q] = Seq(
 
+    // Flesch-Kincaid readability grade per document, from three integer
+    // counts a scan computes for free: words (whitespace tokens),
+    // sentences (runs of [.!?] in the RAW text, floored at 1), and a
+    // syllable proxy (vowel-group runs — the standard heuristic, exact
+    // enough to rank). grade = 0.39·(words/sentences) +
+    // 11.8·(syllables/words) − 15.59, one fixed double expression with
+    // every operand cast to DOUBLE, so both engines run the identical
+    // IEEE ops. A corpus-quality signal (filter grade bands for a
+    // target audience) that costs one narrow projection at 100 TB —
+    // regex counting, no explode, no shuffle before the final sort.
+    Q("q309_readability", Q.sql("""
+        WITH c AS (
+          SELECT doc_id,
+            len(string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' '))
+              AS n_words,
+            greatest(1, len(regexp_extract_all(text, '[.!?]+'))) AS n_sentences,
+            len(regexp_extract_all(lower(text), '[aeiouy]+')) AS n_syllables
+          FROM documents)
+        SELECT doc_id, n_words, n_sentences, n_syllables,
+          round(CAST(0.39 AS DOUBLE) * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+            + CAST(11.8 AS DOUBLE) * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE))
+            - CAST(15.59 AS DOUBLE), 6) AS fk_grade
+        FROM c ORDER BY doc_id"""))(
+      (s, dir) => {
+        val c = T(s, dir, "documents").select(col("doc_id"),
+          size(graft.text.TextAnalysis.tokens(
+            graft.text.TextAnalysis.normalizeText(col("text"))))
+            .as("n_words"),
+          greatest(lit(1),
+            size(expr("regexp_extract_all(text, '[.!?]+', 0)")))
+            .as("n_sentences"),
+          size(expr("regexp_extract_all(lower(text), '[aeiouy]+', 0)"))
+            .as("n_syllables"))
+        c.select(col("doc_id"), col("n_words"), col("n_sentences"),
+            col("n_syllables"),
+            round(lit(0.39) * (col("n_words").cast("double")
+                / col("n_sentences").cast("double"))
+              + lit(11.8) * (col("n_syllables").cast("double")
+                / col("n_words").cast("double"))
+              - lit(15.59), 6).as("fk_grade"))
+          .orderBy("doc_id")
+      }),
+
     // Interval×interval overlap join: same-customer order-fulfilment
     // windows ([orderdate, orderdate + (key%14 + 1) days]) that overlap
     // in time. Spark has no native interval join (a theta join plans as

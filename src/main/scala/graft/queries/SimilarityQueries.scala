@@ -29,6 +29,163 @@ object SimilarityQueries {
 
   def all: Seq[Q] = Seq(
 
+    // Multi-probe LSH (Lv et al. VLDB'07): instead of growing the table
+    // count to fix single-bucket recall, each query ALSO probes the 8
+    // buckets at Hamming distance 1 (one sign bit flipped) — the
+    // perturbation sequence for sign-bit LSH. Reports, per query: the
+    // single-probe and multi-probe candidate counts and recall@3 vs the
+    // exact top-3 — the recall-vs-cost curve that decides probe count
+    // at 100 TB (9 bucket lookups ≈ 9× candidates for ~0 extra index
+    // memory, vs 9 full tables). The probe fan-out is a 45-row
+    // broadcast; candidates come from the bucket equi-join, never
+    // all-pairs; the exact side is the q38 baseline on 5 queries.
+    Q("q311_multiprobe_lsh", {
+      val bucket = Similarity.planes(LshBits, Dim).zipWithIndex.map {
+        case (plane, p) =>
+          s"(CASE WHEN ${PortableSql.dotConst("embedding", plane)} >= 0" +
+            s" THEN ${1L << p} ELSE 0 END)"
+      }.mkString("(", " + ", ")")
+      val flips = 0L +: (0 until LshBits).map(1L << _)
+      Q.sql(s"""
+        WITH b AS (
+          SELECT vec_id, embedding, CAST($bucket AS BIGINT) AS bucket
+          FROM embeddings),
+        q AS (SELECT * FROM b WHERE vec_id < 5),
+        probes AS (
+          SELECT q.vec_id AS query_id, q.embedding AS qe,
+            xor(q.bucket, CAST(f.flip AS BIGINT)) AS probe,
+            f.flip = 0 AS own
+          FROM q, LATERAL (
+            SELECT unnest(${flips.mkString("[", ", ", "]")}) AS flip) f),
+        scored AS (
+          SELECT p.query_id, c.vec_id AS neighbor_id, p.own,
+            ${cosSql("p.qe", "c.embedding")} AS cos_sim
+          FROM probes p JOIN b c
+            ON c.bucket = p.probe AND c.vec_id <> p.query_id),
+        topm AS (
+          SELECT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id, row_number() OVER (
+              PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+            FROM scored) x
+          WHERE rank <= 3),
+        exact AS (
+          SELECT query_id, neighbor_id FROM (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+              row_number() OVER (
+                PARTITION BY q.vec_id
+                ORDER BY ${cosSql("q.embedding", "c.embedding")} DESC, c.vec_id) AS rank
+            FROM embeddings q, embeddings c
+            WHERE q.vec_id < 5 AND q.vec_id <> c.vec_id) t
+          WHERE rank <= 3),
+        counts AS (
+          SELECT query_id,
+            CAST(sum(CASE WHEN own THEN 1 ELSE 0 END) AS BIGINT) AS n_cand_single,
+            count(*) AS n_cand_multi
+          FROM scored GROUP BY 1),
+        hits AS (
+          SELECT t.query_id, count(*) AS m
+          FROM topm t JOIN exact e
+            ON e.query_id = t.query_id AND e.neighbor_id = t.neighbor_id
+          GROUP BY 1)
+        SELECT c.query_id, c.n_cand_single, c.n_cand_multi,
+          round(CAST(coalesce(h.m, 0) AS DOUBLE) / 3, 6) AS recall3
+        FROM counts c LEFT JOIN hits h USING (query_id)
+        ORDER BY query_id""")
+    })(
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val emb = T(s, dir, "embeddings")
+        val b = emb.withColumn("bucket",
+          Similarity.lshBucket(col("embedding"), Dim, LshBits))
+        val flips = 0L +: (0 until LshBits).map(1L << _)
+        val probes = b.where(col("vec_id") < 5)
+          .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+            col("bucket"),
+            explode(typedlit(flips.toSeq)).as("flip"))
+          .select(col("query_id"), col("qe"),
+            col("bucket").bitwiseXOR(col("flip")).as("probe"),
+            (col("flip") === 0).as("own"))
+        val scored = b
+          .select(col("vec_id").as("neighbor_id"),
+            col("embedding").as("ce"), col("bucket").as("cbucket"))
+          .join(broadcast(probes),
+            col("cbucket") === col("probe") &&
+              col("neighbor_id") =!= col("query_id"))
+          .select(col("query_id"), col("neighbor_id"), col("own"),
+            round(Similarity.cosine(col("qe"), col("ce"), Dim), 6)
+              .as("cos_sim"))
+        val topm = scored
+          .withColumn("rank", row_number().over(Window.partitionBy("query_id")
+            .orderBy(col("cos_sim").desc, col("neighbor_id"))))
+          .where(col("rank") <= 3)
+          .select("query_id", "neighbor_id")
+        val exact = Similarity.knnBruteForce(emb.where(col("vec_id") < 5), emb, 3)
+          .select("query_id", "neighbor_id")
+        val counts = scored.groupBy("query_id")
+          .agg(sum(when(col("own"), 1L).otherwise(0L)).as("n_cand_single"),
+            count(lit(1)).as("n_cand_multi"))
+        val hits = topm.join(exact, Seq("query_id", "neighbor_id"))
+          .groupBy("query_id").agg(count(lit(1)).as("m"))
+        counts.join(hits, Seq("query_id"), "left")
+          .select(col("query_id"), col("n_cand_single"), col("n_cand_multi"),
+            round(coalesce(col("m"), lit(0L)).cast("double") / 3, 6)
+              .as("recall3"))
+          .orderBy("query_id")
+      }),
+
+    // Johnson-Lindenstrauss random projection audit: project the 64-dim
+    // embeddings onto 16 deterministic md5-derived hyperplanes (the q41
+    // planes, kept as VALUES instead of sign bits) and measure how well
+    // cosine survives — mean/max |cos16 − cos64| over a fixed 40-vector
+    // sample (780 pairs, model-sized by construction). The dimension-
+    // reduction decision every 100 TB vector store makes (4× less scan
+    // I/O per comparison) reduced to one audited number; per-pair
+    // errors round to 6dp then aggregate DECIMAL-routed, so the mean is
+    // order-independent. Projection dots are left-assoc const chains —
+    // bit-identical in both engines (the q41/q68 discipline).
+    Q("q308_jl_projection", {
+      val planes = Similarity.planes(16, Dim)
+      val projList = planes.map(p => PortableSql.dotConst("embedding", p))
+        .mkString("[", ", ", "]")
+      Q.sql(s"""
+        WITH s AS (
+          SELECT vec_id, embedding, $projList AS pv
+          FROM embeddings WHERE vec_id < 40),
+        pairs AS (
+          SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+            round(abs(round(${PortableSql.cosine("a.pv", "b.pv", 16)}, 6)
+              - ${cosSql("a.embedding", "b.embedding")}), 6) AS err
+          FROM s a JOIN s b ON a.vec_id < b.vec_id)
+        SELECT count(*) AS n_pairs,
+          round(CAST(sum(CAST(err AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6)
+            AS mean_abs_err,
+          max(err) AS max_abs_err
+        FROM pairs""")
+    })(
+      (s, dir) => {
+        val planes = Similarity.planes(16, Dim)
+        val sample = T(s, dir, "embeddings").where(col("vec_id") < 40)
+          .select(col("vec_id"), col("embedding"),
+            array(planes.map(p =>
+              graft.functions.ArrayMath.dotConst(col("embedding"), p))
+              .toIndexedSeq: _*).as("pv"))
+        val a = sample.select(col("vec_id").as("id_a"),
+          col("embedding").as("ea"), col("pv").as("pa"))
+        val b = sample.select(col("vec_id").as("id_b"),
+          col("embedding").as("eb"), col("pv").as("pb"))
+        // fixed 40-row sample: the broadcast is model-sized by the
+        // vec_id < 40 predicate, not an estimate
+        val pairs = a.join(broadcast(b), col("id_a") < col("id_b"))
+          .select(round(abs(
+            round(Similarity.cosine(col("pa"), col("pb"), 16), 6)
+              - round(Similarity.cosine(col("ea"), col("eb"), Dim), 6)), 6)
+            .as("err"))
+        pairs.agg(count(lit(1)).as("n_pairs"),
+          round(sum(col("err").cast("decimal(18,6)")).cast("double")
+            / count(lit(1)), 6).as("mean_abs_err"),
+          max(col("err")).as("max_abs_err"))
+      }),
+
     // Brute-force exact cosine top-3 neighbours for query vectors id < 5.
     Q("q38_knn_cosine", Q.sql(s"""
         SELECT query_id, neighbor_id, cos_sim, rank FROM (

@@ -250,6 +250,146 @@ object SketchQueries {
     // The oracle replays the sketch deterministically (the q285
     // pattern): the identical 9-dp-rounded log-gamma bucket mapping,
     // cumulative walk, and 2γ^i/(γ+1) estimate, in pure SQL.
+    // DDSketch GAMMA sizing sweep — the fourth sizing study (bloom
+    // q285, watermark q286, HLL p q305): q50/q99 estimates and relative
+    // error vs exact percentile_disc at gamma ∈ {1.01, 1.02, 1.05}
+    // (α ≈ 0.5%, 1%, 2.4% guarantees), per returnflag, from ONE shared
+    // value pass — the three bucket ids ride one 3-way generator
+    // explode, one hash aggregation, one cumulative walk per operating
+    // point; the exact side is computed once and joined to all three.
+    // The accuracy-vs-bins decision (smaller gamma ≈ log-γ more
+    // buckets) made from one scan instead of three.
+    Q("q313_ddsketch_gamma_sweep", {
+      val g1 = 1.01; val g2 = 1.02; val g3 = 1.05
+      Q.sql(s"""
+        WITH v AS (
+          SELECT l_returnflag AS flag,
+            CAST(l_extendedprice AS DOUBLE) AS v, l_extendedprice AS p
+          FROM lineitem),
+        bb AS (
+          SELECT flag, g,
+            CASE g WHEN 1 THEN ${Quantiles.bucketSql("v", g1)}
+                   WHEN 2 THEN ${Quantiles.bucketSql("v", g2)}
+                   ELSE ${Quantiles.bucketSql("v", g3)} END AS bucket,
+            count(*) AS cnt
+          FROM v, LATERAL (SELECT unnest([1, 2, 3]) AS g) t
+          GROUP BY 1, 2, 3),
+        n AS (SELECT flag, g, CAST(sum(cnt) AS BIGINT) AS n FROM bb GROUP BY 1, 2),
+        qq AS (SELECT CAST(unnest([0.5, 0.99]) AS DOUBLE) AS q),
+        r AS (
+          SELECT n.flag, n.g, q, n,
+            greatest(CAST(1 AS BIGINT), CAST(ceil(q * n) AS BIGINT)) AS rk
+          FROM n, qq),
+        c AS (
+          SELECT flag, g, bucket,
+            sum(cnt) OVER (PARTITION BY flag, g ORDER BY bucket) AS cum
+          FROM bb),
+        sel AS (
+          SELECT r.flag, r.g, r.q, max(r.n) AS n, min(c.bucket) AS bi
+          FROM r JOIN c ON c.flag = r.flag AND c.g = r.g AND c.cum >= r.rk
+          GROUP BY 1, 2, 3),
+        ec AS (SELECT flag, p, count(*) AS cnt FROM v GROUP BY 1, 2),
+        ecc AS (
+          SELECT flag, p,
+            sum(cnt) OVER (PARTITION BY flag ORDER BY p) AS cum
+          FROM ec),
+        rq AS (SELECT DISTINCT flag, q, rk FROM r),
+        ex AS (
+          SELECT rq.flag, rq.q, min(e.p) AS exact_disc
+          FROM rq JOIN ecc e ON e.flag = rq.flag AND e.cum >= rq.rk
+          GROUP BY 1, 2),
+        est AS (
+          SELECT flag, g, q, n,
+            round(CASE g WHEN 1 THEN ${Quantiles.estimateSql("bi", g1)}
+                         WHEN 2 THEN ${Quantiles.estimateSql("bi", g2)}
+                         ELSE ${Quantiles.estimateSql("bi", g3)} END, 6) AS dd_est
+          FROM sel)
+        SELECT
+          CASE est.g WHEN 1 THEN CAST(1.01 AS DOUBLE)
+                     WHEN 2 THEN CAST(1.02 AS DOUBLE)
+                     ELSE CAST(1.05 AS DOUBLE) END AS gamma,
+          est.flag AS flag, est.q AS q, est.n AS n, est.dd_est,
+          ex.exact_disc AS exact_disc,
+          round(abs(est.dd_est - CAST(ex.exact_disc AS DOUBLE))
+            / CAST(ex.exact_disc AS DOUBLE), 6) AS rel_err
+        FROM est JOIN ex ON ex.flag = est.flag AND ex.q = est.q
+        ORDER BY gamma, flag, q""")
+    })(
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val (g1, g2, g3) = (1.01, 1.02, 1.05)
+        val li = T(s, dir, "lineitem")
+          .select(col("l_returnflag").as("flag"), col("l_extendedprice").as("p"))
+        val vd = col("p").cast("double")
+        val bb = li
+          .select(col("flag"), col("p"), explode(typedlit(Seq(1, 2, 3))).as("g"))
+          .withColumn("bucket",
+            when(col("g") === 1, Quantiles.bucketCol(vd, g1))
+              .when(col("g") === 2, Quantiles.bucketCol(vd, g2))
+              .otherwise(Quantiles.bucketCol(vd, g3)))
+          .groupBy("flag", "g", "bucket").agg(count(lit(1)).as("cnt"))
+        val n = bb.groupBy("flag", "g").agg(sum(col("cnt")).as("n"))
+        val ranks = n
+          .withColumn("q", explode(typedlit(Seq(0.5, 0.99))))
+          .withColumn("rk",
+            greatest(lit(1L), ceil(col("q") * col("n")).cast("long")))
+        val cum = bb.withColumn("cum", sum(col("cnt")).over(
+          Window.partitionBy("flag", "g").orderBy("bucket")))
+        val sel = ranks.join(cum, Seq("flag", "g"))
+          .where(col("cum") >= col("rk"))
+          .groupBy("flag", "g", "q")
+          .agg(max(col("n")).as("n"), min(col("bucket")).as("bi"))
+        val est = sel.withColumn("dd_est", round(
+          when(col("g") === 1, Quantiles.estimateCol(col("bi"), g1))
+            .when(col("g") === 2, Quantiles.estimateCol(col("bi"), g2))
+            .otherwise(Quantiles.estimateCol(col("bi"), g3)), 6))
+        val ec = li.groupBy("flag", "p").agg(count(lit(1)).as("cnt"))
+        val ecc = ec.withColumn("cum", sum(col("cnt")).over(
+          Window.partitionBy("flag").orderBy("p")))
+        val rq = ranks.select("flag", "q", "rk").distinct()
+        val ex = rq.join(ecc, "flag")
+          .where(col("cum") >= col("rk"))
+          .groupBy("flag", "q")
+          .agg(min(col("p")).as("exact_disc"))
+        est.join(ex, Seq("flag", "q"))
+          .select(
+            when(col("g") === 1, 1.01).when(col("g") === 2, 1.02)
+              .otherwise(1.05).as("gamma"),
+            col("flag"), col("q"), col("n"), col("dd_est"),
+            col("exact_disc"),
+            round(abs(col("dd_est") - col("exact_disc").cast("double"))
+              / col("exact_disc").cast("double"), 6).as("rel_err"))
+          .orderBy("gamma", "flag", "q")
+      }),
+
+    // The SQL registration path itself, oracle-gated: the Spark side is
+    // PURE SQL TEXT through spark.sql — `graft_dd_sketch` resolved by
+    // the function registry (GraftFunctions/SparkSessionExtensions), the
+    // sketch state exploded to (bucket, cnt) rows. The oracle replays
+    // the bucket derivation arithmetically, so a drift in the SQL
+    // binding (argument coercion, eval path, map layout) is a hash
+    // mismatch — q287 gates the API build, this gates the `spark.sql`
+    // surface a SQL-only user runs.
+    Q("q306_ddsketch_sql", Q.sql(s"""
+        SELECT l_returnflag AS flag,
+          ${Quantiles.bucketSql("CAST(l_extendedprice AS DOUBLE)", DdGamma)}
+            AS bucket,
+          count(*) AS cnt
+        FROM lineitem
+        GROUP BY 1, 2
+        ORDER BY flag, bucket"""))(
+      (s, dir) => {
+        graft.GraftFunctions.register(s)
+        T(s, dir, "lineitem").createOrReplaceTempView("li_q306")
+        s.sql(s"""
+          SELECT flag, bucket, cnt FROM (
+            SELECT l_returnflag AS flag,
+              graft_dd_sketch(CAST(l_extendedprice AS DOUBLE), $DdGamma) AS dd
+            FROM li_q306 GROUP BY l_returnflag
+          ) LATERAL VIEW explode(dd.pos) t AS bucket, cnt
+          ORDER BY flag, bucket""")
+      }),
+
     Q("q287_ddsketch_quantiles", {
       val g = DdGamma
       Q.sql(s"""
