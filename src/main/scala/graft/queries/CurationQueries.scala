@@ -392,6 +392,75 @@ object CurationQueries {
           .select(col("id").as("doc_id"), col("n_bigrams"), col("avg_logp"))
           .orderBy("doc_id")),
 
+    // Graph modularity (Newman & Girvan PRE'04) of the nation partition
+    // over the supplier CO-SUPPLY graph (suppliers sharing a part,
+    // distinct pairs, undirected): Q = Σ_c (e_c/m − (d_c/2m)²) — do
+    // suppliers co-supply within their nation more than a random graph
+    // with the same degrees would? THE community-quality number every
+    // cluster assignment (dedup components, IVF cells, domain groups)
+    // gets audited with before it drives curation decisions. Everything
+    // is an integer count until the final fixed double expression; the
+    // pair generator is per-part (TPC-H bounds suppliers/part), never
+    // all-pairs.
+    Q("q314_modularity", Q.sql("""
+        WITH ps AS (SELECT DISTINCT l_partkey AS pk, l_suppkey AS sk FROM lineitem),
+        e AS (
+          SELECT DISTINCT a.sk AS sa, b.sk AS sb
+          FROM ps a JOIN ps b ON a.pk = b.pk AND a.sk < b.sk),
+        nat AS (SELECT s_suppkey AS sk, s_nationkey AS nk FROM supplier),
+        en AS (
+          SELECT na.nk AS nka, nb.nk AS nkb
+          FROM e JOIN nat na ON na.sk = e.sa JOIN nat nb ON nb.sk = e.sb),
+        m AS (SELECT count(*) AS m FROM en),
+        degs AS (
+          SELECT nk, CAST(count(*) AS BIGINT) AS d FROM (
+            SELECT nka AS nk FROM en UNION ALL SELECT nkb FROM en) dd
+          GROUP BY 1),
+        within AS (
+          SELECT nka AS nk, CAST(count(*) AS BIGINT) AS e_within
+          FROM en WHERE nka = nkb GROUP BY 1)
+        SELECT d.nk AS nation, coalesce(w.e_within, CAST(0 AS BIGINT)) AS e_within,
+          d.d AS degree_sum, m.m AS m,
+          round(CAST(coalesce(w.e_within, 0) AS DOUBLE) / CAST(m.m AS DOUBLE)
+            - (CAST(d.d AS DOUBLE) / (2 * CAST(m.m AS DOUBLE)))
+              * (CAST(d.d AS DOUBLE) / (2 * CAST(m.m AS DOUBLE))), 6)
+            AS q_contrib
+        FROM degs d LEFT JOIN within w ON w.nk = d.nk, m
+        ORDER BY nation"""))(
+      (s, dir) => {
+        val ps = T(s, dir, "lineitem")
+          .select(col("l_partkey").as("pk"), col("l_suppkey").as("sk"))
+          .distinct()
+        val e = ps.as("a")
+          .join(ps.select(col("pk"), col("sk").as("sb")), "pk")
+          .where(col("sk") < col("sb"))
+          .select(col("sk").as("sa"), col("sb"))
+          .distinct()
+        val nat = broadcast(T(s, dir, "supplier")
+          .select(col("s_suppkey").as("skey"), col("s_nationkey").as("nk")))
+        val en = e
+          .join(nat.select(col("skey"), col("nk").as("nka")),
+            col("sa") === col("skey")).drop("skey")
+          .join(nat.select(col("skey"), col("nk").as("nkb")),
+            col("sb") === col("skey")).drop("skey")
+          .select("nka", "nkb")
+        val m = en.agg(count(lit(1)).as("m"))
+        val degs = en.select(col("nka").as("nk"))
+          .unionByName(en.select(col("nkb").as("nk")))
+          .groupBy("nk").agg(count(lit(1)).as("d"))
+        val within = en.where(col("nka") === col("nkb"))
+          .groupBy(col("nka").as("nk")).agg(count(lit(1)).as("e_within"))
+        val md = col("d").cast("double") / (lit(2) * col("m").cast("double"))
+        degs.join(within, Seq("nk"), "left")
+          .crossJoin(broadcast(m))
+          .select(col("nk").as("nation"),
+            coalesce(col("e_within"), lit(0L)).as("e_within"),
+            col("d").as("degree_sum"), col("m"),
+            round(coalesce(col("e_within"), lit(0L)).cast("double")
+                / col("m").cast("double") - md * md, 6).as("q_contrib"))
+          .orderBy("nation")
+      }),
+
     // Interpolated Kneser-Ney bigram LM (Kneser & Ney ICASSP'95, the
     // n-gram smoothing that held SOTA until neural LMs; Chen & Goodman
     // TR-10-98 evaluation): unlike q105's add-one, the backoff mass is
@@ -504,6 +573,184 @@ object CurationQueries {
         graft.ops.AsOfJoin.asOf(spine, obs, Seq("user_id"), "h", "t",
             payload = Seq("locf_value"))
           .orderBy("user_id", "h")
+      }),
+
+    // Louvain phase-1 move gains (Blondel et al. J.Stat.Mech'08) over
+    // the q314 co-supply graph with the nation partition as the
+    // incumbent communities: for every supplier and every NEIGHBORING
+    // community B, ΔQ of moving i from A to B = (k_iB − k_iA)/m −
+    // k_i·(Σtot_B − Σtot_A + k_i)/(2m²) — the greedy step all Louvain
+    // rounds are made of, and the audit q314 can't give ("is this
+    // partition locally optimal, and where does it want to move?").
+    // Candidates come from the (node, neighbor-community) edge-count
+    // frame — degree-bounded, never node × community. Everything is an
+    // integer count until one fixed double expression; top-20 best
+    // moves fully tie-broken.
+    Q("q328_louvain_gain", Q.sql("""
+        WITH ps AS (SELECT DISTINCT l_partkey AS pk, l_suppkey AS sk FROM lineitem),
+        e AS (
+          SELECT DISTINCT a.sk AS sa, b.sk AS sb
+          FROM ps a JOIN ps b ON a.pk = b.pk AND a.sk < b.sk),
+        nat AS (SELECT s_suppkey AS sk, s_nationkey AS nk FROM supplier),
+        dg AS (
+          SELECT i, j FROM (
+            SELECT sa AS i, sb AS j FROM e
+            UNION ALL SELECT sb AS i, sa AS j FROM e) u),
+        deg AS (SELECT i, CAST(count(*) AS BIGINT) AS ki FROM dg GROUP BY 1),
+        kic AS (
+          SELECT d.i, nj.nk AS cj, CAST(count(*) AS BIGINT) AS k_ic
+          FROM dg d JOIN nat nj ON nj.sk = d.j GROUP BY 1, 2),
+        tot AS (
+          SELECT na.nk AS c, CAST(sum(deg.ki) AS BIGINT) AS sig
+          FROM deg JOIN nat na ON na.sk = deg.i GROUP BY 1),
+        m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM e),
+        cand AS (
+          SELECT k.i, na.nk AS a, k.cj AS b, deg.ki, k.k_ic AS kib,
+            coalesce(ka.k_ic, CAST(0 AS BIGINT)) AS kia,
+            ta.sig AS siga, tb.sig AS sigb
+          FROM kic k
+          JOIN nat na ON na.sk = k.i
+          JOIN deg ON deg.i = k.i
+          LEFT JOIN kic ka ON ka.i = k.i AND ka.cj = na.nk
+          JOIN tot ta ON ta.c = na.nk
+          JOIN tot tb ON tb.c = k.cj
+          WHERE k.cj <> na.nk),
+        dq AS (
+          SELECT i, a, b, ki,
+            round((CAST(kib AS DOUBLE) - CAST(kia AS DOUBLE))
+                / CAST(m.m AS DOUBLE)
+              - CAST(ki AS DOUBLE)
+                * (CAST(sigb AS DOUBLE) - CAST(siga AS DOUBLE)
+                   + CAST(ki AS DOUBLE))
+                / (2 * CAST(m.m AS DOUBLE) * CAST(m.m AS DOUBLE)), 9) AS dq
+          FROM cand, m),
+        best AS (
+          SELECT i, a, b, ki, dq,
+            row_number() OVER (PARTITION BY i ORDER BY dq DESC, b) AS rk
+          FROM dq)
+        SELECT i AS supplier, a AS from_nation, b AS to_nation,
+          ki AS degree, dq
+        FROM best WHERE rk = 1
+        ORDER BY dq DESC, supplier LIMIT 20"""))(
+      (s, dir) => {
+        val ps = T(s, dir, "lineitem")
+          .select(col("l_partkey").as("pk"), col("l_suppkey").as("sk"))
+          .distinct()
+        val e = ps.as("a")
+          .join(ps.select(col("pk"), col("sk").as("sb")), "pk")
+          .where(col("sk") < col("sb"))
+          .select(col("sk").as("sa"), col("sb"))
+          .distinct()
+        val nat = broadcast(T(s, dir, "supplier")
+          .select(col("s_suppkey").as("skey"), col("s_nationkey").as("nk")))
+        val dg = e.select(col("sa").as("i"), col("sb").as("j"))
+          .unionByName(e.select(col("sb").as("i"), col("sa").as("j")))
+        val deg = dg.groupBy("i").agg(count(lit(1)).cast("bigint").as("ki"))
+        val kic = dg
+          .join(nat.select(col("skey"), col("nk").as("cj")),
+            col("skey") === col("j")).drop("skey")
+          .groupBy("i", "cj")
+          .agg(count(lit(1)).cast("bigint").as("k_ic"))
+        val tot = deg
+          .join(nat.select(col("skey"), col("nk").as("c")),
+            col("skey") === col("i")).drop("skey")
+          .groupBy("c").agg(sum(col("ki")).cast("bigint").as("sig"))
+        val m = e.agg(count(lit(1)).cast("bigint").as("m"))
+        val cand = kic
+          .join(nat.select(col("skey"), col("nk").as("a")),
+            col("skey") === col("i")).drop("skey")
+          .join(deg, "i")
+          .join(kic.select(col("i").as("i2"), col("cj").as("cj2"),
+              col("k_ic").as("kia_raw")),
+            col("i2") === col("i") && col("cj2") === col("a"), "left")
+          .drop("i2", "cj2")
+          .join(broadcast(tot.select(col("c"), col("sig").as("siga"))),
+            col("c") === col("a")).drop("c")
+          .join(broadcast(tot.select(col("c"), col("sig").as("sigb"))),
+            col("c") === col("cj")).drop("c")
+          .where(col("cj") =!= col("a"))
+          .select(col("i"), col("a"), col("cj").as("b"), col("ki"),
+            col("k_ic").as("kib"),
+            coalesce(col("kia_raw"), lit(0L)).as("kia"),
+            col("siga"), col("sigb"))
+        val dqf = cand.crossJoin(broadcast(m))
+          .select(col("i"), col("a"), col("b"), col("ki"),
+            round((col("kib").cast("double") - col("kia").cast("double"))
+                / col("m").cast("double")
+              - col("ki").cast("double")
+                * (col("sigb").cast("double") - col("siga").cast("double")
+                   + col("ki").cast("double"))
+                / (lit(2) * col("m").cast("double")
+                   * col("m").cast("double")), 9).as("dq"))
+        dqf.withColumn("rk", row_number().over(Window.partitionBy("i")
+            .orderBy(col("dq").desc, col("b"))))
+          .where(col("rk") === 1)
+          .select(col("i").as("supplier"), col("a").as("from_nation"),
+            col("b").as("to_nation"), col("ki").as("degree"), col("dq"))
+          .orderBy(col("dq").desc, col("supplier")).limit(20)
+      }),
+
+    // Synchronous label propagation (Raghavan-Albert-Kumara PRE'07), 3
+    // fixed rounds over the supplier co-supply graph: each node adopts
+    // its neighbors' MODE label (count desc, then smallest label — fully
+    // deterministic, unlike the randomized original), the near-linear
+    // community detector that needs no modularity optimization. Each
+    // round is one equi-join + two hash aggs (mode via max_by over
+    // (count, −label)); the edge frame is per-part pair generation
+    // (TPC-H bounds suppliers/part), CACHED once for the degree-frame
+    // and all three rounds. Oracle replays the rounds as MATERIALIZED
+    // CTEs with a row_number mode (q157's pattern — inlining is 3^rounds).
+    Q("q334_label_propagation", {
+      val rounds = (1 to 3).map { i =>
+        val prev = if (i == 1) "l0" else s"r${i - 1}"
+        s"""r$i AS MATERIALIZED (
+           SELECT u, lbl FROM (
+             SELECT n.u, l.lbl, count(*) AS c,
+               row_number() OVER (PARTITION BY n.u
+                 ORDER BY count(*) DESC, l.lbl) AS rn
+             FROM nbr n JOIN $prev l ON l.u = n.v
+             GROUP BY n.u, l.lbl) x WHERE rn = 1)"""
+      }.mkString(", ")
+      Q.sql(s"""
+        WITH ps AS (SELECT DISTINCT l_partkey AS pk, l_suppkey AS sk FROM lineitem),
+        e AS MATERIALIZED (
+          SELECT DISTINCT a.sk AS sa, b.sk AS sb
+          FROM ps a JOIN ps b ON a.pk = b.pk AND a.sk < b.sk),
+        nbr AS MATERIALIZED (
+          SELECT sa AS u, sb AS v FROM e UNION ALL SELECT sb, sa FROM e),
+        l0 AS MATERIALIZED (SELECT DISTINCT u, u AS lbl FROM nbr),
+        $rounds
+        SELECT lbl AS community, CAST(count(*) AS BIGINT) AS n_members
+        FROM r3 GROUP BY 1
+        ORDER BY n_members DESC, community LIMIT 20""")
+    })(
+      (s, dir) => {
+        val ps = T(s, dir, "lineitem")
+          .select(col("l_partkey").as("pk"), col("l_suppkey").as("sk"))
+          .distinct()
+        val e = ps.as("a")
+          .join(ps.select(col("pk"), col("sk").as("sb")), "pk")
+          .where(col("sk") < col("sb"))
+          .select(col("sk").as("sa"), col("sb"))
+          .distinct()
+        val nbr = cached(
+          e.select(col("sa").as("u"), col("sb").as("v"))
+            .unionByName(e.select(col("sb").as("u"), col("sa").as("v"))))
+        val l0 = nbr.select(col("u")).distinct()
+          .select(col("u"), col("u").as("lbl"))
+        val lbl3 = (1 to 3).foldLeft(l0) { (lbl, _) =>
+          nbr.join(lbl.select(col("u").as("v2"), col("lbl")),
+              col("v") === col("v2"))
+            .groupBy(col("u"), col("lbl"))
+            .agg(count(lit(1)).as("c"))
+            .groupBy("u")
+            .agg(max_by(col("lbl"), struct(col("c"), (-col("lbl")).as("nl")))
+              .as("lbl"))
+        }
+        lbl3.groupBy(col("lbl").as("community"))
+          .agg(count(lit(1)).as("n_members"))
+          .orderBy(col("n_members").desc, col("community"))
+          .limit(20)
       })
   )
 }

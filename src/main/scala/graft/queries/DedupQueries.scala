@@ -216,6 +216,77 @@ object DedupQueries {
           .orderBy("doc_id")
       }),
 
+    // Survivorship / golden-record construction (the MDM step AFTER
+    // clustering, q247's field-level generalization): each near-dup
+    // cluster (q54's simhash components; unclustered docs are their own
+    // singleton cluster) merges into ONE record by explicit field
+    // rules — longest text wins the content (tie → smallest id), the
+    // MODAL language wins lang (tie → lexicographically smallest), and
+    // provenance keeps the distinct-source count. Every rule is a
+    // deterministic total order, so the golden record is reproducible
+    // run-to-run — the property that makes survivorship auditable.
+    // Scale: the component frame joins back to the doc table on id
+    // (equi), the two rules are one cluster-partitioned window each.
+    Q("q316_survivorship", Q.sql(s"""
+        WITH RECURSIVE $componentCtes,
+        mem AS (
+          SELECT d.doc_id, coalesce(c.component, d.doc_id) AS cluster,
+            d.lang, d.source, d.n_chars
+          FROM documents d LEFT JOIN comp c ON c.id = d.doc_id),
+        surv AS (
+          SELECT cluster, doc_id AS survivor_id, n_chars AS survivor_chars
+          FROM (
+            SELECT cluster, doc_id, n_chars, row_number() OVER (
+              PARTITION BY cluster ORDER BY n_chars DESC, doc_id) AS rn
+            FROM mem) x
+          WHERE rn = 1),
+        lc AS (
+          SELECT cluster, lang AS modal_lang FROM (
+            SELECT cluster, lang, row_number() OVER (
+              PARTITION BY cluster ORDER BY count(*) DESC, lang) AS rn
+            FROM mem GROUP BY cluster, lang) x
+          WHERE rn = 1),
+        st AS (
+          SELECT cluster, count(*) AS n_members,
+            count(DISTINCT source) AS n_sources
+          FROM mem GROUP BY 1)
+        SELECT st.cluster AS cluster, st.n_members, st.n_sources,
+          surv.survivor_id, surv.survivor_chars, lc.modal_lang
+        FROM st JOIN surv ON surv.cluster = st.cluster
+          JOIN lc ON lc.cluster = st.cluster
+        ORDER BY cluster"""))(
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = T(s, dir, "documents")
+        val comp = Dedup.components(
+          Dedup.simhashNearDups(docs, col("doc_id"), col("text"),
+            maxDist = 3, bits = SimhashBits))
+        val mem = docs
+          .join(comp, docs("doc_id") === comp("id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("component"), col("doc_id")).as("cluster"),
+            col("lang"), col("source"), col("n_chars"))
+        val surv = mem
+          .withColumn("rn", row_number().over(Window.partitionBy("cluster")
+            .orderBy(col("n_chars").desc, col("doc_id"))))
+          .where(col("rn") === 1)
+          .select(col("cluster"), col("doc_id").as("survivor_id"),
+            col("n_chars").as("survivor_chars"))
+        val lc = mem.groupBy("cluster", "lang")
+          .agg(count(lit(1)).as("cnt"))
+          .withColumn("rn", row_number().over(Window.partitionBy("cluster")
+            .orderBy(col("cnt").desc, col("lang"))))
+          .where(col("rn") === 1)
+          .select(col("cluster"), col("lang").as("modal_lang"))
+        val st = mem.groupBy("cluster")
+          .agg(count(lit(1)).as("n_members"),
+            countDistinct(col("source")).as("n_sources"))
+        st.join(surv, "cluster").join(lc, "cluster")
+          .select(col("cluster"), col("n_members"), col("n_sources"),
+            col("survivor_id"), col("survivor_chars"), col("modal_lang"))
+          .orderBy("cluster")
+      }),
+
     // Exact dedup: one row per content hash with survivor id + copy count.
     Q("q34_dedup_exact", Q.sql("""
         SELECT md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS content_hash,

@@ -502,6 +502,208 @@ object DepthQueries {
           .saveAsTable("graft_q170.nation_rt")
         s.table("graft_q170.nation_rt")
           .orderBy("n_nationkey")
+      }),
+
+    // Kruskal-Wallis rank test (Kruskal & Wallis JASA'52) — the
+    // nonparametric ANOVA: do the five nations inside each region draw
+    // customer balances from the same distribution? Ranks come from the
+    // VALUE-DOMAIN side, not a data-sized sort: balances quantize to
+    // integer cents (≤1.1M distinct values however many customers
+    // exist), so midranks are derived from per-(region,cents) counts —
+    // two hash aggs plus ONE cumulative window over the domain-bounded
+    // distinct-value frame per region. 2×midrank stays integer, group
+    // rank sums stay DECIMAL-exact, and the per-group R²/n terms are
+    // rounded at 6dp then DECIMAL-summed so the only doubles are one
+    // fixed-order final expression (H, tie-corrected H/C).
+    Q("q329_kruskal_wallis", Q.sql("""
+        WITH cust AS (
+          SELECT n_regionkey AS rk, c_nationkey AS nk,
+            CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS cents
+          FROM customer JOIN nation ON n_nationkey = c_nationkey),
+        cells AS (
+          SELECT rk, nk, cents, count(*) AS cnt FROM cust GROUP BY 1, 2, 3),
+        vals AS (
+          SELECT rk, cents, CAST(sum(cnt) AS BIGINT) AS vcnt
+          FROM cells GROUP BY 1, 2),
+        m2 AS (
+          SELECT rk, cents, vcnt,
+            2 * (sum(vcnt) OVER (PARTITION BY rk ORDER BY cents) - vcnt)
+              + vcnt + 1 AS mr2
+          FROM vals),
+        grp AS (
+          SELECT c.rk, c.nk, CAST(sum(c.cnt) AS BIGINT) AS n_g,
+            CAST(sum(CAST(c.cnt AS DECIMAL(38,0)) * m.mr2) AS DECIMAL(38,0))
+              AS s2_g
+          FROM cells c JOIN m2 m ON m.rk = c.rk AND m.cents = c.cents
+          GROUP BY 1, 2),
+        terms AS (
+          SELECT rk, nk, n_g,
+            CAST(round((CAST(s2_g AS DOUBLE) / 2) * (CAST(s2_g AS DOUBLE) / 2)
+              / CAST(n_g AS DOUBLE), 6) AS DECIMAL(30,6)) AS r2n
+          FROM grp),
+        ties AS (
+          SELECT rk,
+            CAST(sum(CAST(vcnt AS DECIMAL(38,0)) * vcnt * vcnt - vcnt)
+              AS DECIMAL(38,0)) AS t3
+          FROM vals GROUP BY 1),
+        reg AS (
+          SELECT t.rk, CAST(sum(t.n_g) AS BIGINT) AS n, count(*) AS k,
+            CAST(sum(t.r2n) AS DECIMAL(38,6)) AS sr2n
+          FROM terms t GROUP BY 1)
+        SELECT r.rk AS region, r.n, r.k,
+          round(CAST(12 AS DOUBLE) / (CAST(r.n AS DOUBLE) * CAST(r.n + 1 AS DOUBLE))
+            * CAST(r.sr2n AS DOUBLE) - 3 * CAST(r.n + 1 AS DOUBLE), 6) AS h,
+          round((CAST(12 AS DOUBLE) / (CAST(r.n AS DOUBLE) * CAST(r.n + 1 AS DOUBLE))
+            * CAST(r.sr2n AS DOUBLE) - 3 * CAST(r.n + 1 AS DOUBLE))
+            / (1 - CAST(ti.t3 AS DOUBLE)
+              / (CAST(r.n AS DOUBLE) * CAST(r.n AS DOUBLE) * CAST(r.n AS DOUBLE)
+                - CAST(r.n AS DOUBLE))), 6) AS h_adj
+        FROM reg r JOIN ties ti ON ti.rk = r.rk
+        ORDER BY region"""))(
+      (s, dir) => {
+        val cust = T(s, dir, "customer")
+          .join(broadcast(T(s, dir, "nation")
+            .select(col("n_nationkey"), col("n_regionkey").as("rk"))),
+            col("n_nationkey") === col("c_nationkey"))
+          .select(col("rk"), col("c_nationkey").as("nk"),
+            floor(col("c_acctbal") * 100 + 0.5).cast("long").as("cents"))
+        val cells = cust.groupBy("rk", "nk", "cents")
+          .agg(count(lit(1)).as("cnt"))
+        val vals = cells.groupBy("rk", "cents")
+          .agg(sum(col("cnt")).as("vcnt"))
+        val wCum = Window.partitionBy("rk").orderBy("cents")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val m2 = vals.select(col("rk"), col("cents"), col("vcnt"),
+          (lit(2) * (sum(col("vcnt")).over(wCum) - col("vcnt"))
+            + col("vcnt") + 1).as("mr2"))
+        val grp = cells
+          .join(m2.select(col("rk"), col("cents"), col("mr2")),
+            Seq("rk", "cents"))
+          .groupBy("rk", "nk")
+          .agg(sum(col("cnt")).as("n_g"),
+            sum(col("cnt").cast("decimal(38,0)") * col("mr2"))
+              .cast("decimal(38,0)").as("s2_g"))
+        val terms = grp.select(col("rk"), col("nk"), col("n_g"),
+          round((col("s2_g").cast("double") / 2) * (col("s2_g").cast("double") / 2)
+            / col("n_g").cast("double"), 6).cast("decimal(30,6)").as("r2n"))
+        val ties = vals.groupBy("rk")
+          .agg(sum(col("vcnt").cast("decimal(38,0)") * col("vcnt") * col("vcnt")
+            - col("vcnt")).cast("decimal(38,0)").as("t3"))
+        val reg = terms.groupBy("rk")
+          .agg(sum(col("n_g")).as("n"), count(lit(1)).as("k"),
+            sum(col("r2n")).cast("decimal(38,6)").as("sr2n"))
+        val nD = col("n").cast("double")
+        val hExpr = lit(12.0) / (nD * (col("n") + 1).cast("double")) *
+          col("sr2n").cast("double") - lit(3) * (col("n") + 1).cast("double")
+        reg.join(ties, "rk")
+          .select(col("rk").as("region"), col("n"), col("k"),
+            round(hExpr, 6).as("h"),
+            round(hExpr / (lit(1) - col("t3").cast("double")
+              / (nD * nD * nD - nD)), 6).as("h_adj"))
+          .orderBy("region")
+      }),
+
+    // Brown-Forsythe test (Brown & Forsythe JASA'74) — Levene's
+    // homogeneity-of-variance check with the robust median center: are
+    // balance SPREADS equal across each region's nations? (q329 asks
+    // about location; this is the variance twin that guards the ANOVA
+    // assumption.) Per-nation medians come from the same domain-bounded
+    // distinct-cents frame (2×median = low+high order statistic, exact
+    // integers), deviations |2x − med2| stay integer, and the one-way F
+    // on deviations uses the computational identity SSB = Σ S²/n − T²/N
+    // with DECIMAL-exact sums — doubles only in the fixed-order final F.
+    Q("q330_brown_forsythe", Q.sql("""
+        WITH cust AS (
+          SELECT n_regionkey AS rk, c_nationkey AS nk,
+            CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS cents
+          FROM customer JOIN nation ON n_nationkey = c_nationkey),
+        nvals AS (
+          SELECT rk, nk, cents, count(*) AS cnt FROM cust GROUP BY 1, 2, 3),
+        ncum AS (
+          SELECT rk, nk, cents, cnt,
+            sum(cnt) OVER (PARTITION BY nk ORDER BY cents) AS cum,
+            CAST(sum(cnt) OVER (PARTITION BY nk) AS BIGINT) AS n_g
+          FROM nvals),
+        med AS (
+          SELECT rk, nk,
+            min(CASE WHEN cum >= (n_g + 1) // 2 THEN cents END)
+              + min(CASE WHEN cum >= (n_g + 2) // 2 THEN cents END) AS med2
+          FROM ncum GROUP BY 1, 2),
+        dev AS (
+          SELECT c.rk, c.nk, abs(2 * c.cents - m.med2) AS z
+          FROM cust c JOIN med m ON m.nk = c.nk),
+        grp AS (
+          SELECT rk, nk, CAST(count(*) AS BIGINT) AS n_g,
+            CAST(sum(CAST(z AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS s_g,
+            CAST(sum(CAST(z AS DECIMAL(38,0)) * z) AS DECIMAL(38,0)) AS q_g
+          FROM dev GROUP BY 1, 2),
+        terms AS (
+          SELECT rk, nk, n_g, s_g, q_g,
+            CAST(round(CAST(s_g AS DOUBLE) * CAST(s_g AS DOUBLE)
+              / CAST(n_g AS DOUBLE), 6) AS DECIMAL(30,6)) AS s2n
+          FROM grp),
+        reg AS (
+          SELECT rk, CAST(sum(n_g) AS BIGINT) AS n, count(*) AS k,
+            CAST(sum(s_g) AS DECIMAL(38,0)) AS t,
+            CAST(sum(q_g) AS DECIMAL(38,0)) AS q,
+            CAST(sum(s2n) AS DECIMAL(38,6)) AS s2n
+          FROM terms GROUP BY 1)
+        SELECT rk AS region, n, k,
+          round((CAST(s2n AS DOUBLE) - CAST(t AS DOUBLE) * CAST(t AS DOUBLE)
+              / CAST(n AS DOUBLE)) / CAST(k - 1 AS DOUBLE), 6) AS msb,
+          round((CAST(q AS DOUBLE) - CAST(s2n AS DOUBLE))
+            / CAST(n - k AS DOUBLE), 6) AS msw,
+          round(((CAST(s2n AS DOUBLE) - CAST(t AS DOUBLE) * CAST(t AS DOUBLE)
+              / CAST(n AS DOUBLE)) / CAST(k - 1 AS DOUBLE))
+            / ((CAST(q AS DOUBLE) - CAST(s2n AS DOUBLE))
+              / CAST(n - k AS DOUBLE)), 6) AS f
+        FROM reg ORDER BY region"""))(
+      (s, dir) => {
+        val cust = T(s, dir, "customer")
+          .join(broadcast(T(s, dir, "nation")
+            .select(col("n_nationkey"), col("n_regionkey").as("rk"))),
+            col("n_nationkey") === col("c_nationkey"))
+          .select(col("rk"), col("c_nationkey").as("nk"),
+            floor(col("c_acctbal") * 100 + 0.5).cast("long").as("cents"))
+        val nvals = cust.groupBy("rk", "nk", "cents")
+          .agg(count(lit(1)).as("cnt"))
+        val wCum = Window.partitionBy("nk").orderBy("cents")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wAll = Window.partitionBy("nk")
+        val ncum = nvals.select(col("rk"), col("nk"), col("cents"), col("cnt"),
+          sum(col("cnt")).over(wCum).as("cum"),
+          sum(col("cnt")).over(wAll).cast("long").as("n_g"))
+        val med = ncum.groupBy("rk", "nk")
+          .agg((min(when(col("cum") >= floor((col("n_g") + 1) / 2), col("cents")))
+            + min(when(col("cum") >= floor((col("n_g") + 2) / 2), col("cents"))))
+            .as("med2"))
+        val dev = cust
+          .join(broadcast(med.select(col("nk"), col("med2"))), Seq("nk"))
+          .select(col("rk"), col("nk"),
+            abs(lit(2) * col("cents") - col("med2")).as("z"))
+        val grp = dev.groupBy("rk", "nk")
+          .agg(count(lit(1)).as("n_g"),
+            sum(col("z").cast("decimal(38,0)")).cast("decimal(38,0)").as("s_g"),
+            sum(col("z").cast("decimal(38,0)") * col("z"))
+              .cast("decimal(38,0)").as("q_g"))
+        val terms = grp.select(col("rk"), col("nk"), col("n_g"), col("s_g"),
+          col("q_g"),
+          round(col("s_g").cast("double") * col("s_g").cast("double")
+            / col("n_g").cast("double"), 6).cast("decimal(30,6)").as("s2n"))
+        val reg = terms.groupBy("rk")
+          .agg(sum(col("n_g")).as("n"), count(lit(1)).as("k"),
+            sum(col("s_g")).cast("decimal(38,0)").as("t"),
+            sum(col("q_g")).cast("decimal(38,0)").as("q"),
+            sum(col("s2n")).cast("decimal(38,6)").as("s2n"))
+        val ssb = (col("s2n").cast("double") - col("t").cast("double")
+          * col("t").cast("double") / col("n").cast("double"))
+          / (col("k") - 1).cast("double")
+        val ssw = (col("q").cast("double") - col("s2n").cast("double"))
+          / (col("n") - col("k")).cast("double")
+        reg.select(col("rk").as("region"), col("n"), col("k"),
+            round(ssb, 6).as("msb"), round(ssw, 6).as("msw"),
+            round(ssb / ssw, 6).as("f"))
+          .orderBy("region")
       })
   )
 }

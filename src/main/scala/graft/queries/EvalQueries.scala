@@ -32,6 +32,118 @@ object EvalQueries {
 
   def all: Seq[Q] = Seq(
 
+    // CUPED variance reduction (Deng et al. WSDM'13 — "Improving the
+    // sensitivity of online controlled experiments"): adjust each
+    // user's outcome y by θ·(x − x̄) where x is a pre-period covariate
+    // and θ = cov(x,y)/var(x) pooled — the experimentation-platform
+    // standard that cuts metric variance without biasing the treatment
+    // contrast. Here: md5-parity arms, x = the user's even-day value
+    // mass, y = odd-day (the pre/post proxy this fixture affords).
+    // Values ride EXACT 4-dp fixed-point longs (the q304 discipline);
+    // cross-products go through DECIMAL(38) so every moment is an
+    // order-independent integer, and θ / means / variances are single
+    // fixed IEEE expressions off those exact aggregates. At 100 TB: one
+    // per-user agg, one 2-row arm agg, one scalar broadcast.
+    Q("q318_cuped", Q.sql(s"""
+        WITH e AS (
+          SELECT user_id,
+            ${graft.functions.PortableSql.hexToLong(
+              "md5(CAST(user_id AS VARCHAR))", 12)} % 2 AS arm,
+            CAST(floor(value * 10000 + 0.5) AS BIGINT) AS v,
+            day(CAST(ts AS DATE)) % 2 AS odd
+          FROM events),
+        u AS (
+          SELECT user_id, max(arm) AS arm,
+            CAST(sum(CASE WHEN odd = 0 THEN v ELSE 0 END) AS BIGINT) AS x,
+            CAST(sum(CASE WHEN odd = 1 THEN v ELSE 0 END) AS BIGINT) AS y
+          FROM e GROUP BY 1),
+        g AS (
+          SELECT count(*) AS n,
+            CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+            CAST(sum(CAST(x AS DECIMAL(19,0)) * x) AS DECIMAL(38,0)) AS sxx,
+            CAST(sum(CAST(x AS DECIMAL(19,0)) * y) AS DECIMAL(38,0)) AS sxy
+          FROM u),
+        th AS (
+          SELECT n, CAST(sx AS DOUBLE) / n AS mxg,
+            (CAST(sxy AS DOUBLE) / n
+              - (CAST(sx AS DOUBLE) / n) * (CAST(sy AS DOUBLE) / n))
+            / (CAST(sxx AS DOUBLE) / n
+              - (CAST(sx AS DOUBLE) / n) * (CAST(sx AS DOUBLE) / n)) AS theta
+          FROM g),
+        a AS (
+          SELECT arm, count(*) AS n_users,
+            CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+            CAST(sum(CAST(x AS DECIMAL(19,0)) * x) AS DECIMAL(38,0)) AS sxx,
+            CAST(sum(CAST(x AS DECIMAL(19,0)) * y) AS DECIMAL(38,0)) AS sxy,
+            CAST(sum(CAST(y AS DECIMAL(19,0)) * y) AS DECIMAL(38,0)) AS syy
+          FROM u GROUP BY 1),
+        f AS (
+          SELECT a.arm, a.n_users,
+            CAST(a.sx AS DOUBLE) / a.n_users AS mx,
+            CAST(a.sy AS DOUBLE) / a.n_users AS my,
+            CAST(a.sxx AS DOUBLE) / a.n_users
+              - (CAST(a.sx AS DOUBLE) / a.n_users) * (CAST(a.sx AS DOUBLE) / a.n_users) AS vx,
+            CAST(a.syy AS DOUBLE) / a.n_users
+              - (CAST(a.sy AS DOUBLE) / a.n_users) * (CAST(a.sy AS DOUBLE) / a.n_users) AS vy,
+            CAST(a.sxy AS DOUBLE) / a.n_users
+              - (CAST(a.sx AS DOUBLE) / a.n_users) * (CAST(a.sy AS DOUBLE) / a.n_users) AS cxy,
+            th.theta AS theta, th.mxg AS mxg
+          FROM a, th)
+        SELECT arm, n_users,
+          round(my / 10000, 6) AS mean_y,
+          round((my - theta * (mx - mxg)) / 10000, 6) AS mean_y_cuped,
+          round(vy / 100000000, 6) AS var_y,
+          round((vy - 2 * theta * cxy + theta * theta * vx) / 100000000, 6)
+            AS var_y_cuped
+        FROM f ORDER BY arm"""))(
+      (s, dir) => {
+        import graft.functions.Md5Long
+        val e = T(s, dir, "events").select(col("user_id"),
+          (Md5Long.md5PrefixLong(col("user_id").cast("string"), 0, 6) % 2)
+            .as("arm"),
+          floor(col("value") * 10000 + 0.5).cast("long").as("v"),
+          (dayofmonth(to_date(col("ts"))) % 2).as("odd"))
+        val u = e.groupBy("user_id").agg(max(col("arm")).as("arm"),
+          sum(when(col("odd") === 0, col("v")).otherwise(0L)).as("x"),
+          sum(when(col("odd") === 1, col("v")).otherwise(0L)).as("y"))
+        def moments(df: org.apache.spark.sql.RelationalGroupedDataset) =
+          df.agg(count(lit(1)).as("n_users"),
+            sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+            sum(col("x").cast("decimal(19,0)") * col("x"))
+              .cast("decimal(38,0)").as("sxx"),
+            sum(col("x").cast("decimal(19,0)") * col("y"))
+              .cast("decimal(38,0)").as("sxy"),
+            sum(col("y").cast("decimal(19,0)") * col("y"))
+              .cast("decimal(38,0)").as("syy"))
+        val g = moments(u.groupBy())
+        val dn = col("n_users").cast("double")
+        val th = g.select(
+          (col("sx").cast("double") / dn).as("mxg"),
+          ((col("sxy").cast("double") / dn
+            - (col("sx").cast("double") / dn) * (col("sy").cast("double") / dn))
+          / (col("sxx").cast("double") / dn
+            - (col("sx").cast("double") / dn) * (col("sx").cast("double") / dn)))
+            .as("theta"))
+        val a = moments(u.groupBy("arm"))
+        val mx = col("sx").cast("double") / dn
+        val my = col("sy").cast("double") / dn
+        val f = a.crossJoin(broadcast(th)).select(col("arm"), col("n_users"),
+          mx.as("mx"), my.as("my"),
+          (col("sxx").cast("double") / dn - mx * mx).as("vx"),
+          (col("syy").cast("double") / dn - my * my).as("vy"),
+          (col("sxy").cast("double") / dn - mx * my).as("cxy"),
+          col("theta"), col("mxg"))
+        f.select(col("arm"), col("n_users"),
+            round(col("my") / 10000, 6).as("mean_y"),
+            round((col("my") - col("theta") * (col("mx") - col("mxg")))
+              / 10000, 6).as("mean_y_cuped"),
+            round(col("vy") / 100000000, 6).as("var_y"),
+            round((col("vy") - lit(2) * col("theta") * col("cxy")
+              + col("theta") * col("theta") * col("vx")) / 100000000, 6)
+              .as("var_y_cuped"))
+          .orderBy("arm")
+      }),
+
     // NDCG@k for the BM25 ranking (q133) against a binary relevance
     // label (lang='en') — the serving-quality metric a retrieval layer
     // reports. Ranks come from one global top-window over the scored
@@ -420,6 +532,250 @@ object EvalQueries {
             round(col("c") / lit(13.0), 6).as("p_value"),
             col("rank"), (col("rank") <= col("k")).cast("int").as("rejected"))
           .orderBy("event_type")
+      }),
+
+    // Brier score + Murphy (1973) decomposition — REL − RES + UNC, the
+    // forecast-verification classic behind every probability-calibration
+    // report. The forecaster under audit is a deterministic length
+    // heuristic p = min(n_chars/2000, 1) predicting lang='en'; 10
+    // fixed-width forecast bins. Per-doc squared errors and per-bin
+    // means are rounded then DECIMAL-summed (order-independent); the
+    // residual column is the within-bin forecast variance the binned
+    // decomposition doesn't capture — emitted, not hidden. One doc
+    // scan, one 10-row agg, scalar broadcasts at any scale.
+    Q("q323_brier_decomposition", Q.sql("""
+        WITH d AS (
+          SELECT round(least(CAST(n_chars AS DOUBLE) / 2000.0, 1.0), 6) AS p,
+            CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+          FROM documents),
+        g AS (
+          SELECT CAST(count(*) AS BIGINT) AS n,
+            CAST(sum(y) AS BIGINT) AS sy,
+            CAST(sum(CAST(round((p - y) * (p - y), 9)
+              AS DECIMAL(18,9))) AS DECIMAL(27,9)) AS ssq
+          FROM d),
+        b AS (
+          SELECT least(9, CAST(floor(p * 10) AS INT)) AS bin,
+            CAST(count(*) AS BIGINT) AS nb,
+            CAST(sum(CAST(p AS DECIMAL(18,6))) AS DECIMAL(27,6)) AS sp,
+            CAST(sum(y) AS BIGINT) AS sb
+          FROM d GROUP BY 1),
+        bm AS (
+          SELECT bin, nb,
+            round(CAST(sp AS DOUBLE) / CAST(nb AS DOUBLE), 9) AS pb,
+            round(CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE), 9) AS yb,
+            round(CAST(sy AS DOUBLE) / CAST(n AS DOUBLE), 9) AS ybar
+          FROM b, g),
+        terms AS (
+          SELECT
+            CAST(sum(CAST(round(CAST(nb AS DOUBLE) * (pb - yb) * (pb - yb), 9)
+              AS DECIMAL(18,9))) AS DECIMAL(27,9)) AS rel_s,
+            CAST(sum(CAST(round(CAST(nb AS DOUBLE) * (yb - ybar) * (yb - ybar), 9)
+              AS DECIMAL(18,9))) AS DECIMAL(27,9)) AS res_s
+          FROM bm)
+        SELECT n,
+          round(CAST(ssq AS DOUBLE) / CAST(n AS DOUBLE), 6) AS brier,
+          round(CAST(rel_s AS DOUBLE) / CAST(n AS DOUBLE), 6) AS reliability,
+          round(CAST(res_s AS DOUBLE) / CAST(n AS DOUBLE), 6) AS resolution,
+          round(round(CAST(sy AS DOUBLE) / CAST(n AS DOUBLE), 9)
+            * (1 - round(CAST(sy AS DOUBLE) / CAST(n AS DOUBLE), 9)), 6)
+            AS uncertainty,
+          round(CAST(ssq AS DOUBLE) / CAST(n AS DOUBLE)
+            - (CAST(rel_s AS DOUBLE) / CAST(n AS DOUBLE)
+               - CAST(res_s AS DOUBLE) / CAST(n AS DOUBLE)
+               + round(CAST(sy AS DOUBLE) / CAST(n AS DOUBLE), 9)
+                 * (1 - round(CAST(sy AS DOUBLE) / CAST(n AS DOUBLE), 9))), 6)
+            AS within_bin_var
+        FROM g, terms"""))(
+      (s, dir) => {
+        val d = T(s, dir, "documents").select(
+          round(least(col("n_chars").cast("double") / 2000.0, lit(1.0)), 6)
+            .as("p"),
+          when(col("lang") === "en", 1).otherwise(0).as("y"))
+        val g = d.agg(count(lit(1)).cast("bigint").as("n"),
+          sum(col("y")).cast("bigint").as("sy"),
+          sum(round((col("p") - col("y")) * (col("p") - col("y")), 9)
+            .cast("decimal(18,9)")).cast("decimal(27,9)").as("ssq"))
+        val b = d.groupBy(least(lit(9), floor(col("p") * 10).cast("int"))
+            .as("bin"))
+          .agg(count(lit(1)).cast("bigint").as("nb"),
+            sum(col("p").cast("decimal(18,6)")).cast("decimal(27,6)")
+              .as("sp"),
+            sum(col("y")).cast("bigint").as("sb"))
+        val bm = b.crossJoin(broadcast(g))
+          .select(col("bin"), col("nb"),
+            round(col("sp").cast("double") / col("nb").cast("double"), 9)
+              .as("pb"),
+            round(col("sb").cast("double") / col("nb").cast("double"), 9)
+              .as("yb"),
+            round(col("sy").cast("double") / col("n").cast("double"), 9)
+              .as("ybar"))
+        val terms = bm.agg(
+          sum(round(col("nb").cast("double")
+              * (col("pb") - col("yb")) * (col("pb") - col("yb")), 9)
+            .cast("decimal(18,9)")).cast("decimal(27,9)").as("rel_s"),
+          sum(round(col("nb").cast("double")
+              * (col("yb") - col("ybar")) * (col("yb") - col("ybar")), 9)
+            .cast("decimal(18,9)")).cast("decimal(27,9)").as("res_s"))
+        val ybarR = round(col("sy").cast("double") / col("n").cast("double"), 9)
+        g.crossJoin(broadcast(terms)).select(col("n"),
+          round(col("ssq").cast("double") / col("n").cast("double"), 6)
+            .as("brier"),
+          round(col("rel_s").cast("double") / col("n").cast("double"), 6)
+            .as("reliability"),
+          round(col("res_s").cast("double") / col("n").cast("double"), 6)
+            .as("resolution"),
+          round(ybarR * (lit(1) - ybarR), 6).as("uncertainty"),
+          round(col("ssq").cast("double") / col("n").cast("double")
+            - (col("rel_s").cast("double") / col("n").cast("double")
+               - col("res_s").cast("double") / col("n").cast("double")
+               + ybarR * (lit(1) - ybarR)), 6).as("within_bin_var"))
+      }),
+
+    // Decile lift / cumulative-gains table — the campaign-targeting
+    // readout every propensity score ships with: rank customers by
+    // account balance band (descending), measure how fast the
+    // converters (customers with >= 1 order) are captured vs random.
+    // Fixed-width bands (shuffle-free), cumulative sums via a
+    // triangle join on the 10-row band frame — NOT an unpartitioned
+    // window; at 100 TB the band agg is one shuffle and everything
+    // after runs on broadcast model-sized frames.
+    Q("q324_decile_lift", Q.sql("""
+        WITH buyers AS (SELECT DISTINCT o_custkey AS ck FROM orders),
+        f AS (
+          SELECT least(9, greatest(0,
+              CAST(floor((c_acctbal + 1000.0) / 1100.0) AS INT))) AS band,
+            CASE WHEN b.ck IS NULL THEN 0 ELSE 1 END AS resp
+          FROM customer c LEFT JOIN buyers b ON b.ck = c.c_custkey),
+        bb AS (
+          SELECT band, CAST(count(*) AS BIGINT) AS n,
+            CAST(sum(resp) AS BIGINT) AS r
+          FROM f GROUP BY 1),
+        tot AS (
+          SELECT CAST(sum(n) AS BIGINT) AS tn,
+            CAST(sum(r) AS BIGINT) AS tr FROM bb),
+        cum AS (
+          SELECT a.band, a.n, a.r,
+            CAST(sum(b.n) AS BIGINT) AS cum_n,
+            CAST(sum(b.r) AS BIGINT) AS cum_r
+          FROM bb a JOIN bb b ON b.band >= a.band
+          GROUP BY 1, 2, 3)
+        SELECT band, n, r,
+          round(CAST(r AS DOUBLE) / CAST(n AS DOUBLE), 6) AS resp_rate,
+          cum_n, cum_r,
+          round(CAST(cum_r AS DOUBLE) / CAST(tr AS DOUBLE), 6) AS cum_capture,
+          round((CAST(cum_r AS DOUBLE) / CAST(cum_n AS DOUBLE))
+            / (CAST(tr AS DOUBLE) / CAST(tn AS DOUBLE)), 6) AS cum_lift
+        FROM cum, tot ORDER BY band DESC"""))(
+      (s, dir) => {
+        val buyers = T(s, dir, "orders")
+          .select(col("o_custkey").as("ck")).distinct()
+          .withColumn("hit", lit(1))
+        val f = T(s, dir, "customer")
+          .select(col("c_custkey").as("ck"),
+            least(lit(9), greatest(lit(0),
+              floor((col("c_acctbal") + 1000.0) / 1100.0).cast("int")))
+              .as("band"))
+          .join(buyers, Seq("ck"), "left")
+          .select(col("band"),
+            when(col("hit").isNull, 0).otherwise(1).as("resp"))
+        val bb = f.groupBy("band")
+          .agg(count(lit(1)).cast("bigint").as("n"),
+            sum(col("resp")).cast("bigint").as("r"))
+        val tot = bb.agg(sum(col("n")).cast("bigint").as("tn"),
+          sum(col("r")).cast("bigint").as("tr"))
+        val cum = bb.as("a")
+          .join(broadcast(bb.select(col("band").as("b_band"),
+              col("n").as("b_n"), col("r").as("b_r"))),
+            col("b_band") >= col("band"))
+          .groupBy("band", "n", "r")
+          .agg(sum(col("b_n")).cast("bigint").as("cum_n"),
+            sum(col("b_r")).cast("bigint").as("cum_r"))
+        cum.crossJoin(broadcast(tot))
+          .select(col("band"), col("n"), col("r"),
+            round(col("r").cast("double") / col("n").cast("double"), 6)
+              .as("resp_rate"),
+            col("cum_n"), col("cum_r"),
+            round(col("cum_r").cast("double") / col("tr").cast("double"), 6)
+              .as("cum_capture"),
+            round((col("cum_r").cast("double") / col("cum_n").cast("double"))
+              / (col("tr").cast("double") / col("tn").cast("double")), 6)
+              .as("cum_lift"))
+          .orderBy(col("band").desc)
+      }),
+
+    // Isotonic calibration (pool-adjacent-violators, Ayer et al. AOMS'55;
+    // Zadrozny-Elkan KDD'02 for classifier calibration): the monotone
+    // best-fit of purchase rate against the activity-magnitude score,
+    // computed through the minimax identity iso_i = max_{j≤i} min_{k≥i}
+    // rate(j..k) — PAV without the sequential stack. The data-sized work
+    // is ONE hash agg into ≤10 score bins; every join after it is
+    // against a broadcast ≤10-row bin frame (cumulative, segment-rate,
+    // minimax — ~10³ combinations total at any data scale). The segment
+    // rate is one long-ratio division, identical IEEE in both engines.
+    Q("q331_isotonic_calibration", Q.sql("""
+        WITH cells AS (
+          SELECT CAST(least(floor(value / 50), 9) AS INT) AS bin,
+            CAST(count(*) AS BIGINT) AS n,
+            CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS p
+          FROM events GROUP BY 1),
+        cum AS (
+          SELECT bin, n, p,
+            CAST(sum(n) OVER (ORDER BY bin) AS BIGINT) AS cn,
+            CAST(sum(p) OVER (ORDER BY bin) AS BIGINT) AS cp
+          FROM cells),
+        lo AS (
+          SELECT bin AS lb, cn AS lcn, cp AS lcp FROM cum
+          UNION ALL SELECT -1, CAST(0 AS BIGINT), CAST(0 AS BIGINT)),
+        seg AS (
+          SELECT lb, c.bin AS hb,
+            CAST(c.cp - lcp AS DOUBLE) / CAST(c.cn - lcn AS DOUBLE) AS r
+          FROM lo JOIN cum c ON c.bin > lb),
+        mm AS (
+          SELECT c.bin AS i, s.lb, min(s.r) AS mr
+          FROM seg s JOIN cells c ON s.lb < c.bin AND s.hb >= c.bin
+          GROUP BY 1, 2),
+        iso AS (SELECT i, max(mr) AS iso FROM mm GROUP BY 1)
+        SELECT c.bin, c.n, c.p,
+          round(CAST(c.p AS DOUBLE) / CAST(c.n AS DOUBLE), 6) AS rate,
+          round(iso.iso, 6) AS iso
+        FROM cells c JOIN iso ON iso.i = c.bin
+        ORDER BY c.bin"""))(
+      (s, dir) => {
+        val cells = T(s, dir, "events")
+          .select(least(floor(col("value") / 50), lit(9L)).cast("int").as("bin"),
+            (col("event_type") === "purchase").cast("int").as("y"))
+          .groupBy("bin")
+          .agg(count(lit(1)).as("n"), sum(col("y")).cast("long").as("p"))
+        // every frame below is the ≤10-row bin frame — broadcast by
+        // construction, bounded by the bin DOMAIN at any data scale
+        val cum = cells.as("a")
+          .join(broadcast(cells.select(col("bin").as("b2"),
+            col("n").as("n2"), col("p").as("p2"))), col("b2") <= col("bin"))
+          .groupBy("bin", "n", "p")
+          .agg(sum(col("n2")).cast("long").as("cn"),
+            sum(col("p2")).cast("long").as("cp"))
+        val lo = cum.select(col("bin").as("lb"), col("cn").as("lcn"),
+            col("cp").as("lcp"))
+          .unionByName(s.range(1).select(lit(-1).cast("int").as("lb"),
+            lit(0L).as("lcn"), lit(0L).as("lcp")))
+        val seg = lo.join(broadcast(cum.select(col("bin").as("hb"),
+            col("cn").as("hcn"), col("cp").as("hcp"))), col("hb") > col("lb"))
+          .select(col("lb"), col("hb"),
+            ((col("hcp") - col("lcp")).cast("double")
+              / (col("hcn") - col("lcn")).cast("double")).as("r"))
+        val iso = seg
+          .join(broadcast(cells.select(col("bin").as("i"))),
+            col("lb") < col("i") && col("hb") >= col("i"))
+          .groupBy("i", "lb").agg(min(col("r")).as("mr"))
+          .groupBy("i").agg(max(col("mr")).as("iso"))
+        cells.join(broadcast(iso), col("bin") === col("i"))
+          .select(col("bin"), col("n"), col("p"),
+            round(col("p").cast("double") / col("n").cast("double"), 6)
+              .as("rate"),
+            round(col("iso"), 6).as("iso"))
+          .orderBy("bin")
       })
   )
 }

@@ -200,5 +200,79 @@ object FeatureQueries {
             round(sum(col("is_en")).cast("double") / count(lit(1)), 6)
               .as("frac_en"))
           .orderBy("bin")
+      }),
+
+    // Weight-of-Evidence / Information Value (the credit-scoring
+    // feature-screening standard; Siddiqi, "Credit Risk Scorecards"):
+    // does account balance separate converters (customers with >= 1
+    // order) from non-converters? Fixed-width bands over c_acctbal
+    // (shuffle-free binning — no global quantile sort), Laplace +0.5
+    // per-band smoothing so empty cells stay finite. WOE_b =
+    // ln(good_share_b / bad_share_b) off ROUNDED shares, IV = Σ
+    // (gs−bs)·WOE decimal-summed — order-independent. IV bands: <0.02
+    // useless, >0.3 strong. At 100 TB: one broadcast-flag join, one
+    // 10-row hash agg, two scalar broadcasts.
+    Q("q322_woe_iv", Q.sql("""
+        WITH buyers AS (SELECT DISTINCT o_custkey AS ck FROM orders),
+        f AS (
+          SELECT least(9, greatest(0,
+              CAST(floor((c_acctbal + 1000.0) / 1100.0) AS INT))) AS band,
+            CASE WHEN b.ck IS NULL THEN 0 ELSE 1 END AS good
+          FROM customer c LEFT JOIN buyers b ON b.ck = c.c_custkey),
+        bb AS (
+          SELECT band, CAST(sum(good) AS BIGINT) AS n_good,
+            CAST(count(*) - sum(good) AS BIGINT) AS n_bad
+          FROM f GROUP BY 1),
+        tot AS (
+          SELECT CAST(sum(n_good) AS BIGINT) AS tg,
+            CAST(sum(n_bad) AS BIGINT) AS tb FROM bb),
+        sh AS (
+          SELECT band, n_good, n_bad,
+            round((CAST(n_good AS DOUBLE) + 0.5)
+              / (CAST(tg AS DOUBLE) + 5.0), 9) AS gs,
+            round((CAST(n_bad AS DOUBLE) + 0.5)
+              / (CAST(tb AS DOUBLE) + 5.0), 9) AS bs
+          FROM bb, tot),
+        w AS (
+          SELECT band, n_good, n_bad, gs, bs,
+            round(ln(gs / bs), 9) AS woe
+          FROM sh),
+        iv AS (
+          SELECT round(CAST(sum(CAST(round((gs - bs) * woe, 9)
+            AS DECIMAL(18,9))) AS DOUBLE), 6) AS iv FROM w)
+        SELECT band, n_good, n_bad, woe,
+          round((gs - bs) * woe, 9) AS iv_term, iv.iv
+        FROM w, iv ORDER BY band"""))(
+      (s, dir) => {
+        val buyers = T(s, dir, "orders")
+          .select(col("o_custkey").as("ck")).distinct()
+          .withColumn("hit", lit(1))
+        val f = T(s, dir, "customer")
+          .select(col("c_custkey").as("ck"),
+            least(lit(9), greatest(lit(0),
+              floor((col("c_acctbal") + 1000.0) / 1100.0).cast("int")))
+              .as("band"))
+          .join(buyers, Seq("ck"), "left")
+          .select(col("band"),
+            when(col("hit").isNull, 0).otherwise(1).as("good"))
+        val bb = f.groupBy("band")
+          .agg(sum(col("good")).cast("bigint").as("n_good"),
+            (count(lit(1)) - sum(col("good"))).cast("bigint").as("n_bad"))
+        val tot = bb.agg(sum(col("n_good")).cast("bigint").as("tg"),
+          sum(col("n_bad")).cast("bigint").as("tb"))
+        val sh = bb.crossJoin(broadcast(tot))
+          .select(col("band"), col("n_good"), col("n_bad"),
+            round((col("n_good").cast("double") + 0.5)
+              / (col("tg").cast("double") + 5.0), 9).as("gs"),
+            round((col("n_bad").cast("double") + 0.5)
+              / (col("tb").cast("double") + 5.0), 9).as("bs"))
+        val w = sh.withColumn("woe", round(log(col("gs") / col("bs")), 9))
+        val iv = w.agg(round(sum(round((col("gs") - col("bs")) * col("woe"), 9)
+          .cast("decimal(18,9)")).cast("double"), 6).as("iv"))
+        w.crossJoin(broadcast(iv))
+          .select(col("band"), col("n_good"), col("n_bad"), col("woe"),
+            round((col("gs") - col("bs")) * col("woe"), 9).as("iv_term"),
+            col("iv"))
+          .orderBy("band")
       }))
 }

@@ -39,6 +39,98 @@ object QualityQueries {
 
   def all: Seq[Q] = Seq(
 
+    // Shapley-value channel attribution (Shapley '53; the cooperative-
+    // game fix for q117's first/last-touch bias): channels view/click/
+    // signup, conversion = the user has a purchase event, characteristic
+    // function v(T) = empirical conversion rate of users whose touched-
+    // channel set is exactly T (unseen subsets contribute 0). With 3
+    // players the exact Shapley value is a CLOSED FORM over the 8
+    // subset rates — φ_i = Σ_{T∌i} |T|!(2−|T|)!/3! · (v(T∪i) − v(T)),
+    // weights 1/3, 1/6, 1/6, 1/3 — so the whole computation is one
+    // per-user flag aggregation, one 8-row subset-rate aggregation
+    // pivoted to a scalar broadcast, and three fixed IEEE expressions.
+    // At 100 TB: two hash aggs over events, nothing else.
+    Q("q315_shapley_attribution", Q.sql("""
+        WITH u AS (
+          SELECT user_id,
+            max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS hv,
+            max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS hc,
+            max(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS hs,
+            max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+          FROM events GROUP BY 1),
+        r AS (
+          SELECT hv * 4 + hc * 2 + hs AS sid,
+            CAST(sum(conv) AS DOUBLE) / count(*) AS rate
+          FROM u GROUP BY 1),
+        p AS (
+          SELECT
+            coalesce(max(CASE WHEN sid = 0 THEN rate END), CAST(0 AS DOUBLE)) AS r0,
+            coalesce(max(CASE WHEN sid = 1 THEN rate END), CAST(0 AS DOUBLE)) AS r1,
+            coalesce(max(CASE WHEN sid = 2 THEN rate END), CAST(0 AS DOUBLE)) AS r2,
+            coalesce(max(CASE WHEN sid = 3 THEN rate END), CAST(0 AS DOUBLE)) AS r3,
+            coalesce(max(CASE WHEN sid = 4 THEN rate END), CAST(0 AS DOUBLE)) AS r4,
+            coalesce(max(CASE WHEN sid = 5 THEN rate END), CAST(0 AS DOUBLE)) AS r5,
+            coalesce(max(CASE WHEN sid = 6 THEN rate END), CAST(0 AS DOUBLE)) AS r6,
+            coalesce(max(CASE WHEN sid = 7 THEN rate END), CAST(0 AS DOUBLE)) AS r7
+          FROM r),
+        nt AS (
+          SELECT
+            CAST(sum(hv) AS BIGINT) AS nv,
+            CAST(sum(hc) AS BIGINT) AS nc,
+            CAST(sum(hs) AS BIGINT) AS ns
+          FROM u)
+        SELECT channel, n_touched, phi FROM (
+          SELECT 'view' AS channel, nt.nv AS n_touched,
+            round((CAST(1 AS DOUBLE) / 3) * (r4 - r0)
+              + (CAST(1 AS DOUBLE) / 6) * (r6 - r2)
+              + (CAST(1 AS DOUBLE) / 6) * (r5 - r1)
+              + (CAST(1 AS DOUBLE) / 3) * (r7 - r3), 6) AS phi
+          FROM p, nt
+          UNION ALL
+          SELECT 'click', nt.nc,
+            round((CAST(1 AS DOUBLE) / 3) * (r2 - r0)
+              + (CAST(1 AS DOUBLE) / 6) * (r6 - r4)
+              + (CAST(1 AS DOUBLE) / 6) * (r3 - r1)
+              + (CAST(1 AS DOUBLE) / 3) * (r7 - r5), 6)
+          FROM p, nt
+          UNION ALL
+          SELECT 'signup', nt.ns,
+            round((CAST(1 AS DOUBLE) / 3) * (r1 - r0)
+              + (CAST(1 AS DOUBLE) / 6) * (r5 - r4)
+              + (CAST(1 AS DOUBLE) / 6) * (r3 - r2)
+              + (CAST(1 AS DOUBLE) / 3) * (r7 - r6), 6)
+          FROM p, nt) t
+        ORDER BY channel"""))(
+      (s, dir) => {
+        val u = T(s, dir, "events").groupBy("user_id").agg(
+          max(when(col("event_type") === "view", 1).otherwise(0)).as("hv"),
+          max(when(col("event_type") === "click", 1).otherwise(0)).as("hc"),
+          max(when(col("event_type") === "signup", 1).otherwise(0)).as("hs"),
+          max(when(col("event_type") === "purchase", 1).otherwise(0))
+            .as("conv"))
+        val r = u.groupBy((col("hv") * 4 + col("hc") * 2 + col("hs")).as("sid"))
+          .agg((sum(col("conv")).cast("double") / count(lit(1))).as("rate"))
+        val rCols = (0 to 7).map(i => coalesce(
+          max(when(col("sid") === i, col("rate"))), lit(0.0)).as(s"r$i"))
+        val p = r.agg(rCols.head, rCols.tail: _*)
+        val nt = u.agg(sum(col("hv")).as("nv"), sum(col("hc")).as("nc"),
+          sum(col("hs")).as("ns"))
+        val third = lit(1.0 / 3)
+        val sixth = lit(1.0 / 6)
+        def phi(a: String, b: String, c: String, d: String,
+                e: String, f: String, g: String, h: String) =
+          round(third * (col(a) - col(b)) + sixth * (col(c) - col(d))
+            + sixth * (col(e) - col(f)) + third * (col(g) - col(h)), 6)
+        p.crossJoin(broadcast(nt))
+          .withColumn("phi_v", phi("r4", "r0", "r6", "r2", "r5", "r1", "r7", "r3"))
+          .withColumn("phi_c", phi("r2", "r0", "r6", "r4", "r3", "r1", "r7", "r5"))
+          .withColumn("phi_s", phi("r1", "r0", "r5", "r4", "r3", "r2", "r7", "r6"))
+          .select(expr("stack(3, " +
+            "'view', nv, phi_v, 'click', nc, phi_c, 'signup', ns, phi_s) " +
+            "AS (channel, n_touched, phi)"))
+          .orderBy("channel")
+      }),
+
     // Flesch-Kincaid readability grade per document, from three integer
     // counts a scan computes for free: words (whitespace tokens),
     // sentences (runs of [.!?] in the RAW text, floored at 1), and a

@@ -170,6 +170,74 @@ object SeriesQueries {
           .select(col("key").as("user_id"), col("n_intervals"),
             col("n_islands"), col("coverage").as("coverage_us"))
           .orderBy("user_id")
+      }),
+
+    // Ratio-to-moving-average seasonal indices (the classical-
+    // decomposition method every BI tool ships): daily event counts /
+    // centered 7-day MA, averaged per weekday, normalized to sum to 7
+    // — "Mondays run at 1.08× trend". The ±3-day neighborhood is
+    // GENERATED (explode of a 7-literal offset array) and re-aggregated
+    // — an equi hash-agg, not a range join and not a window; q319's
+    // seasonal-naive backtest consumes exactly these indices' signal.
+    // Ratios are rounded then DECIMAL-averaged; edge days without a
+    // full 7-day neighborhood are excluded, not padded. At 100 TB the
+    // daily frame is calendar-bounded (model-sized) — everything after
+    // the first agg is broadcast.
+    Q("q325_seasonal_index", Q.sql("""
+        WITH d AS (
+          SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS n
+          FROM events GROUP BY 1),
+        sp AS (
+          SELECT day + CAST(off AS INT) AS center, n
+          FROM d, LATERAL (SELECT unnest(generate_series(-3, 3)) AS off) t),
+        ma AS (
+          SELECT center, CAST(sum(n) AS BIGINT) AS s7,
+            CAST(count(*) AS BIGINT) AS c7
+          FROM sp GROUP BY 1),
+        r AS (
+          SELECT d.day,
+            round(7.0 * CAST(d.n AS DOUBLE) / CAST(ma.s7 AS DOUBLE), 9)
+              AS ratio
+          FROM d JOIN ma ON ma.center = d.day WHERE ma.c7 = 7),
+        w AS (
+          SELECT CAST(dayofweek(day) AS INT) AS dow,
+            CAST(count(*) AS BIGINT) AS n_days,
+            round(CAST(sum(CAST(ratio AS DECIMAL(18,9))) AS DOUBLE)
+              / count(*), 9) AS idx
+          FROM r GROUP BY 1),
+        tot AS (
+          SELECT CAST(sum(CAST(idx AS DECIMAL(18,9))) AS DOUBLE) AS s FROM w)
+        SELECT dow, n_days, round(idx, 6) AS ratio_ma,
+          round(idx * 7.0 / s, 6) AS seasonal_index
+        FROM w, tot ORDER BY dow"""))(
+      (s, dir) => {
+        val d = T(s, dir, "events")
+          .groupBy(to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).cast("bigint").as("n"))
+        val sp = d
+          .select(col("day"), col("n"),
+            explode(sequence(lit(-3), lit(3))).as("off"))
+          .select(date_add(col("day"), col("off").cast("int")).as("center"),
+            col("n"))
+        val ma = sp.groupBy("center")
+          .agg(sum(col("n")).cast("bigint").as("s7"),
+            count(lit(1)).cast("bigint").as("c7"))
+        val r = d.join(broadcast(ma), col("center") === col("day"))
+          .where(col("c7") === 7)
+          .select(col("day"),
+            round(lit(7.0) * col("n").cast("double")
+              / col("s7").cast("double"), 9).as("ratio"))
+        val w = r.groupBy((dayofweek(col("day")) - 1).cast("int").as("dow"))
+          .agg(count(lit(1)).cast("bigint").as("n_days"),
+            round(sum(col("ratio").cast("decimal(18,9)")).cast("double")
+              / count(lit(1)), 9).as("idx"))
+        val tot = w.agg(
+          sum(col("idx").cast("decimal(18,9)")).cast("double").as("s"))
+        w.crossJoin(broadcast(tot))
+          .select(col("dow"), col("n_days"),
+            round(col("idx"), 6).as("ratio_ma"),
+            round(col("idx") * 7.0 / col("s"), 6).as("seasonal_index"))
+          .orderBy("dow")
       })
   )
 }

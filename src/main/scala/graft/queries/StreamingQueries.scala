@@ -328,6 +328,32 @@ object StreamingQueries {
           .groupBy("event_type")
           .agg(count(lit(1)).as("n"), dsum(col("value"), 8).as("total_value"))
           .orderBy("event_type")
+      }),
+
+    // dropDuplicatesWithinWatermark — the BOUNDED-state upgrade of q65's
+    // dropDuplicates: plain streaming dedup keeps every key in state
+    // forever (unbounded growth on an endless stream); the
+    // within-watermark form evicts a key once the watermark passes its
+    // event time + delay, the at-least-once-source dedup pattern (file
+    // redelivery, Kafka replays) whose state is bounded by the delay
+    // window. Exercised for real: the source is the event log UNIONED
+    // with a second read of itself — every event arrives exactly twice —
+    // and the streaming result must collapse back to the original log
+    // bit-for-bit (the batch oracle reads it once).
+    Q("q335_stream_dedup_watermark", Q.sql("""
+        SELECT event_id, user_id, event_type
+        FROM events ORDER BY event_id"""))(
+      (s, dir) => {
+        val cols = Seq("event_id", "ts", "user_id", "event_type")
+        val once = StreamRun.eventsStream(s, dir).select(cols.map(col): _*)
+        val twice = once.unionByName(
+          StreamRun.eventsStream(s, dir).select(cols.map(col): _*))
+        val dd = twice
+          .withWatermark("ts", "1 hour")
+          .dropDuplicatesWithinWatermark("event_id")
+        StreamRun.runToTable("q335_sink", dd, OutputMode.Append())
+          .select("event_id", "user_id", "event_type")
+          .orderBy("event_id")
       })
   )
 }

@@ -350,5 +350,69 @@ object TailQueries {
         graft.text.VocabStats.chao1(toks, Seq("lang"))
           .select("lang", "n_tokens", "v_obs", "f1", "f2", "chao1")
           .orderBy("lang")
+      }),
+
+    // Value-at-Risk + Expected Shortfall (CVaR) per market segment —
+    // the coherent tail-risk pair (Artzner et al. '99; ES is what
+    // Basel moved to precisely because VaR ignores how bad the tail
+    // IS): VaR95 = the k-th largest order value (k = ceil(n/20),
+    // rank-based so ties are deterministic via orderkey), ES95 = the
+    // exact DECIMAL mean of the top-k. One segment-partitioned rank
+    // window (never unpartitioned; ties fully broken); at 100 TB with
+    // few fat segments the same numbers route through the two-pass
+    // histogram order-statistic (q237's machinery) instead of a
+    // per-segment sort — the rank form here keeps the oracle exact.
+    Q("q327_cvar", Q.sql("""
+        WITH oc AS (
+          SELECT c_mktsegment AS seg,
+            CAST(o_totalprice AS DECIMAL(27,4)) AS price, o_orderkey AS ok
+          FROM orders JOIN customer ON c_custkey = o_custkey),
+        r AS (
+          SELECT seg, price,
+            row_number() OVER (PARTITION BY seg ORDER BY price DESC, ok)
+              AS rn,
+            CAST(count(*) OVER (PARTITION BY seg) AS BIGINT) AS n
+          FROM oc),
+        t AS (
+          SELECT seg, price, rn, n,
+            greatest(CAST(1 AS BIGINT),
+              CAST(floor((n + 19) / 20.0) AS BIGINT)) AS k
+          FROM r),
+        agg AS (
+          SELECT seg, n, k,
+            CAST(sum(CASE WHEN rn <= k THEN price END) AS DECIMAL(38,4))
+              AS tail_sum,
+            CAST(max(CASE WHEN rn = k THEN price END) AS DECIMAL(27,4))
+              AS var_p
+          FROM t GROUP BY 1, 2, 3)
+        SELECT seg, n, k AS tail_n,
+          round(CAST(var_p AS DOUBLE), 6) AS var95,
+          round(CAST(tail_sum AS DOUBLE) / CAST(k AS DOUBLE), 6) AS es95
+        FROM agg ORDER BY seg"""))(
+      (s, dir) => {
+        val oc = T(s, dir, "orders")
+          .join(T(s, dir, "customer")
+            .select(col("c_custkey"), col("c_mktsegment")),
+            col("c_custkey") === col("o_custkey"))
+          .select(col("c_mktsegment").as("seg"),
+            col("o_totalprice").cast("decimal(27,4)").as("price"),
+            col("o_orderkey").as("ok"))
+        val r = oc.select(col("seg"), col("price"),
+          row_number().over(Window.partitionBy("seg")
+            .orderBy(col("price").desc, col("ok"))).as("rn"),
+          count(lit(1)).over(Window.partitionBy("seg")).cast("bigint")
+            .as("n"))
+        val t = r.withColumn("k", greatest(lit(1L),
+          floor((col("n") + 19) / lit(20.0)).cast("long")))
+        val agg = t.groupBy("seg", "n", "k")
+          .agg(sum(when(col("rn") <= col("k"), col("price")))
+            .cast("decimal(38,4)").as("tail_sum"),
+            max(when(col("rn") === col("k"), col("price")))
+              .cast("decimal(27,4)").as("var_p"))
+        agg.select(col("seg"), col("n"), col("k").as("tail_n"),
+            round(col("var_p").cast("double"), 6).as("var95"),
+            round(col("tail_sum").cast("double") / col("k").cast("double"), 6)
+              .as("es95"))
+          .orderBy("seg")
       }))
 }

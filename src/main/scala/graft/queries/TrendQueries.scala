@@ -23,6 +23,128 @@ object TrendQueries {
 
   def all: Seq[Q] = Seq(
 
+    // Holt linear (double-exponential) smoothing per event type — the
+    // level+trend upgrade of q130's EWMA and the model q319's seasonal-
+    // naive is the floor for: l' = αy + (1−α)(l+b), b' = β(l'−l) +
+    // (1−β)b, α=1/2, β=1/4 (dyadic, so the smoothing weights are exact
+    // binary). The daily series is CALENDAR-BOUNDED (~30 points/type),
+    // so the Spark side folds a collected per-type array with
+    // `aggregate` (struct accumulator, one narrow projection — the
+    // bounded-series fold shape), while the oracle replays the
+    // recursion as a WITH RECURSIVE day walk — identical expression,
+    // identical order, identical doubles. Output: final level/trend and
+    // the 1-step forecast.
+    Q("q320_holt_linear", Q.sql("""
+        WITH RECURSIVE dd AS (
+          SELECT event_type, CAST(ts AS DATE) AS day,
+            CAST(CAST(sum(CAST(floor(value * 10000 + 0.5) AS BIGINT)) AS BIGINT)
+              AS DOUBLE) AS v
+          FROM events GROUP BY 1, 2),
+        di AS (
+          SELECT event_type, v,
+            row_number() OVER (PARTITION BY event_type ORDER BY day) AS idx
+          FROM dd),
+        rec(event_type, idx, l, b) AS (
+          SELECT d1.event_type, 2, d1.v, d2.v - d1.v
+          FROM di d1 JOIN di d2
+            ON d2.event_type = d1.event_type AND d1.idx = 1 AND d2.idx = 2
+          UNION ALL
+          SELECT r.event_type, r.idx + 1,
+            CAST(0.5 AS DOUBLE) * nx.v + CAST(0.5 AS DOUBLE) * (r.l + r.b),
+            CAST(0.25 AS DOUBLE) * ((CAST(0.5 AS DOUBLE) * nx.v
+              + CAST(0.5 AS DOUBLE) * (r.l + r.b)) - r.l)
+              + CAST(0.75 AS DOUBLE) * r.b
+          FROM rec r JOIN di nx
+            ON nx.event_type = r.event_type AND nx.idx = r.idx + 1),
+        fin AS (
+          SELECT event_type, idx, l, b,
+            row_number() OVER (PARTITION BY event_type ORDER BY idx DESC) AS rn
+          FROM rec)
+        SELECT event_type, idx AS n_days,
+          round(l / 10000, 6) AS level,
+          round(b / 10000, 6) AS trend,
+          round((l + b) / 10000, 6) AS forecast_next
+        FROM fin WHERE rn = 1 ORDER BY event_type"""))(
+      (s, dir) => {
+        val daily = T(s, dir, "events")
+          .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+          .agg(sum(floor(col("value") * 10000 + 0.5).cast("long"))
+            .cast("double").as("v"))
+        val series = daily.groupBy("event_type")
+          .agg(array_sort(collect_list(struct(col("day"), col("v"))))
+            .as("pts"))
+          .select(col("event_type"),
+            transform(col("pts"), p => p.getField("v")).as("ys"))
+          .where(size(col("ys")) >= 2)
+        val y1 = element_at(col("ys"), 1)
+        val y2 = element_at(col("ys"), 2)
+        val rest = slice(col("ys"), lit(3),
+          greatest(size(col("ys")) - 2, lit(0)))
+        val folded = aggregate(rest,
+          struct(y1.as("l"), (y2 - y1).as("b")),
+          (acc, y) => {
+            val l = acc.getField("l"); val b = acc.getField("b")
+            val lNew = lit(0.5) * y + lit(0.5) * (l + b)
+            struct(lNew.as("l"),
+              (lit(0.25) * (lNew - l) + lit(0.75) * b).as("b"))
+          })
+        series
+          .select(col("event_type"), size(col("ys")).as("n_days"),
+            folded.as("hb"))
+          .select(col("event_type"), col("n_days"),
+            round(col("hb.l") / 10000, 6).as("level"),
+            round(col("hb.b") / 10000, 6).as("trend"),
+            round((col("hb.l") + col("hb.b")) / 10000, 6).as("forecast_next"))
+          .orderBy("event_type")
+      }),
+
+    // Seasonal-naive forecast backtest: predict each (type, day)'s
+    // value mass with the SAME WEEKDAY one week earlier and score MAPE
+    // per type — the baseline every forecasting pipeline must beat
+    // before a model earns its keep (and the drift alarm when a
+    // previously-stable MAPE jumps). Daily masses are exact 4-dp
+    // fixed-point longs, the 7-day lag is a self-equi-join on (type,
+    // day-7) — no window, no sort — and per-day relative errors round
+    // to 6dp then DECIMAL-average, so the MAPE is order-independent.
+    Q("q319_seasonal_naive", Q.sql("""
+        WITH d AS (
+          SELECT event_type, CAST(ts AS DATE) AS day,
+            CAST(sum(CAST(floor(value * 10000 + 0.5) AS BIGINT)) AS BIGINT) AS s
+          FROM events GROUP BY 1, 2),
+        j AS (
+          SELECT cur.event_type, cur.day, cur.s, prev.s AS s7
+          FROM d cur JOIN d prev
+            ON prev.event_type = cur.event_type AND prev.day = cur.day - 7
+          WHERE prev.s <> 0),
+        e AS (
+          SELECT event_type, day,
+            round(abs(CAST(s - s7 AS DOUBLE)) / CAST(s7 AS DOUBLE), 6) AS ape
+          FROM j)
+        SELECT event_type, count(*) AS n_days,
+          round(CAST(sum(CAST(ape AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6)
+            AS mape
+        FROM e GROUP BY 1 ORDER BY event_type"""))(
+      (s, dir) => {
+        val d = T(s, dir, "events")
+          .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+          .agg(sum(floor(col("value") * 10000 + 0.5).cast("long")).as("s"))
+        val cur = d.as("cur")
+        val prev = d.as("prev").select(col("event_type").as("ptype"),
+          col("day").as("pday"), col("s").as("s7"))
+        val j = cur.join(prev,
+            col("event_type") === col("ptype") &&
+              col("pday") === date_sub(col("day"), 7))
+          .where(col("s7") =!= 0)
+        val e = j.select(col("event_type"),
+          round(abs((col("s") - col("s7")).cast("double"))
+            / col("s7").cast("double"), 6).as("ape"))
+        e.groupBy("event_type")
+          .agg(count(lit(1)).as("n_days"),
+            round(sum(col("ape").cast("decimal(18,6)")).cast("double")
+              / count(lit(1)), 6).as("mape"))
+          .orderBy("event_type")
+      }),
+
     // HLL sketch-algebra rollup: per-event-type user sketches MERGED
     // (per-bucket max) into the overall-corpus sketch — the union
     // operation that rolls per-day/per-source cardinalities up to
@@ -343,6 +465,124 @@ object TrendQueries {
               col("e"), 6), 6), 6).as("chi2"))
           .crossJoin(broadcast(dof))
           .select(col("n_obs"), col("dof"), col("chi2"))
+      }),
+
+    // AR(1) autoregressive forecast per event type — the stochastic
+    // counterpart of q320's deterministic Holt trend: y_t = c + φ·y_{t−1}
+    // fitted by OLS on consecutive-day pairs. Daily masses are exact
+    // 4-dp fixed-point longs, the lag is the same day−1 self-equi-join
+    // q319 uses (no window, no sort), and all five OLS moments (n, Σx,
+    // Σy, Σxy, Σx²) are DECIMAL(38)-exact in one hash agg — the only
+    // doubles are the fixed-order closed-form φ, c, and 1-step forecast.
+    // At scale: two hash aggs and a broadcast-joinable per-type moment
+    // frame, whatever the row count.
+    Q("q332_ar1_forecast", Q.sql("""
+        WITH d AS (
+          SELECT event_type, CAST(ts AS DATE) AS day,
+            CAST(sum(CAST(floor(value * 10000 + 0.5) AS BIGINT)) AS BIGINT) AS s
+          FROM events GROUP BY 1, 2),
+        pr AS (
+          SELECT cur.event_type, prev.s AS x, cur.s AS y
+          FROM d cur JOIN d prev
+            ON prev.event_type = cur.event_type AND prev.day = cur.day - 1),
+        m AS (
+          SELECT event_type, CAST(count(*) AS BIGINT) AS np,
+            CAST(sum(CAST(x AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sx,
+            CAST(sum(CAST(y AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sy,
+            CAST(sum(CAST(x AS DECIMAL(38,0)) * y) AS DECIMAL(38,0)) AS sxy,
+            CAST(sum(CAST(x AS DECIMAL(38,0)) * x) AS DECIMAL(38,0)) AS sxx
+          FROM pr GROUP BY 1),
+        lastv AS (SELECT event_type, max_by(s, day) AS ylast FROM d GROUP BY 1),
+        f AS (
+          SELECT m.event_type, m.np,
+            (CAST(m.np AS DOUBLE) * CAST(m.sxy AS DOUBLE)
+              - CAST(m.sx AS DOUBLE) * CAST(m.sy AS DOUBLE))
+              / (CAST(m.np AS DOUBLE) * CAST(m.sxx AS DOUBLE)
+                - CAST(m.sx AS DOUBLE) * CAST(m.sx AS DOUBLE)) AS phi,
+            CAST(m.sy AS DOUBLE) AS syd, CAST(m.sx AS DOUBLE) AS sxd,
+            CAST(l.ylast AS DOUBLE) AS yl
+          FROM m JOIN lastv l ON l.event_type = m.event_type)
+        SELECT event_type, np AS n_pairs, round(phi, 6) AS phi,
+          round((syd - phi * sxd) / CAST(np AS DOUBLE) / 10000, 6) AS intercept,
+          round(((syd - phi * sxd) / CAST(np AS DOUBLE) + phi * yl) / 10000, 6)
+            AS forecast_next
+        FROM f ORDER BY event_type"""))(
+      (s, dir) => {
+        val d = T(s, dir, "events")
+          .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+          .agg(sum(floor(col("value") * 10000 + 0.5).cast("long")).as("s"))
+        val prev = d.select(col("event_type").as("pt"), col("day").as("pd"),
+          col("s").as("x"))
+        val pr = d.join(prev,
+          col("event_type") === col("pt") && col("pd") === date_sub(col("day"), 1))
+        val m = pr.groupBy("event_type").agg(
+          count(lit(1)).as("np"),
+          sum(col("x").cast("decimal(38,0)")).cast("decimal(38,0)").as("sx"),
+          sum(col("s").cast("decimal(38,0)")).cast("decimal(38,0)").as("sy"),
+          sum(col("x").cast("decimal(38,0)") * col("s"))
+            .cast("decimal(38,0)").as("sxy"),
+          sum(col("x").cast("decimal(38,0)") * col("x"))
+            .cast("decimal(38,0)").as("sxx"))
+        val lastv = d.groupBy("event_type")
+          .agg(max_by(col("s"), col("day")).as("ylast"))
+        val npD = col("np").cast("double")
+        val phi = (npD * col("sxy").cast("double")
+            - col("sx").cast("double") * col("sy").cast("double")) /
+          (npD * col("sxx").cast("double")
+            - col("sx").cast("double") * col("sx").cast("double"))
+        val c = (col("sy").cast("double") - phi * col("sx").cast("double")) / npD
+        m.join(lastv, "event_type")
+          .select(col("event_type"), col("np").as("n_pairs"),
+            round(phi, 6).as("phi"),
+            round(c / 10000, 6).as("intercept"),
+            round((c + phi * col("ylast").cast("double")) / 10000, 6)
+              .as("forecast_next"))
+          .orderBy("event_type")
+      }),
+
+    // Classical additive decomposition (the moving-average ancestor of
+    // Cleveland et al.'s STL, JOS'90): trend = centered 7-point moving
+    // average of the per-type daily series, seasonal = mean detrended
+    // value per ISO weekday over interior points. The trick that keeps
+    // it exact: detrended×7 = 7·v − Σ₇v is an INTEGER (fixed-point longs,
+    // no division inside the pipeline), so the weekday means are
+    // DECIMAL-exact and the sole double division happens once per
+    // (type, dow) output row. Windows are partitioned by type and span
+    // 7 ROWS — bounded frames over the calendar-bounded daily series.
+    Q("q333_stl_decompose", Q.sql("""
+        WITH d AS (
+          SELECT event_type, CAST(ts AS DATE) AS day,
+            CAST(sum(CAST(floor(value * 10000 + 0.5) AS BIGINT)) AS BIGINT) AS v
+          FROM events GROUP BY 1, 2),
+        t AS (
+          SELECT event_type, day, v,
+            CAST(sum(v) OVER w AS BIGINT) AS s7, count(*) OVER w AS c7
+          FROM d WINDOW w AS (PARTITION BY event_type ORDER BY day
+            ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+        i AS (
+          SELECT event_type, CAST(isodow(day) AS INT) AS dow,
+            7 * v - s7 AS detr7
+          FROM t WHERE c7 = 7)
+        SELECT event_type, dow, count(*) AS n_days,
+          round(CAST(sum(CAST(detr7 AS DECIMAL(38,0))) AS DOUBLE)
+            / (70000 * count(*)), 6) AS seasonal
+        FROM i GROUP BY 1, 2 ORDER BY event_type, dow"""))(
+      (s, dir) => {
+        val d = T(s, dir, "events")
+          .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+          .agg(sum(floor(col("value") * 10000 + 0.5).cast("long")).as("v"))
+        val w7 = Window.partitionBy("event_type").orderBy("day")
+          .rowsBetween(-3, 3)
+        val t = d.select(col("event_type"), col("day"), col("v"),
+          sum(col("v")).over(w7).as("s7"), count(lit(1)).over(w7).as("c7"))
+        t.where(col("c7") === 7)
+          .select(col("event_type"), (weekday(col("day")) + 1).as("dow"),
+            (lit(7) * col("v") - col("s7")).as("detr7"))
+          .groupBy("event_type", "dow")
+          .agg(count(lit(1)).as("n_days"),
+            round(sum(col("detr7").cast("decimal(38,0)")).cast("double")
+              / (lit(70000) * count(lit(1))), 6).as("seasonal"))
+          .orderBy("event_type", "dow")
       })
   )
 }

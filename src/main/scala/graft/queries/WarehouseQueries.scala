@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -36,6 +36,124 @@ object WarehouseQueries {
     }.mkString(",\n")
 
   def all: Seq[Q] = Seq(
+
+    // Matched-sample price indices per ship-month (the BLS/statistics-
+    // office classics): Laspeyres (base-period quantity weights),
+    // Paasche (current weights), Fisher (their geometric mean) over
+    // parts present in BOTH the base month and month t. Unit prices are
+    // one rounded IEEE division off exact decimal (revenue, quantity)
+    // sums; the weighted sums round-then-DECIMAL-route every product,
+    // so the aggregation is order-independent (the q304 discipline). At
+    // 100 TB: one (part, month) hash agg over the fact table, a
+    // broadcast of the base-month slice, nothing else.
+    Q("q317_price_index", Q.sql("""
+        WITH pm AS (
+          SELECT l_partkey AS part,
+            year(CAST(l_shipdate AS DATE)) * 100 + month(CAST(l_shipdate AS DATE)) AS ym,
+            CAST(sum(CAST(l_extendedprice AS DECIMAL(27,4))) AS DECIMAL(27,4)) AS rev,
+            CAST(sum(CAST(l_quantity AS DECIMAL(27,4))) AS DECIMAL(27,4)) AS qty
+          FROM lineitem GROUP BY 1, 2),
+        p AS (
+          SELECT part, ym,
+            round(CAST(rev AS DOUBLE) / CAST(qty AS DOUBLE), 9) AS up,
+            CAST(qty AS DOUBLE) AS qd
+          FROM pm),
+        base AS (
+          SELECT part, up AS p0, qd AS q0 FROM p
+          WHERE ym = (SELECT min(ym) FROM p)),
+        j AS (
+          SELECT p.ym, p.up AS pt, p.qd AS qt, b.p0, b.q0
+          FROM p JOIN base b ON b.part = p.part),
+        s AS (
+          SELECT ym, count(*) AS n_parts,
+            CAST(sum(CAST(round(pt * q0, 4) AS DECIMAL(27,4))) AS DOUBLE) AS l_num,
+            CAST(sum(CAST(round(p0 * q0, 4) AS DECIMAL(27,4))) AS DOUBLE) AS l_den,
+            CAST(sum(CAST(round(pt * qt, 4) AS DECIMAL(27,4))) AS DOUBLE) AS p_num,
+            CAST(sum(CAST(round(p0 * qt, 4) AS DECIMAL(27,4))) AS DOUBLE) AS p_den
+          FROM j GROUP BY 1)
+        SELECT ym, n_parts,
+          round(l_num / l_den, 6) AS laspeyres,
+          round(p_num / p_den, 6) AS paasche,
+          round(sqrt(round(l_num / l_den, 6) * round(p_num / p_den, 6)), 6)
+            AS fisher
+        FROM s ORDER BY ym"""))(
+      (s, dir) => {
+        val pm = T(s, dir, "lineitem")
+          .groupBy(col("l_partkey").as("part"),
+            (year(to_date(col("l_shipdate"))) * 100
+              + month(to_date(col("l_shipdate")))).as("ym"))
+          .agg(dsum(col("l_extendedprice"), 4).as("rev"),
+            dsum(col("l_quantity"), 4).as("qty"))
+        val p = pm.select(col("part"), col("ym"),
+          round(col("rev").cast("double") / col("qty").cast("double"), 9)
+            .as("up"),
+          col("qty").cast("double").as("qd"))
+        val minYm = p.agg(min(col("ym")).as("ym0"))
+        val base = p.crossJoin(broadcast(minYm))
+          .where(col("ym") === col("ym0"))
+          .select(col("part"), col("up").as("p0"), col("qd").as("q0"))
+        def wsum(a: Column, b: Column) =
+          sum(round(a * b, 4).cast("decimal(27,4)")).cast("double")
+        val j = p.join(broadcast(base), "part")
+        val agg = j.groupBy("ym").agg(
+          count(lit(1)).as("n_parts"),
+          wsum(col("up"), col("q0")).as("l_num"),
+          wsum(col("p0"), col("q0")).as("l_den"),
+          wsum(col("up"), col("qd")).as("p_num"),
+          wsum(col("p0"), col("qd")).as("p_den"))
+        agg.select(col("ym"), col("n_parts"),
+            round(col("l_num") / col("l_den"), 6).as("laspeyres"),
+            round(col("p_num") / col("p_den"), 6).as("paasche"),
+            round(sqrt(round(col("l_num") / col("l_den"), 6)
+              * round(col("p_num") / col("p_den"), 6)), 6).as("fisher"))
+          .orderBy("ym")
+      }),
+
+    // Herfindahl-Hirschman concentration index per supplier nation: HHI
+    // = Σ (revenue share of each supplier)² × 10000 — the antitrust /
+    // vendor-risk number (USDoJ bands: <1500 unconcentrated, >2500
+    // highly concentrated) a supply-chain warehouse reports per market.
+    // Revenue sums are exact decimals; each share² is one IEEE square
+    // rounded to 9dp then DECIMAL-summed, so the index is order-
+    // independent. Two hash aggs and a broadcast of the 25-row nation
+    // totals at any scale.
+    Q("q321_hhi", Q.sql("""
+        WITH sr AS (
+          SELECT s_nationkey AS nation, l.l_suppkey AS supp,
+            CAST(sum(CAST(l_extendedprice AS DECIMAL(27,4))) AS DECIMAL(27,4)) AS rev
+          FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
+          GROUP BY 1, 2),
+        nt AS (
+          SELECT nation, CAST(sum(rev) AS DECIMAL(38,4)) AS total
+          FROM sr GROUP BY 1),
+        sh AS (
+          SELECT sr.nation,
+            round((CAST(sr.rev AS DOUBLE) / CAST(nt.total AS DOUBLE))
+              * (CAST(sr.rev AS DOUBLE) / CAST(nt.total AS DOUBLE)), 9) AS sq
+          FROM sr JOIN nt ON nt.nation = sr.nation)
+        SELECT nation, count(*) AS n_suppliers,
+          round(CAST(sum(CAST(sq AS DECIMAL(18,9))) AS DOUBLE) * 10000, 6)
+            AS hhi
+        FROM sh GROUP BY 1 ORDER BY nation"""))(
+      (s, dir) => {
+        val sr = T(s, dir, "lineitem")
+          .join(broadcast(T(s, dir, "supplier")
+            .select(col("s_suppkey"), col("s_nationkey"))),
+            col("s_suppkey") === col("l_suppkey"))
+          .groupBy(col("s_nationkey").as("nation"),
+            col("l_suppkey").as("supp"))
+          .agg(dsum(col("l_extendedprice"), 4).as("rev"))
+        val nt = sr.groupBy("nation")
+          .agg(sum(col("rev")).cast("decimal(38,4)").as("total"))
+        val share = col("rev").cast("double") / col("total").cast("double")
+        val sh = sr.join(broadcast(nt), "nation")
+          .select(col("nation"), round(share * share, 9).as("sq"))
+        sh.groupBy("nation")
+          .agg(count(lit(1)).as("n_suppliers"),
+            round(sum(col("sq").cast("decimal(18,9)")).cast("double")
+              * 10000, 6).as("hhi"))
+          .orderBy("nation")
+      }),
 
     // Explicit GROUPING SETS: one pass produces the (status, priority)
     // matrix, the status margin, and the priority margin — but NOT the
@@ -360,6 +478,99 @@ object WarehouseQueries {
           .select(col("est_rows"), col("exact_rows"),
             round(col("est_rows") * 1.0 / col("exact_rows"), 6)
               .as("over_ratio"))
+      }),
+
+    // Theil T inequality index with between/within decomposition
+    // (Theil 1967) over supplier revenues — the concentration number
+    // HHI (q321) and Gini (q188) CAN'T give you: T is additively
+    // decomposable, so "how much revenue inequality is BETWEEN nations
+    // vs WITHIN them" is exact, not heuristic. T = Σ (x/X)·ln(n·x/X);
+    // T_between uses nation totals, each nation's T_within is weighted
+    // by its revenue share, and Σ between_term + Σ within_weighted
+    // reconstructs t_total (up to the emitted rounding). Revenue sums
+    // are exact decimals; every ln term is rounded then DECIMAL-summed
+    // (order-independent). Two hash aggs + broadcast scalars at any
+    // scale.
+    Q("q326_theil_decomposition", Q.sql("""
+        WITH sr AS (
+          SELECT s_nationkey AS nation, l.l_suppkey AS supp,
+            CAST(sum(CAST(l_extendedprice AS DECIMAL(27,4))) AS DECIMAL(27,4)) AS rev
+          FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
+          GROUP BY 1, 2),
+        g AS (
+          SELECT CAST(count(*) AS BIGINT) AS n,
+            CAST(sum(rev) AS DECIMAL(38,4)) AS x FROM sr),
+        tt AS (
+          SELECT round(CAST(sum(CAST(round(
+              (CAST(rev AS DOUBLE) / CAST(x AS DOUBLE))
+              * ln(CAST(n AS DOUBLE) * CAST(rev AS DOUBLE)
+                   / CAST(x AS DOUBLE)), 9)
+            AS DECIMAL(18,9))) AS DOUBLE), 6) AS t_total
+          FROM sr, g),
+        nt AS (
+          SELECT nation, CAST(count(*) AS BIGINT) AS nc,
+            CAST(sum(rev) AS DECIMAL(38,4)) AS xc
+          FROM sr GROUP BY 1),
+        wn AS (
+          SELECT sr.nation,
+            round(CAST(sum(CAST(round(
+                (CAST(rev AS DOUBLE) / CAST(xc AS DOUBLE))
+                * ln(CAST(nc AS DOUBLE) * CAST(rev AS DOUBLE)
+                     / CAST(xc AS DOUBLE)), 9)
+              AS DECIMAL(18,9))) AS DOUBLE), 6) AS t_within
+          FROM sr JOIN nt ON nt.nation = sr.nation
+          GROUP BY 1)
+        SELECT nt.nation, nt.nc AS n_suppliers,
+          round(CAST(xc AS DOUBLE) / CAST(x AS DOUBLE), 9) AS rev_share,
+          wn.t_within,
+          round(round(CAST(xc AS DOUBLE) / CAST(x AS DOUBLE), 9)
+            * wn.t_within, 9) AS within_weighted,
+          round(round(CAST(xc AS DOUBLE) / CAST(x AS DOUBLE), 9)
+            * ln((CAST(xc AS DOUBLE) / CAST(x AS DOUBLE))
+                 / (CAST(nc AS DOUBLE) / CAST(n AS DOUBLE))), 9)
+            AS between_term,
+          tt.t_total
+        FROM nt JOIN wn ON wn.nation = nt.nation, g, tt
+        ORDER BY nt.nation"""))(
+      (s, dir) => {
+        val sr = T(s, dir, "lineitem")
+          .join(broadcast(T(s, dir, "supplier")
+            .select(col("s_suppkey"), col("s_nationkey"))),
+            col("s_suppkey") === col("l_suppkey"))
+          .groupBy(col("s_nationkey").as("nation"),
+            col("l_suppkey").as("supp"))
+          .agg(dsum(col("l_extendedprice"), 4).as("rev"))
+        val g = sr.agg(count(lit(1)).cast("bigint").as("n"),
+          sum(col("rev")).cast("decimal(38,4)").as("x"))
+        val revD = col("rev").cast("double")
+        val tt = sr.crossJoin(broadcast(g))
+          .select(round((revD / col("x").cast("double"))
+            * log(col("n").cast("double") * revD
+                  / col("x").cast("double")), 9).as("term"))
+          .agg(round(sum(col("term").cast("decimal(18,9)")).cast("double"), 6)
+            .as("t_total"))
+        val nt = sr.groupBy("nation")
+          .agg(count(lit(1)).cast("bigint").as("nc"),
+            sum(col("rev")).cast("decimal(38,4)").as("xc"))
+        val wn = sr.join(broadcast(nt), "nation")
+          .select(col("nation"), round((revD / col("xc").cast("double"))
+            * log(col("nc").cast("double") * revD
+                  / col("xc").cast("double")), 9).as("term"))
+          .groupBy("nation")
+          .agg(round(sum(col("term").cast("decimal(18,9)")).cast("double"), 6)
+            .as("t_within"))
+        val shareR = round(col("xc").cast("double") / col("x").cast("double"), 9)
+        nt.join(wn, "nation")
+          .crossJoin(broadcast(g)).crossJoin(broadcast(tt))
+          .select(col("nation"), col("nc").as("n_suppliers"),
+            shareR.as("rev_share"), col("t_within"),
+            round(shareR * col("t_within"), 9).as("within_weighted"),
+            round(shareR * log((col("xc").cast("double")
+                / col("x").cast("double"))
+              / (col("nc").cast("double") / col("n").cast("double"))), 9)
+              .as("between_term"),
+            col("t_total"))
+          .orderBy("nation")
       })
   )
 }
