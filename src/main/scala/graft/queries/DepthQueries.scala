@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -15,6 +15,21 @@ object DepthQueries {
 
   private def T(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
+
+  /** Exact half-up integer division floor((a + d/2) / d) for a ≥ 0,
+    * 0 < d < 2^53, in DECIMAL(38,0) arithmetic — engine-portable (the
+    * DuckDB twin is `(a + d // 2) // d` on HUGEINT). Avoids the
+    * engine-divergent big-double `round(x, 6)` trap (q187/q330): sums of
+    * squared integer deviations overflow 2^53, where double rounding is
+    * not exactly representable and engines disagree in the last ULP.
+    * The division here is exact: (a2 - a2 % d) is divisible by d, so the
+    * DECIMAL(38,6) quotient is an integer and the final cast is lossless. */
+  private def rdiv(a: Column, d: Column): Column = {
+    val dd = d.cast("decimal(38,0)")
+    val a2 = (a.cast("decimal(38,0)") +
+      (d.cast("double") / 2).cast("long")).cast("decimal(38,0)")
+    ((a2 - a2 % dd) / dd).cast("decimal(38,0)")
+  }
 
   private val BlockBytes = 64
 
@@ -538,8 +553,7 @@ object DepthQueries {
           GROUP BY 1, 2),
         terms AS (
           SELECT rk, nk, n_g,
-            CAST(round((CAST(s2_g AS DOUBLE) / 2) * (CAST(s2_g AS DOUBLE) / 2)
-              / CAST(n_g AS DOUBLE), 6) AS DECIMAL(30,6)) AS r2n
+            (CAST(s2_g AS HUGEINT) * s2_g * 250000 + n_g // 2) // n_g AS r2nm
           FROM grp),
         ties AS (
           SELECT rk,
@@ -548,13 +562,15 @@ object DepthQueries {
           FROM vals GROUP BY 1),
         reg AS (
           SELECT t.rk, CAST(sum(t.n_g) AS BIGINT) AS n, count(*) AS k,
-            CAST(sum(t.r2n) AS DECIMAL(38,6)) AS sr2n
+            CAST(sum(t.r2nm) AS HUGEINT) AS sr2nm
           FROM terms t GROUP BY 1)
         SELECT r.rk AS region, r.n, r.k,
           round(CAST(12 AS DOUBLE) / (CAST(r.n AS DOUBLE) * CAST(r.n + 1 AS DOUBLE))
-            * CAST(r.sr2n AS DOUBLE) - 3 * CAST(r.n + 1 AS DOUBLE), 6) AS h,
+            * (CAST(r.sr2nm AS DOUBLE) / 1000000.0)
+            - 3 * CAST(r.n + 1 AS DOUBLE), 6) AS h,
           round((CAST(12 AS DOUBLE) / (CAST(r.n AS DOUBLE) * CAST(r.n + 1 AS DOUBLE))
-            * CAST(r.sr2n AS DOUBLE) - 3 * CAST(r.n + 1 AS DOUBLE))
+            * (CAST(r.sr2nm AS DOUBLE) / 1000000.0)
+            - 3 * CAST(r.n + 1 AS DOUBLE))
             / (1 - CAST(ti.t3 AS DOUBLE)
               / (CAST(r.n AS DOUBLE) * CAST(r.n AS DOUBLE) * CAST(r.n AS DOUBLE)
                 - CAST(r.n AS DOUBLE))), 6) AS h_adj
@@ -583,18 +599,22 @@ object DepthQueries {
           .agg(sum(col("cnt")).as("n_g"),
             sum(col("cnt").cast("decimal(38,0)") * col("mr2"))
               .cast("decimal(38,0)").as("s2_g"))
+        // (s2/2)²/n in exact quarter-micro integers via rdiv (×250000 =
+        // ×10⁶/4): s2² crosses 2^53 above sf0.01, where the former
+        // big-double round(…, 6) becomes engine-divergent (q330's bug).
         val terms = grp.select(col("rk"), col("nk"), col("n_g"),
-          round((col("s2_g").cast("double") / 2) * (col("s2_g").cast("double") / 2)
-            / col("n_g").cast("double"), 6).cast("decimal(30,6)").as("r2n"))
+          rdiv(col("s2_g") * col("s2_g") * lit(250000L), col("n_g"))
+            .as("r2nm"))
         val ties = vals.groupBy("rk")
           .agg(sum(col("vcnt").cast("decimal(38,0)") * col("vcnt") * col("vcnt")
             - col("vcnt")).cast("decimal(38,0)").as("t3"))
         val reg = terms.groupBy("rk")
           .agg(sum(col("n_g")).as("n"), count(lit(1)).as("k"),
-            sum(col("r2n")).cast("decimal(38,6)").as("sr2n"))
+            sum(col("r2nm")).cast("decimal(38,0)").as("sr2nm"))
         val nD = col("n").cast("double")
         val hExpr = lit(12.0) / (nD * (col("n") + 1).cast("double")) *
-          col("sr2n").cast("double") - lit(3) * (col("n") + 1).cast("double")
+          (col("sr2nm").cast("double") / lit(1000000.0)) -
+          lit(3) * (col("n") + 1).cast("double")
         reg.join(ties, "rk")
           .select(col("rk").as("region"), col("n"), col("k"),
             round(hExpr, 6).as("h"),
@@ -633,31 +653,36 @@ object DepthQueries {
           SELECT c.rk, c.nk, abs(2 * c.cents - m.med2) AS z
           FROM cust c JOIN med m ON m.nk = c.nk),
         grp AS (
-          SELECT rk, nk, CAST(count(*) AS BIGINT) AS n_g,
-            CAST(sum(CAST(z AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS s_g,
-            CAST(sum(CAST(z AS DECIMAL(38,0)) * z) AS DECIMAL(38,0)) AS q_g
+          SELECT rk, nk, CAST(count(*) AS HUGEINT) AS n_g,
+            CAST(sum(CAST(z AS HUGEINT)) AS HUGEINT) AS s_g,
+            CAST(sum(CAST(z AS HUGEINT) * z) AS HUGEINT) AS q_g
           FROM dev GROUP BY 1, 2),
         terms AS (
           SELECT rk, nk, n_g, s_g, q_g,
-            CAST(round(CAST(s_g AS DOUBLE) * CAST(s_g AS DOUBLE)
-              / CAST(n_g AS DOUBLE), 6) AS DECIMAL(30,6)) AS s2n
+            (s_g * s_g * 1000000 + n_g // 2) // n_g AS s2nm
           FROM grp),
         reg AS (
-          SELECT rk, CAST(sum(n_g) AS BIGINT) AS n, count(*) AS k,
-            CAST(sum(s_g) AS DECIMAL(38,0)) AS t,
-            CAST(sum(q_g) AS DECIMAL(38,0)) AS q,
-            CAST(sum(s2n) AS DECIMAL(38,6)) AS s2n
-          FROM terms GROUP BY 1)
-        SELECT rk AS region, n, k,
-          round((CAST(s2n AS DOUBLE) - CAST(t AS DOUBLE) * CAST(t AS DOUBLE)
-              / CAST(n AS DOUBLE)) / CAST(k - 1 AS DOUBLE), 6) AS msb,
-          round((CAST(q AS DOUBLE) - CAST(s2n AS DOUBLE))
-            / CAST(n - k AS DOUBLE), 6) AS msw,
-          round(((CAST(s2n AS DOUBLE) - CAST(t AS DOUBLE) * CAST(t AS DOUBLE)
-              / CAST(n AS DOUBLE)) / CAST(k - 1 AS DOUBLE))
-            / ((CAST(q AS DOUBLE) - CAST(s2n AS DOUBLE))
-              / CAST(n - k AS DOUBLE)), 6) AS f
-        FROM reg ORDER BY region"""))(
+          SELECT rk, CAST(sum(n_g) AS HUGEINT) AS n,
+            CAST(count(*) AS HUGEINT) AS k,
+            CAST(sum(s_g) AS HUGEINT) AS t,
+            CAST(sum(q_g) AS HUGEINT) AS q,
+            CAST(sum(s2nm) AS HUGEINT) AS s2nm
+          FROM terms GROUP BY 1),
+        fin AS (
+          SELECT rk, n, k,
+            (s2nm - ((t * t * 1000000 + n // 2) // n)
+              + (k - 1) // 2) // (k - 1) AS msbm,
+            (q * 1000000 - s2nm + (n - k) // 2) // (n - k) AS mswm
+          FROM reg),
+        fin2 AS (
+          SELECT rk, n, k,
+            CAST(CAST(msbm AS DECIMAL(30,0)) * 0.000001 AS DECIMAL(38,6)) AS msb,
+            CAST(CAST(mswm AS DECIMAL(30,0)) * 0.000001 AS DECIMAL(38,6)) AS msw
+          FROM fin)
+        SELECT rk AS region, CAST(n AS BIGINT) AS n, CAST(k AS BIGINT) AS k,
+          msb, msw,
+          round(CAST(msb AS DOUBLE) / CAST(msw AS DOUBLE), 6) AS f
+        FROM fin2 ORDER BY region"""))(
       (s, dir) => {
         val cust = T(s, dir, "customer")
           .join(broadcast(T(s, dir, "nation")
@@ -686,23 +711,31 @@ object DepthQueries {
             sum(col("z").cast("decimal(38,0)")).cast("decimal(38,0)").as("s_g"),
             sum(col("z").cast("decimal(38,0)") * col("z"))
               .cast("decimal(38,0)").as("q_g"))
+        // s²/n in exact micro-cent² integers (rdiv), never a big-double
+        // round: s_g² ≈ 1e17+ exceeds 2^53 where round(x, 6) diverges
+        // between engines (this exact query failed its oracle by 3.9e-3
+        // in round 8 with the double path).
         val terms = grp.select(col("rk"), col("nk"), col("n_g"), col("s_g"),
           col("q_g"),
-          round(col("s_g").cast("double") * col("s_g").cast("double")
-            / col("n_g").cast("double"), 6).cast("decimal(30,6)").as("s2n"))
+          rdiv(col("s_g") * col("s_g") * lit(1000000L), col("n_g")).as("s2nm"))
         val reg = terms.groupBy("rk")
           .agg(sum(col("n_g")).as("n"), count(lit(1)).as("k"),
             sum(col("s_g")).cast("decimal(38,0)").as("t"),
             sum(col("q_g")).cast("decimal(38,0)").as("q"),
-            sum(col("s2n")).cast("decimal(38,6)").as("s2n"))
-        val ssb = (col("s2n").cast("double") - col("t").cast("double")
-          * col("t").cast("double") / col("n").cast("double"))
-          / (col("k") - 1).cast("double")
-        val ssw = (col("q").cast("double") - col("s2n").cast("double"))
-          / (col("n") - col("k")).cast("double")
+            sum(col("s2nm")).cast("decimal(38,0)").as("s2nm"))
+        val t2nm = rdiv(col("t") * col("t") * lit(1000000L), col("n"))
+        val msbm = rdiv(col("s2nm") - t2nm, col("k") - 1)
+        val mswm = rdiv(col("q") * lit(1000000L) - col("s2nm"),
+          col("n") - col("k"))
+        // micro units → DECIMAL(38,6) by exact ×10⁻⁶ (multiplication,
+        // not division: decimal division re-derives scale differently
+        // across engines; × DECIMAL(6,6) is scale-exact on both)
+        val toDec = (c: Column) => (c.cast("decimal(30,0)") *
+          lit(new java.math.BigDecimal("0.000001"))).cast("decimal(38,6)")
         reg.select(col("rk").as("region"), col("n"), col("k"),
-            round(ssb, 6).as("msb"), round(ssw, 6).as("msw"),
-            round(ssb / ssw, 6).as("f"))
+            toDec(msbm).as("msb"), toDec(mswm).as("msw"),
+            round(toDec(msbm).cast("double") / toDec(mswm).cast("double"), 6)
+              .as("f"))
           .orderBy("region")
       })
   )
