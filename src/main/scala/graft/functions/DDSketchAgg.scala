@@ -29,7 +29,17 @@ object DDSketchAgg {
     */
   final class Buf(val pos: mutable.LongMap[Long],
                   val neg: mutable.LongMap[Long],
-                  var zero: Long)
+                  var zero: Long) {
+    /** Lowest retained positive bucket once a per-row collapse has run
+      * (Long.MinValue = not established). Sub-floor inserts fold into
+      * this bucket directly — without it, a descending or wide-range
+      * stream at the bin cap pays a full key-array sort PER ROW. Not
+      * serialized: merge() re-establishes or disables it, and a fresh
+      * deserialized buffer starts disabled, so the fast path never
+      * fires when lower keys might legitimately exist in the map.
+      */
+    var posFloor: Long = Long.MinValue
+  }
 
   val OutType: StructType = StructType(Seq(
     StructField("pos", MapType(IntegerType, LongType, valueContainsNull = false), nullable = false),
@@ -81,7 +91,11 @@ object DDSketchAgg {
       * spec-proven identity with `Quantiles.Agg` holds exactly (same
       * cap, same policy, same default).
       */
-    private def collapse(m: mutable.LongMap[Long]): Unit =
+    /** Sort-based multi-bucket collapse (merge boundaries, where the
+      * combined map can exceed the cap by many keys). Returns the new
+      * floor bucket, or Long.MinValue if no collapse was needed.
+      */
+    private def collapse(m: mutable.LongMap[Long]): Long =
       if (m.size > maxBins) {
         val keys = m.keys.toArray
         java.util.Arrays.sort(keys)
@@ -91,7 +105,26 @@ object DDSketchAgg {
         var i = 0
         while (i < nLow) { folded += m(keys(i)); m -= keys(i); i += 1 }
         m(floorIdx) = m(floorIdx) + folded
+        floorIdx
+      } else Long.MinValue
+
+    /** Single-overflow collapse for the update path (size is exactly
+      * maxBins+1 there): fold the smallest key into the second
+      * smallest — one O(bins) scan, no sort, no array allocation.
+      * State-identical to collapse() with nLow = 1.
+      */
+    private def collapseOne(b: Buf): Unit = {
+      var lo = Long.MaxValue; var lo2 = Long.MaxValue
+      val it = b.pos.keysIterator
+      while (it.hasNext) {
+        val k = it.next()
+        if (k < lo) { lo2 = lo; lo = k } else if (k < lo2) lo2 = k
       }
+      val folded = b.pos(lo)
+      b.pos -= lo
+      b.pos(lo2) = b.pos(lo2) + folded
+      b.posFloor = lo2
+    }
 
     override def update(b: Buf, input: InternalRow): Buf = {
       val v = child.eval(input)
@@ -100,8 +133,15 @@ object DDSketchAgg {
         if (d == 0.0) b.zero += 1
         else if (d > 0) {
           val i = graft.sketch.Quantiles.bucketOf(d, gamma).toLong
-          b.pos(i) = b.pos.getOrElse(i, 0L) + 1
-          collapse(b.pos)
+          if (b.posFloor != Long.MinValue && i <= b.posFloor)
+            // at-cap fast path: identical end state to insert-then-
+            // collapse (which folds the new lone sub-floor key straight
+            // into the floor bucket), minus the per-row sort
+            b.pos(b.posFloor) = b.pos(b.posFloor) + 1
+          else {
+            b.pos(i) = b.pos.getOrElse(i, 0L) + 1
+            if (b.pos.size > maxBins) collapseOne(b)
+          }
         } else {
           val i = graft.sketch.Quantiles.bucketOf(-d, gamma).toLong
           b.neg(i) = b.neg.getOrElse(i, 0L) + 1
@@ -114,7 +154,9 @@ object DDSketchAgg {
       b.pos.foreach { case (k, v) => a.pos(k) = a.pos.getOrElse(k, 0L) + v }
       b.neg.foreach { case (k, v) => a.neg(k) = a.neg.getOrElse(k, 0L) + v }
       a.zero += b.zero
-      collapse(a.pos)
+      // the merged map may contain keys below either side's old floor;
+      // only a fresh collapse may re-arm the fast path
+      a.posFloor = collapse(a.pos)
       a
     }
 

@@ -81,22 +81,30 @@ object Multimodal {
   private[multimodal] def decodeWav(b: Array[Byte]): Option[MediaMeta] = {
     if (b.length < 36 || ascii4(b, 0) != "RIFF" || ascii4(b, 8) != "WAVE")
       return None
-    var i = 12
+    // Long cursor + unsigned chunk sizes: a hostile size like 0xFFFFFFF8
+    // read as a signed Int makes the cursor advance by zero (or cycle)
+    // and spins the executor forever — the decoder must be total in TIME
+    // as well as in exceptions. With u32 & 0xFFFFFFFFL the step is
+    // always ≥ 8 and the Long never overflows, so the walk terminates.
+    var i = 12L
     var channels = 0; var sampleRate = 0; var blockAlign = 0
-    var dataBytes = -1
+    var dataBytes = -1L
     while (i + 8 <= b.length && (channels == 0 || dataBytes < 0)) {
-      val id = ascii4(b, i)
-      val size = u32le(b, i + 4)
+      val ii = i.toInt
+      val id = ascii4(b, ii)
+      val size = u32le(b, ii + 4) & 0xFFFFFFFFL
       if (id == "fmt " && i + 8 + 16 <= b.length) {
-        channels = u16le(b, i + 10)
-        sampleRate = u32le(b, i + 12)
-        blockAlign = u16le(b, i + 20)
+        channels = u16le(b, ii + 10)
+        sampleRate = u32le(b, ii + 12)
+        blockAlign = u16le(b, ii + 20)
       } else if (id == "data") dataBytes = size
       i += 8 + size + (size & 1) // chunks are word-aligned
     }
     if (channels == 0) None
     else Some(MediaMeta(sampleRate, channels,
-      if (blockAlign > 0 && dataBytes > 0) dataBytes / blockAlign else 0,
+      if (blockAlign > 0 && dataBytes > 0)
+        math.min(dataBytes / blockAlign, Int.MaxValue).toInt
+      else 0,
       "wav"))
   }
 

@@ -94,20 +94,35 @@ final class VersionedTable private (val spark: SparkSession, val root: String) {
   }
 
   /** Parsed log entries are immutable once renamed into place, so they
-    * cache safely for the table handle's lifetime — resolution of a
-    * version re-reads at most the entries since the last checkpoint
-    * from disk, and usually none.
+    * cache safely for the table handle's lifetime. DELTA entries are
+    * O(commit) and cache unboundedly; SNAPSHOT entries are O(table file
+    * count) — one lands every CheckpointInterval commits, so a
+    * long-lived handle (a streaming foreachBatch ingest) caching them
+    * all would accumulate unbounded snapshot copies. A single slot
+    * holds the newest snapshot read — the only one resolution walks
+    * revisit; older checkpoints are re-read from disk in the rare
+    * time-travel that needs them.
     */
   private val entryCache =
     scala.collection.concurrent.TrieMap.empty[Long, LogEntry]
+  @volatile private var snapSlot: (Long, LogEntry) = null
 
-  private def readEntry(v: Long): LogEntry =
-    entryCache.getOrElseUpdate(v, {
-      val in = fs.open(manifestPath(v))
-      val bytes = try org.apache.hadoop.io.IOUtils.readFullyToByteArray(in)
-      finally in.close()
-      LogEntry.fromJson(new String(bytes, StandardCharsets.UTF_8))
-    })
+  private def readEntry(v: Long): LogEntry = {
+    val slot = snapSlot
+    if (slot != null && slot._1 == v) slot._2
+    else entryCache.get(v) match {
+      case Some(e) => e
+      case None =>
+        val in = fs.open(manifestPath(v))
+        val bytes = try org.apache.hadoop.io.IOUtils.readFullyToByteArray(in)
+        finally in.close()
+        val e = LogEntry.fromJson(new String(bytes, StandardCharsets.UTF_8))
+        if (e.snapshot.isDefined) {
+          if (slot == null || v >= slot._1) snapSlot = (v, e)
+        } else entryCache.put(v, e)
+        e
+    }
+  }
 
   /** Reconstruct the full table state at version `v`: walk back to the
     * nearest SNAPSHOT entry (a checkpoint, version 0, or any legacy

@@ -60,4 +60,44 @@ class TrendSpec extends SparkSpec {
     val r2 = Assortativity.degreeAssortativity(mixed).collect().head
     r2.getDouble(1) should (be >= -1.0 and be <= 1.0)
   }
+
+  test("q333 STL algebra: linear trend vanishes, weekly pattern recovers " +
+      "mean-centered seasonal exactly") {
+    import org.apache.spark.sql.expressions.Window
+    // Worked vector for the q333_stl_decompose pipeline (same window +
+    // detrended×7 integer trick on a hand series). 21 consecutive days
+    // starting on a Monday:
+    //   type "a": v = 70000·t + 10000·s, s = isodow−1 ∈ 0..6
+    //   type "b": v = 70000·t (pure linear)
+    // A centered 7-point MA reproduces a linear series exactly, so
+    // detr7 = 7v − Σ₇v = 10000·(7s − 21) for "a" and 0 for "b"; the
+    // seasonal output Σdetr7/(70000·n) is then s − 21/7 = isodow − 4
+    // (classic mean-centered weekly effect) and 0 respectively — exact
+    // integers, no tolerance needed.
+    val start = java.time.LocalDate.of(2024, 1, 1) // a Monday
+    val rows = (0 until 21).flatMap { t =>
+      val day = java.sql.Date.valueOf(start.plusDays(t.toLong))
+      val s = start.plusDays(t.toLong).getDayOfWeek.getValue - 1
+      Seq(("a", day, 70000L * t + 10000L * s), ("b", day, 70000L * t))
+    }
+    val d = rows.toDF("event_type", "day", "v")
+    val w7 = Window.partitionBy("event_type").orderBy("day")
+      .rowsBetween(-3, 3)
+    val t = d.select(col("event_type"), col("day"), col("v"),
+      sum(col("v")).over(w7).as("s7"), count(lit(1)).over(w7).as("c7"))
+    val out = t.where(col("c7") === 7)
+      .select(col("event_type"), (weekday(col("day")) + 1).as("dow"),
+        (lit(7) * col("v") - col("s7")).as("detr7"))
+      .groupBy("event_type", "dow")
+      .agg(count(lit(1)).as("n_days"),
+        round(sum(col("detr7").cast("decimal(38,0)")).cast("double")
+          / (lit(70000) * count(lit(1))), 6).as("seasonal"))
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> r.getDouble(3)).toMap
+    out.size shouldBe 14 // 7 weekdays × 2 types, 15 interior days each
+    (1 to 7).foreach { dow =>
+      out(("a", dow)) shouldBe (dow - 4).toDouble // mean-centered seasonal
+      out(("b", dow)) shouldBe 0.0 // linear series has no seasonal
+    }
+  }
 }
