@@ -38,7 +38,8 @@ object SparkEntry {
       DiagQueries.all ++ TpchQueries.all ++ TpchFinalQueries.all ++
       LinkageQueries.all ++
       WarehouseQueries.all ++ PrivacyQueries.all ++ MlopsQueries.all ++
-      SeriesQueries.all ++ TrainPrepQueries.all ++ IntrospectQueries.all
+      SeriesQueries.all ++ TrainPrepQueries.all ++ IntrospectQueries.all ++
+      NineQueries.all
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0.
     * Full slice: scan -> filter -> broadcast-join -> agg -> window top-k.
