@@ -6,12 +6,15 @@ import org.apache.spark.sql.functions._
 /** Multimodal-column plumbing (north-star set): media payloads travel as
   * opaque `binary` columns with typed metadata alongside. Container
   * HEADER decode is REAL for PNG / JPEG / WAV — pure-JVM byte parsing,
-  * no codec library needed (round 8). Payloads in no recognized
-  * container fall back to a deterministic fake (`format = "fake"`), so
-  * synthetic fixtures keep flowing; full PIXEL/SAMPLE decode beyond the
-  * header would need codec libraries absent from this environment and
-  * stays behind the same signature (drop a real decoder into
-  * [[decode]]'s fallback arm at deployment — the dataflow is unchanged).
+  * no codec library needed (round 8). FULL payload decode is also real
+  * for PNG pixels ([[PngCodec]]: inflate + all five filters, round 9)
+  * and WAV PCM samples ([[WavCodec]]) — both oracle-gated end-to-end
+  * (q348/q349). Payloads in no recognized container fall back to a
+  * deterministic fake (`format = "fake"`), so synthetic fixtures keep
+  * flowing; only formats needing codec libraries absent from this
+  * environment (JPEG entropy decode, video) stay behind the same
+  * signature — drop a real decoder into [[decode]]'s fallback arm at
+  * deployment, the dataflow is unchanged.
   *
   * Scale: payload bytes stay columnar in parquet; metadata extraction is a
   * narrow projection. Decode runs partition-parallel via a JVM-resident
