@@ -28,3 +28,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+// A line-leading `-`/`+` parses as a NEW statement with a unary
+// operator, silently discarding the term (bit us twice: round-8
+// DepthQueries, round-9 q370) — make every discarded non-Unit value a
+// compile ERROR; intentional side-effect calls use `val _ = ...`.
+ThisBuild / scalacOptions ++= Seq("-Wvalue-discard",
+  "-Wconf:cat=w-flag-value-discard:e")

@@ -39,7 +39,8 @@ object SparkEntry {
       LinkageQueries.all ++
       WarehouseQueries.all ++ PrivacyQueries.all ++ MlopsQueries.all ++
       SeriesQueries.all ++ TrainPrepQueries.all ++ IntrospectQueries.all ++
-      NineQueries.all ++ InferenceQueries.all ++ CodingQueries.all
+      NineQueries.all ++ InferenceQueries.all ++ CodingQueries.all ++
+      EstimatorQueries.all ++ RobustQueries.all ++ AuditQueries.all
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0.
     * Full slice: scan -> filter -> broadcast-join -> agg -> window top-k.

@@ -80,7 +80,7 @@ object Bucketed {
     // parquet footers; one footer read, no data scan
     val schemaDdl = spark.read.parquet(path).schema.toDDL
     spark.sql(s"DROP TABLE IF EXISTS $table")
-    spark.sql(s"""CREATE TABLE $table ($schemaDdl) USING parquet
+    val _ = spark.sql(s"""CREATE TABLE $table ($schemaDdl) USING parquet
       CLUSTERED BY ($key) SORTED BY ($key) INTO $nBuckets BUCKETS
       LOCATION '$path'""")
   }

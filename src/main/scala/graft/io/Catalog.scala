@@ -13,11 +13,13 @@ import org.apache.spark.sql.functions.col
   */
 object Catalog {
 
-  def createDatabase(spark: SparkSession, name: String): Unit =
-    spark.sql(s"CREATE DATABASE IF NOT EXISTS `$name`")
+  def createDatabase(spark: SparkSession, name: String): Unit = {
+    val _ = spark.sql(s"CREATE DATABASE IF NOT EXISTS `$name`")
+  }
 
-  def dropDatabase(spark: SparkSession, name: String): Unit =
-    spark.sql(s"DROP DATABASE IF EXISTS `$name` CASCADE")
+  def dropDatabase(spark: SparkSession, name: String): Unit = {
+    val _ = spark.sql(s"DROP DATABASE IF EXISTS `$name` CASCADE")
+  }
 
   def showDatabases(spark: SparkSession): DataFrame =
     spark.sql("SHOW DATABASES")

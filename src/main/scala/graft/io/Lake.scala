@@ -31,7 +31,7 @@ object Lake {
   def copy(conf: Configuration, src: String, dst: String): Unit = {
     val s = new Path(src)
     val d = new Path(dst)
-    org.apache.hadoop.fs.FileUtil.copy(
+    val _ = org.apache.hadoop.fs.FileUtil.copy(
       fs(conf, s), s, fs(conf, d), d, /*deleteSource=*/ false, conf)
   }
 

@@ -10,8 +10,9 @@ import graft.text.TextAnalysis
 /** Round-9 batch 4: information-theoretic corpus statistics and
   * empirical-Bayes estimation — TextRank keyword extraction, Good-Turing
   * frequency smoothing, beta-binomial shrinkage, the dispersion (Fano)
-  * burstiness index, Huffman coding cost, and a Zipf rank-frequency
-  * fit — each oracle-checked bit-for-bit against DuckDB.
+  * burstiness index, and Huffman coding cost — each oracle-checked
+  * bit-for-bit against DuckDB. (A Zipf slope draft was dropped here:
+  * q180_zipf_slope already covers that operator.)
   */
 object CodingQueries {
 
@@ -373,79 +374,6 @@ object CodingQueries {
               / col("n").cast("double"), 6).as("huffman_bits_per_symbol"),
             round(col("h"), 6).as("shannon_entropy"))
           .orderBy("event_type")
-      }),
-
-    // Zipf rank-frequency fit (Zipf '49; Piantadosi PBR'14 review):
-    // OLS slope of log2 f vs log2 rank over the top-500 tokens — the
-    // corpus-health fingerprint (natural text ≈ −1; template/boilerplate
-    // corpora bend it). The top-k frame is model-sized; log2 values are
-    // rounded at 9 dp and DECIMAL-summed into the five OLS moments, so
-    // the fit is order-independent; slope/intercept are fixed-order
-    // doubles.
-    Q("q355_zipf_slope", Q.sql(s"""
-        $wordsCte,
-        tc AS (SELECT unnest(ws) AS tok FROM w),
-        cnt AS (
-          SELECT tok, CAST(count(*) AS BIGINT) AS f FROM tc GROUP BY 1),
-        top AS MATERIALIZED (
-          SELECT tok, f FROM cnt ORDER BY f DESC, tok LIMIT 500),
-        rkt AS (
-          SELECT a.tok, a.f,
-            1 + sum(CASE WHEN b.f > a.f OR (b.f = a.f AND b.tok < a.tok)
-              THEN 1 ELSE 0 END) AS rk
-          FROM top a, top b GROUP BY 1, 2),
-        lg AS (
-          SELECT CAST(round(log2(CAST(rk AS DOUBLE)), 9) AS DECIMAL(28,9))
-              AS x,
-            CAST(round(log2(CAST(f AS DOUBLE)), 9) AS DECIMAL(28,9)) AS y
-          FROM rkt),
-        mo AS (
-          SELECT CAST(count(*) AS BIGINT) AS n,
-            CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
-            CAST(sum(CAST(round(CAST(x AS DOUBLE) * CAST(y AS DOUBLE), 9)
-              AS DECIMAL(28,9))) AS DOUBLE) AS sxy,
-            CAST(sum(CAST(round(CAST(x AS DOUBLE) * CAST(x AS DOUBLE), 9)
-              AS DECIMAL(28,9))) AS DOUBLE) AS sxx
-          FROM lg)
-        SELECT n AS top_k,
-          round((sxy - sx * sy / n) / (sxx - sx * sx / n), 6) AS zipf_slope,
-          round(sy / n - (sxy - sx * sy / n) / (sxx - sx * sx / n)
-            * sx / n, 6) AS intercept
-        FROM mo"""))(
-      (s, dir) => {
-        val toks = T(s, dir, "documents")
-          .select(explode(TextAnalysis.tokens(
-            TextAnalysis.normalizeText(col("text")))).as("tok"))
-        val cnt = toks.groupBy("tok").agg(count(lit(1)).cast("long").as("f"))
-        val top = cnt
-          .orderBy(col("f").desc, col("tok"))
-          .limit(500)
-        // rank via broadcast self-join count over the model-sized top-k
-        // frame — no global window anywhere in the engine
-        val rkt = top.crossJoin(broadcast(
-            top.select(col("f").as("f2"), col("tok").as("tok2"))))
-          .groupBy("tok", "f")
-          .agg((sum(when(col("f2") > col("f")
-            || (col("f2") === col("f") && col("tok2") < col("tok")), 1)
-            .otherwise(0)) + 1).as("rk"))
-        val lg = rkt.select(
-          round(log2(col("rk").cast("double")), 9).cast("decimal(28,9)")
-            .as("x"),
-          round(log2(col("f").cast("double")), 9).cast("decimal(28,9)")
-            .as("y"))
-        val mo = lg.agg(count(lit(1)).cast("long").as("n"),
-          sum(col("x")).cast("double").as("sx"),
-          sum(col("y")).cast("double").as("sy"),
-          sum(round(col("x").cast("double") * col("y").cast("double"), 9)
-            .cast("decimal(28,9)")).cast("double").as("sxy"),
-          sum(round(col("x").cast("double") * col("x").cast("double"), 9)
-            .cast("decimal(28,9)")).cast("double").as("sxx"))
-        val slope = (col("sxy") - col("sx") * col("sy") / col("n")) /
-          (col("sxx") - col("sx") * col("sx") / col("n"))
-        mo.select(col("n").as("top_k"),
-          round(slope, 6).as("zipf_slope"),
-          round(col("sy") / col("n") - slope * col("sx") / col("n"), 6)
-            .as("intercept"))
       })
   )
 }

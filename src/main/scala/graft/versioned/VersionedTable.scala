@@ -204,7 +204,7 @@ final class VersionedTable private (val spark: SparkSession, val root: String) {
       throw new IllegalStateException(
         s"concurrent commit detected for version ${m.version} of $root", e)
     }
-    entryCache.put(m.version, entry)
+    val _ = entryCache.put(m.version, entry)
   }
 
   private def latest(): Manifest = {

@@ -107,7 +107,7 @@ class EvalSpec extends SparkSpec {
         (xc / bigX) * math.log((xc / bigX) / (vs.length.toDouble / n))
       }.sum
       val withinW = groups.map(vs => (vs.sum / bigX) * theil(vs)).sum
-      (between + withinW) shouldBe theil(all) +- 1e-12
+      val _ = (between + withinW) shouldBe theil(all) +- 1e-12
     }
     check(Seq(Seq(1.0, 3.0), Seq(2.0, 2.0, 4.0))) // hand vector
     val rnd = new scala.util.Random(7)

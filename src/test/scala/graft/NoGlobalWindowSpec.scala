@@ -22,7 +22,7 @@ class NoGlobalWindowSpec extends SparkSpec {
         org.apache.logging.log4j.core.config.Property.EMPTY_ARRAY) {
       override def append(e: LogEvent): Unit = {
         val m = e.getMessage.getFormattedMessage
-        if (m.contains("No Partition Defined")) captured.add(m)
+        if (m.contains("No Partition Defined")) { val _ = captured.add(m) }
       }
     }
     appender.start()

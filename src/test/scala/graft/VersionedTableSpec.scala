@@ -332,7 +332,8 @@ class VersionedTableSpec extends SparkSpec {
       t.toDF.where($"ec_cm3" === 9999).count() shouldBe 1
     } finally {
       val p = new org.apache.hadoop.fs.Path(rel)
-      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+      val _ = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(p, true)
     }
   }
 
