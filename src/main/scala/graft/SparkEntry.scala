@@ -40,7 +40,8 @@ object SparkEntry {
       WarehouseQueries.all ++ PrivacyQueries.all ++ MlopsQueries.all ++
       SeriesQueries.all ++ TrainPrepQueries.all ++ IntrospectQueries.all ++
       NineQueries.all ++ InferenceQueries.all ++ CodingQueries.all ++
-      EstimatorQueries.all ++ RobustQueries.all ++ AuditQueries.all
+      EstimatorQueries.all ++ RobustNineQueries.all ++ AuditNineQueries.all ++
+      HazardQueries.all ++ StyleQueries.all
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0.
     * Full slice: scan -> filter -> broadcast-join -> agg -> window top-k.

@@ -196,7 +196,11 @@ object PngCodec {
       var off = 0
       while (off < raw.length && !inflater.finished()) {
         val n = inflater.inflate(raw, off, raw.length - off)
-        if (n == 0 && inflater.needsInput()) return None // truncated
+        // n == 0 with input already fully provided means the stream can
+        // make no progress: truncated data, or an FDICT preset-dictionary
+        // zlib header (needsDictionary) we'll never satisfy — bail rather
+        // than spin (totality: decode never hangs on crafted IDAT).
+        if (n == 0) return None
         off += n
       }
       if (off != raw.length) return None

@@ -1,444 +1,336 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.PortableSql
-import graft.sketch.Kmv
+import graft.ops.Relational.dsum
 
-/** Round-9 batch 7: sketch set-algebra and effect-size diagnostics —
-  * the KMV/theta bottom-k sketch (cardinality + intersection), the Chow
-  * structural-break test, Cramér's V, and Cliff's delta — each
-  * oracle-checked bit-for-bit against DuckDB.
+/** Round-5 batch 15: behavioral/audit statistics — engaged-user set
+  * similarity, inter-event burstiness, Markov entropy rate, association
+  * rules (support/confidence/lift), and a Benford first-digit audit —
+  * each oracle-checked bit-for-bit vs DuckDB.
   */
 object AuditQueries {
 
   private def T(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
-  /** KMV sketch size used by q368/q369. */
-  private val KmvK = 256
-
-  /** 2^48 as an exactly-representable double literal (8 significant
-    * bits x 2^48), shared by the Spark impl and the oracle text. */
-  private val Pow48 = "CAST(281474976710656 AS DOUBLE)"
-
-  private def hash48Sql(expr: String): String =
-    PortableSql.hexToLong(s"md5(CAST($expr AS VARCHAR))", 12)
-
   def all: Seq[Q] = Seq(
 
-    // KMV / bottom-k cardinality sketch (Bar-Yossef et al. RANDOM'02;
-    // Beyer et al. SIGMOD'07): per return-flag, keep the k=256 smallest
-    // distinct 48-bit md5 hashes of l_partkey; theta = the k-th
-    // smallest, estimate = (k-1)*2^48/theta (exact when the group holds
-    // fewer than k distinct keys). Unlike HLL (q66/q125) the retained
-    // sample supports set algebra — q369 intersects two of these. The
-    // oracle replays the identical integer hash derivation; the
-    // estimator is one fixed-order double division.
-    Q("q368_kmv_distinct", Q.sql(s"""
-        WITH h AS (
-          SELECT DISTINCT l_returnflag AS g,
-            ${hash48Sql("l_partkey")} AS h
-          FROM lineitem),
-        rk AS (
-          SELECT g, h,
-            row_number() OVER (PARTITION BY g ORDER BY h) AS rk
-          FROM h),
-        sk AS (SELECT g, h FROM rk WHERE rk <= $KmvK),
-        ag AS (
-          SELECT g, CAST(count(*) AS BIGINT) AS n_kept,
-            CAST(max(h) AS BIGINT) AS theta
-          FROM sk GROUP BY 1),
-        ex AS (
-          SELECT l_returnflag AS g,
-            CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_nd
-          FROM lineitem GROUP BY 1)
-        SELECT a.g AS returnflag, a.n_kept, a.theta,
-          round(CASE WHEN a.n_kept < $KmvK
-            THEN CAST(a.n_kept AS DOUBLE)
-            ELSE CAST(${KmvK - 1} AS DOUBLE) * $Pow48 / a.theta END, 6) AS kmv_est,
-          e.exact_nd,
-          round(CASE WHEN a.n_kept < $KmvK
-            THEN CAST(a.n_kept AS DOUBLE)
-            ELSE CAST(${KmvK - 1} AS DOUBLE) * $Pow48 / a.theta END
-            / e.exact_nd, 6) AS est_ratio
-        FROM ag a JOIN ex e ON e.g = a.g
-        ORDER BY returnflag"""))(
-      (s, dir) => {
-        val li = T(s, dir, "lineitem")
-        val sk = Kmv.minValuesBy(li, col("l_partkey"),
-          Seq("l_returnflag"), KmvK)
-        val ag = Kmv.estimateBy(sk, Seq("l_returnflag"), KmvK)
-        val ex = li.groupBy(col("l_returnflag"))
-          .agg(countDistinct(col("l_partkey")).cast("long").as("exact_nd"))
-        ag.join(ex, Seq("l_returnflag"))
-          .select(col("l_returnflag").as("returnflag"), col("n_kept"),
-            col("theta"), round(col("kmv_est"), 6).as("kmv_est"),
-            col("exact_nd"),
-            round(col("kmv_est") / col("exact_nd"), 6).as("est_ratio"))
-          .orderBy("returnflag")
-      }),
-
-    // Theta-sketch intersection (Dasgupta et al. 2016): estimate the
-    // overlap between the part-key sets of return-flag R and A lines
-    // from their two k=256 KMV sketches ALONE — the union's bottom-k is
-    // recomputed from the merged <= 2k hashes, matches = union-sample
-    // hashes present in both sides, est_intersect = matches/k' *
-    // est_union — next to the exact intersection for calibration. At
-    // 100 TB the exact column is the thing you cannot afford; the
-    // sketch path touches 2k rows.
-    Q("q369_kmv_intersect", Q.sql(s"""
-        WITH h AS (
-          SELECT DISTINCT l_returnflag AS g,
-            ${hash48Sql("l_partkey")} AS h
-          FROM lineitem WHERE l_returnflag IN ('R', 'A')),
-        rk AS (
-          SELECT g, h,
-            row_number() OVER (PARTITION BY g ORDER BY h) AS rk
-          FROM h),
-        sk AS (SELECT g, h FROM rk WHERE rk <= $KmvK),
-        u AS (SELECT DISTINCT h FROM sk),
-        urk AS (
-          SELECT h, row_number() OVER (ORDER BY h) AS rk FROM u),
-        bott AS (SELECT h FROM urk WHERE rk <= $KmvK),
-        ms AS (
-          SELECT CAST(count(*) AS BIGINT) AS matches
-          FROM bott
-          WHERE h IN (SELECT h FROM sk WHERE g = 'R')
-            AND h IN (SELECT h FROM sk WHERE g = 'A')),
-        ua AS (
-          SELECT CAST(count(*) AS BIGINT) AS k_used,
-            CAST(max(h) AS BIGINT) AS theta_u
-          FROM bott),
-        est AS (
-          SELECT u.k_used, u.theta_u, m.matches,
-            CASE WHEN u.k_used < $KmvK THEN CAST(u.k_used AS DOUBLE)
-              ELSE CAST(${KmvK - 1} AS DOUBLE) * $Pow48 / u.theta_u END AS est_union
-          FROM ua u, ms m),
-        ex AS (
-          SELECT CAST(count(*) AS BIGINT) AS exact_inter FROM (
-            SELECT DISTINCT l_partkey FROM lineitem WHERE l_returnflag = 'R'
-            INTERSECT
-            SELECT DISTINCT l_partkey FROM lineitem WHERE l_returnflag = 'A'
-          ) t)
-        SELECT e.k_used, e.theta_u, e.matches,
-          round(e.est_union, 6) AS est_union,
-          round(CAST(e.matches AS DOUBLE) / e.k_used * e.est_union, 6)
-            AS est_intersect,
-          x.exact_inter
-        FROM est e, ex x"""))(
-      (s, dir) => {
-        val li = T(s, dir, "lineitem")
-          .where(col("l_returnflag").isin("R", "A"))
-        val sk = Kmv.minValuesBy(li, col("l_partkey"),
-          Seq("l_returnflag"), KmvK)
-        val a = sk.where(col("l_returnflag") === "R").select(col("h"))
-        val b = sk.where(col("l_returnflag") === "A").select(col("h"))
-        val est = Kmv.intersectEstimate(a, b, KmvK)
-        val ex = T(s, dir, "lineitem").where(col("l_returnflag") === "R")
-          .select(col("l_partkey")).distinct()
-          .join(T(s, dir, "lineitem").where(col("l_returnflag") === "A")
-            .select(col("l_partkey")).distinct(), Seq("l_partkey"), "semi")
-          .agg(count(lit(1)).cast("long").as("exact_inter"))
-        est.crossJoin(broadcast(ex))
-          .select(col("k_used"), col("theta_u"), col("matches"),
-            round(col("est_union"), 6).as("est_union"),
-            round(col("est_intersect"), 6).as("est_intersect"),
-            col("exact_inter"))
-      }),
-
-    // Chow structural-break test (Chow Econometrica'60): did the
-    // daily-revenue trend CHANGE mid-window? Per event type, OLS of
-    // daily cents on day index over the zero-filled calendar span, fit
-    // separately on the two halves and pooled; F = ((RSS_p - RSS_1 -
-    // RSS_2)/2) / ((RSS_1 + RSS_2)/(n - 4)). All OLS moments are EXACT
-    // (integer x/y, DECIMAL(38,0) products — overflow-proof at any sf);
-    // each RSS and the F ratio are fixed-order double expressions, and
-    // only O(1)-magnitude outputs (slopes, F) are rounded — never the
-    // big RSS doubles (the q187/q330 big-double-round trap).
-    Q("q370_chow_test", Q.sql("""
-        WITH d AS (
-          SELECT event_type, CAST(ts AS DATE) AS day,
-            CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
-              AS cents
+    // Jaccard similarity of ENGAGED-user sets between event types
+    // (engaged = above that type's mean events/user, so the sets stay
+    // scale-adaptive and non-degenerate). Set sizes and intersections
+    // from two hash aggs + one self-join on user — the audience-overlap
+    // matrix.
+    Q("q196_type_jaccard", Q.sql("""
+        WITH uc AS (
+          SELECT event_type AS t, user_id AS u, count(*) AS cnt
           FROM events GROUP BY 1, 2),
-        b AS (
-          SELECT min(day) AS d0,
-            CAST(max(day) - min(day) AS BIGINT) + 1 AS n
-          FROM d),
-        spine AS (
-          SELECT et.event_type, CAST(gs.pos AS BIGINT) AS pos
-          FROM (SELECT DISTINCT event_type FROM d) et,
-            LATERAL (SELECT unnest(generate_series(0,
-              (SELECT n - 1 FROM b))) AS pos) gs),
-        l0 AS (
-          SELECT sp.event_type, sp.pos,
-            CAST(COALESCE(d.cents, 0) AS BIGINT) AS y,
-            CASE WHEN sp.pos < CAST(floor((SELECT n FROM b) / 2) AS BIGINT)
-              THEN 1 ELSE 2 END AS half
-          FROM spine sp
-          LEFT JOIN d ON d.event_type = sp.event_type
-            AND (d.day - (SELECT d0 FROM b)) = sp.pos),
-        mo AS (
-          SELECT event_type, half, CAST(count(*) AS BIGINT) AS n,
-            CAST(sum(pos) AS BIGINT) AS sx,
-            CAST(sum(y) AS BIGINT) AS sy,
-            CAST(sum(pos * pos) AS BIGINT) AS sxx,
-            CAST(sum(CAST(pos AS DECIMAL(38,0)) * y) AS DECIMAL(38,0))
-              AS sxy,
-            CAST(sum(CAST(y AS DECIMAL(38,0)) * y) AS DECIMAL(38,0))
-              AS syy
-          FROM l0 GROUP BY 1, 2),
-        mp AS (
-          SELECT event_type, CAST(sum(n) AS BIGINT) AS n,
-            CAST(sum(sx) AS BIGINT) AS sx, CAST(sum(sy) AS BIGINT) AS sy,
-            CAST(sum(sxx) AS BIGINT) AS sxx,
-            CAST(sum(sxy) AS DECIMAL(38,0)) AS sxy,
-            CAST(sum(syy) AS DECIMAL(38,0)) AS syy
-          FROM mo GROUP BY 1),
-        rs AS (
-          SELECT event_type,
-            CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy / n
-              - (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy / n)
-              * (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy / n)
-              / (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n)
-              AS rss,
-            (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy / n)
-              / (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n)
-              AS slope,
-            n
-          FROM mp),
-        rh AS (
-          SELECT event_type, half,
-            CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy / n
-              - (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy / n)
-              * (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy / n)
-              / (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n)
-              AS rss,
-            (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy / n)
-              / (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n)
-              AS slope
-          FROM mo),
-        agg AS (
-          SELECT r.event_type, r.n, r.rss AS rss_p,
-            sum(CASE WHEN h.half = 1 THEN h.rss ELSE 0 END) AS rss_1,
-            sum(CASE WHEN h.half = 2 THEN h.rss ELSE 0 END) AS rss_2,
-            max(CASE WHEN h.half = 1 THEN h.slope END) AS slope_1,
-            max(CASE WHEN h.half = 2 THEN h.slope END) AS slope_2,
-            max(r.slope) AS slope_p
-          FROM rs r JOIN rh h ON h.event_type = r.event_type
-          GROUP BY 1, 2, 3)
-        SELECT event_type, n AS n_days,
-          round(slope_p / 100.0, 6) AS slope_pooled,
-          round(slope_1 / 100.0, 6) AS slope_h1,
-          round(slope_2 / 100.0, 6) AS slope_h2,
-          round(((rss_p - rss_1 - rss_2) / 2.0)
-            / ((rss_1 + rss_2) / (n - 4)), 6) AS f_chow
-        FROM agg ORDER BY event_type"""))(
+        thr AS (
+          SELECT t, CAST(sum(cnt) AS BIGINT) // count(*) AS avg_cnt
+          FROM uc GROUP BY 1),
+        tu AS (
+          SELECT uc.t, uc.u FROM uc JOIN thr ON uc.t = thr.t
+          WHERE uc.cnt > thr.avg_cnt),
+        pair AS (
+          SELECT a.t AS t1, b.t AS t2, count(*) AS n_both
+          FROM tu a JOIN tu b ON a.u = b.u AND a.t < b.t
+          GROUP BY 1, 2),
+        sz AS (SELECT t, count(*) AS n FROM tu GROUP BY 1)
+        SELECT t1, t2, n_both, sa.n AS n1, sb.n AS n2,
+          round(CAST(n_both AS DOUBLE) / (sa.n + sb.n - n_both), 6) AS jaccard
+        FROM pair JOIN sz sa ON sa.t = t1 JOIN sz sb ON sb.t = t2
+        ORDER BY 1, 2"""))(
       (s, dir) => {
-        val d = T(s, dir, "events")
-          .groupBy(col("event_type"), to_date(col("ts")).as("day"))
-          .agg(sum(round(col("value") * 100, 0).cast("long")).cast("long")
-            .as("cents"))
-        val b = d.agg(min(col("day")).as("d0"),
-          (datediff(max(col("day")), min(col("day"))).cast("long") + 1)
-            .as("n"))
-        val spine = d.select("event_type").distinct()
-          .crossJoin(broadcast(b))
-          .select(col("event_type"),
-            explode(sequence(lit(0L), col("n") - 1)).as("pos"))
-        val l0 = spine
-          .join(d.crossJoin(broadcast(b.select(col("d0"))))
-            .select(col("event_type"), datediff(col("day"), col("d0"))
-              .cast("long").as("pos"), col("cents")),
-            Seq("event_type", "pos"), "left")
-          .crossJoin(broadcast(b.select(col("n"))))
-          .select(col("event_type"), col("pos"),
-            coalesce(col("cents"), lit(0L)).as("y"),
-            when(col("pos") < floor(col("n") / 2).cast("long"), 1)
-              .otherwise(2).as("half"))
-        def moments(df: DataFrame, keys: Seq[String]): DataFrame =
-          df.groupBy(keys.map(col): _*)
-            .agg(count(lit(1)).cast("long").as("n"),
-              sum(col("pos")).cast("long").as("sx"),
-              sum(col("y")).cast("long").as("sy"),
-              sum(col("pos") * col("pos")).cast("long").as("sxx"),
-              sum(col("pos").cast("decimal(38,0)") * col("y"))
-                .cast("decimal(38,0)").as("sxy"),
-              sum(col("y").cast("decimal(38,0)") * col("y"))
-                .cast("decimal(38,0)").as("syy"))
-        val mo = moments(l0, Seq("event_type", "half"))
-        val mp = mo.groupBy("event_type")
-          .agg(sum(col("n")).cast("long").as("n"),
-            sum(col("sx")).cast("long").as("sx"),
-            sum(col("sy")).cast("long").as("sy"),
-            sum(col("sxx")).cast("long").as("sxx"),
-            sum(col("sxy")).cast("decimal(38,0)").as("sxy"),
-            sum(col("syy")).cast("decimal(38,0)").as("syy"))
-        // NOTE trailing operators: a line-leading `-` would parse as a
-        // NEW statement with unary minus (silently discarding the term)
-        val sxyC = (col("sxy").cast("double") -
-          col("sx").cast("double") * col("sy") / col("n"))
-        val sxxC = (col("sxx").cast("double") -
-          col("sx").cast("double") * col("sx") / col("n"))
-        val rssE = (col("syy").cast("double") -
-          col("sy").cast("double") * col("sy") / col("n") -
-          sxyC * sxyC / sxxC)
-        val rs = mp.select(col("event_type"), rssE.as("rss"),
-          (sxyC / sxxC).as("slope"), col("n"))
-        val rh = mo.select(col("event_type"), col("half"),
-          rssE.as("rss"), (sxyC / sxxC).as("slope"))
-        val agg = rs.select(col("event_type"), col("rss").as("rss_p"),
-            col("slope").as("slope_p"), col("n"))
-          .join(rh.select(col("event_type"), col("half"),
-            col("rss").as("rss_h"), col("slope").as("slope_h")),
-            Seq("event_type"))
-          .groupBy("event_type", "n", "rss_p", "slope_p")
-          .agg(
-            sum(when(col("half") === 1, col("rss_h")).otherwise(0.0))
-              .as("rss_1"),
-            sum(when(col("half") === 2, col("rss_h")).otherwise(0.0))
-              .as("rss_2"),
-            max(when(col("half") === 1, col("slope_h"))).as("slope_1"),
-            max(when(col("half") === 2, col("slope_h"))).as("slope_2"))
-        agg.select(col("event_type"), col("n").as("n_days"),
-            round(col("slope_p") / 100.0, 6).as("slope_pooled"),
-            round(col("slope_1") / 100.0, 6).as("slope_h1"),
-            round(col("slope_2") / 100.0, 6).as("slope_h2"),
-            round(((col("rss_p") - col("rss_1") - col("rss_2")) / 2.0)
-              / ((col("rss_1") + col("rss_2")) / (col("n") - 4)), 6)
-              .as("f_chow"))
+        val uc = T(s, dir, "events")
+          .groupBy(col("event_type").as("t"), col("user_id").as("u"))
+          .agg(count(lit(1)).as("cnt"))
+        val thr = uc.groupBy("t")
+          .agg(floor(sum(col("cnt")) / count(lit(1))).cast("long").as("avg_cnt"))
+        val tu = uc.join(thr, Seq("t")).where(col("cnt") > col("avg_cnt"))
+          .select("t", "u")
+        val a = tu.select(col("t").as("t1"), col("u"))
+        val b = tu.select(col("t").as("t2"), col("u"))
+        val pair = a.join(b, Seq("u")).where(col("t1") < col("t2"))
+          .groupBy("t1", "t2").agg(count(lit(1)).as("n_both"))
+        val sz = tu.groupBy(col("t")).agg(count(lit(1)).as("n"))
+        pair
+          .join(broadcast(sz.select(col("t").as("t1"), col("n").as("n1"))), Seq("t1"))
+          .join(broadcast(sz.select(col("t").as("t2"), col("n").as("n2"))), Seq("t2"))
+          .select(col("t1"), col("t2"), col("n_both"), col("n1"), col("n2"),
+            round(col("n_both").cast("double") /
+              (col("n1") + col("n2") - col("n_both")), 6).as("jaccard"))
+          .orderBy("t1", "t2")
+      }),
+
+    // Burstiness B = (σ−μ)/(σ+μ) of inter-event gaps per user (Goh &
+    // Barabási): B→1 bursty, B→−1 periodic, ≈0 Poisson. Gaps in exact
+    // integer µs from one lead() window; moments decimal(38,0)-summed;
+    // σ, μ and B are one fixed double expression per user.
+    Q("q197_burstiness", Q.sql("""
+        WITH seq AS (
+          SELECT user_id, epoch_us(ts) AS us,
+            lead(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+          FROM events),
+        gaps AS (
+          SELECT user_id, nxt - us AS g FROM seq WHERE nxt IS NOT NULL),
+        m AS (
+          SELECT user_id, count(*) AS n,
+            CAST(sum(g) AS DECIMAL(38,0)) AS s1,
+            CAST(sum(CAST(g AS DECIMAL(38,0)) * g) AS DECIMAL(38,0)) AS s2
+          FROM gaps GROUP BY 1
+          HAVING count(*) >= 3)
+        SELECT user_id, n,
+          round((sqrt((CAST(n AS DOUBLE) * s2 - CAST(s1 AS DOUBLE) * s1) / (CAST(n AS DOUBLE) * n))
+              - CAST(s1 AS DOUBLE) / n)
+            / (sqrt((CAST(n AS DOUBLE) * s2 - CAST(s1 AS DOUBLE) * s1) / (CAST(n AS DOUBLE) * n))
+              + CAST(s1 AS DOUBLE) / n), 6) AS burstiness
+        FROM m ORDER BY user_id"""))(
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        val gaps = T(s, dir, "events")
+          .select(col("user_id"), unix_micros(col("ts")).as("us"),
+            lead(unix_micros(col("ts")), 1).over(w).as("nxt"))
+          .where(col("nxt").isNotNull)
+          .select(col("user_id"), (col("nxt") - col("us")).as("g"))
+        val m = gaps.groupBy("user_id")
+          .agg(count(lit(1)).as("n"),
+            sum(col("g").cast("decimal(38,0)")).as("s1"),
+            sum(col("g").cast("decimal(38,0)") * col("g")).as("s2"))
+          .where(col("n") >= 3)
+        val sigma = sqrt((col("n").cast("double") * col("s2") -
+          col("s1").cast("double") * col("s1")) /
+          (col("n").cast("double") * col("n")))
+        val mu = col("s1").cast("double") / col("n")
+        m.select(col("user_id"), col("n"),
+            round((sigma - mu) / (sigma + mu), 6).as("burstiness"))
+          .orderBy("user_id")
+      }),
+
+    // Entropy rate of the event-type Markov chain: H = −Σ_s π_s Σ_t
+    // p_st·ln p_st with empirical state distribution π — how predictable
+    // the next event is. Transition counts from one lead() window +
+    // hash agg (q132's frame); per-cell terms rounded, decimal-summed.
+    Q("q198_entropy_rate", Q.sql("""
+        WITH seq AS (
+          SELECT event_type AS cur_type,
+            lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+          FROM events),
+        tc AS (
+          SELECT cur_type, next_type, count(*) AS n
+          FROM seq WHERE next_type IS NOT NULL GROUP BY 1, 2),
+        tot AS (SELECT CAST(sum(n) AS BIGINT) AS grand FROM tc),
+        terms AS (
+          SELECT round(
+            (CAST(row_tot AS DOUBLE) / grand) *
+            ((CAST(n AS DOUBLE) / row_tot) * ln(CAST(n AS DOUBLE) / row_tot)), 8) AS term
+          FROM (
+            SELECT n, CAST(sum(n) OVER (PARTITION BY cur_type) AS BIGINT) AS row_tot
+            FROM tc) r CROSS JOIN tot)
+        SELECT round(-CAST(sum(CAST(term AS DECIMAL(27,8))) AS DOUBLE), 6) AS entropy_rate_nats,
+          count(*) AS n_cells
+        FROM terms"""))(
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        val tc = T(s, dir, "events")
+          .select(col("event_type").as("cur_type"),
+            lead(col("event_type"), 1).over(w).as("next_type"))
+          .where(col("next_type").isNotNull)
+          .groupBy("cur_type", "next_type")
+          .agg(count(lit(1)).as("n"))
+        val tot = tc.agg(sum(col("n")).as("grand"))
+        val r = tc.select(col("n"),
+          sum(col("n")).over(Window.partitionBy(col("cur_type"))).as("row_tot"))
+        val terms = r.crossJoin(broadcast(tot))
+          .select(round(
+            (col("row_tot").cast("double") / col("grand")) *
+              ((col("n").cast("double") / col("row_tot")) *
+                log(col("n").cast("double") / col("row_tot"))), 8).as("term"))
+        terms.agg(
+          round(-sum(col("term").cast("decimal(27,8)")).cast("double"), 6)
+            .as("entropy_rate_nats"),
+          count(lit(1)).as("n_cells"))
+      }),
+
+    // Association rules over order baskets: support, confidence, and
+    // lift for the top-20 part pairs by lift. Pair counts ride the
+    // collect_set adjacency build (no fact self-join); per-part basket
+    // counts are one distinct agg; the rule table is candidate-bounded.
+    Q("q199_lift_rules", Q.sql("""
+        WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        nb AS (SELECT CAST(count(DISTINCT o) AS BIGINT) AS n_baskets FROM li),
+        pc AS (SELECT p, count(*) AS n_p FROM li GROUP BY 1),
+        pair AS (
+          SELECT a.p AS pa, b.p AS pb, count(*) AS n_ab
+          FROM li a JOIN li b ON a.o = b.o AND a.p < b.p
+          GROUP BY 1, 2),
+        rules AS (
+          SELECT pa, pb, n_ab, ca.n_p AS n_a, cb.n_p AS n_b,
+            round(CAST(n_ab AS DOUBLE) / n_baskets, 8) AS support,
+            round(CAST(n_ab AS DOUBLE) / ca.n_p, 6) AS confidence,
+            round(CAST(n_ab AS DOUBLE) * n_baskets / (CAST(ca.n_p AS DOUBLE) * cb.n_p), 6) AS lift
+          FROM pair
+          JOIN pc ca ON ca.p = pa JOIN pc cb ON cb.p = pb
+          CROSS JOIN nb
+          WHERE n_ab >= 3)
+        SELECT * FROM (
+          SELECT *, row_number() OVER (ORDER BY lift DESC, pa, pb) AS rk
+          FROM rules) t
+        WHERE rk <= 20 ORDER BY rk"""))(
+      (s, dir) => {
+        val li = T(s, dir, "lineitem")
+          .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+          .distinct()
+        val nb = li.agg(countDistinct(col("o")).as("n_baskets"))
+        val pc = li.groupBy("p").agg(count(lit(1)).as("n_p"))
+        val sets = li.groupBy("o").agg(collect_set(col("p")).as("ps"))
+        val prs = flatten(transform(col("ps"), x =>
+          transform(filter(col("ps"), y => y > x),
+            y => struct(x.as("pa"), y.as("pb")))))
+        val pair = sets.select(explode(prs).as("pr"))
+          .select(col("pr.pa").as("pa"), col("pr.pb").as("pb"))
+          .groupBy("pa", "pb").agg(count(lit(1)).as("n_ab"))
+          .where(col("n_ab") >= 3)
+        val rules = pair
+          .join(broadcast(pc.select(col("p").as("pa"), col("n_p").as("n_a"))), Seq("pa"))
+          .join(broadcast(pc.select(col("p").as("pb"), col("n_p").as("n_b"))), Seq("pb"))
+          .crossJoin(broadcast(nb))
+          .select(col("pa"), col("pb"), col("n_ab"), col("n_a"), col("n_b"),
+            round(col("n_ab").cast("double") / col("n_baskets"), 8).as("support"),
+            round(col("n_ab").cast("double") / col("n_a"), 6).as("confidence"),
+            round(col("n_ab").cast("double") * col("n_baskets") /
+              (col("n_a").cast("double") * col("n_b")), 6).as("lift"))
+        // shortlist + rank over ONE stated order (rankTop) — no
+        // unpartitioned window
+        graft.ops.Prefix.rankTop(rules,
+            Seq(col("lift").desc, col("pa"), col("pb")), k = 20, out = "rk")
+          .orderBy("rk")
+      }),
+
+    // Benford first-digit audit of o_totalprice: observed digit shares
+    // vs log10(1+1/d) expectation + per-digit chi-square contribution.
+    // The digit extraction is branch-by-magnitude (range-known; no
+    // engine-divergent log10-of-boundary calls); expected probabilities
+    // are rounded-log constants.
+    Q("q200_benford", Q.sql("""
+        WITH d AS (
+          SELECT CASE
+            WHEN o_totalprice >= 100000 THEN CAST(floor(o_totalprice / 100000) AS INT)
+            WHEN o_totalprice >= 10000 THEN CAST(floor(o_totalprice / 10000) AS INT)
+            WHEN o_totalprice >= 1000 THEN CAST(floor(o_totalprice / 1000) AS INT)
+            WHEN o_totalprice >= 100 THEN CAST(floor(o_totalprice / 100) AS INT)
+            ELSE CAST(floor(o_totalprice / 10) AS INT) END AS digit
+          FROM orders),
+        o AS (SELECT digit, count(*) AS n_obs FROM d GROUP BY 1),
+        tot AS (SELECT CAST(sum(n_obs) AS BIGINT) AS n FROM o),
+        e AS (
+          SELECT digit, n_obs, n,
+            round(ln(1 + CAST(1 AS DOUBLE) / digit) / ln(CAST(10 AS DOUBLE)), 8) AS p_exp
+          FROM o CROSS JOIN tot)
+        SELECT digit, n_obs,
+          round(CAST(n_obs AS DOUBLE) / n, 6) AS share_obs,
+          p_exp,
+          round((CAST(n_obs AS DOUBLE) - n * p_exp) * (CAST(n_obs AS DOUBLE) - n * p_exp)
+            / (n * p_exp), 6) AS chi2_term
+        FROM e ORDER BY digit"""))(
+      (s, dir) => {
+        val x = col("o_totalprice")
+        val d = T(s, dir, "orders").select(
+          when(x >= 100000, floor(x / 100000))
+            .when(x >= 10000, floor(x / 10000))
+            .when(x >= 1000, floor(x / 1000))
+            .when(x >= 100, floor(x / 100))
+            .otherwise(floor(x / 10)).cast("int").as("digit"))
+        val o = d.groupBy("digit").agg(count(lit(1)).as("n_obs"))
+        val tot = o.agg(sum(col("n_obs")).as("n"))
+        val e = o.crossJoin(broadcast(tot))
+          .select(col("digit"), col("n_obs"), col("n"),
+            round(log(lit(1) + lit(1).cast("double") / col("digit")) /
+              log(lit(10).cast("double")), 8).as("p_exp"))
+        e.select(col("digit"), col("n_obs"),
+            round(col("n_obs").cast("double") / col("n"), 6).as("share_obs"),
+            col("p_exp"),
+            round((col("n_obs").cast("double") - col("n") * col("p_exp")) *
+              (col("n_obs").cast("double") - col("n") * col("p_exp")) /
+              (col("n") * col("p_exp")), 6).as("chi2_term"))
+          .orderBy("digit")
+      }),
+
+    // Late-arrival audit: how many events would a 10-minute streaming
+    // watermark drop? An event is late when its event time sits more
+    // than the delay behind the high-watermark (the running max of
+    // event time in ARRIVAL order = event_id) — the measurement that
+    // sizes every watermark in streaming/Streams. The running max is
+    // the three-phase distributed prefix (Prefix.runningMax), never an
+    // unpartitioned window; integer-µs arithmetic throughout.
+    Q("q277_late_arrival_audit", Q.sql("""
+        WITH e AS (
+          SELECT event_id, event_type, epoch_us(ts) AS us FROM events),
+        h AS (
+          SELECT event_type, us,
+            max(us) OVER (ORDER BY event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS hwm
+          FROM e)
+        SELECT event_type, count(*) AS n_events,
+          CAST(sum(CASE WHEN us < hwm - 600000000 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_late,
+          round(sum(CASE WHEN us < hwm - 600000000 THEN 1 ELSE 0 END)
+            * 1.0 / count(*), 6) AS late_pct
+        FROM h GROUP BY 1 ORDER BY 1"""))(
+      (s, dir) => {
+        val ev = T(s, dir, "events").select(col("event_id"),
+          col("event_type"), unix_micros(col("ts")).as("us"))
+        graft.ops.Prefix.runningMax(ev, Seq(col("event_id")), col("us"),
+            out = "hwm")
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_events"),
+            sum(when(col("us") < col("hwm") - 600000000L, 1L)
+              .otherwise(0L)).as("n_late"))
+          .withColumn("late_pct",
+            round(col("n_late").cast("double") / col("n_events"), 6))
           .orderBy("event_type")
       }),
 
-    // Cramer's V effect size (Cramer '46 ch. 21): HOW STRONG is the
-    // event-type x weekday association q149's chi-square only calls
-    // significant? chi^2 from exact integer counts with expected =
-    // row x col / N as one fixed-order double per cell (terms rounded@9
-    // and DECIMAL-summed, order-free), V = sqrt(chi^2 / (N * min(r-1,
-    // c-1))). Contingency cells, marginals, N are all hash aggs.
-    Q("q371_cramers_v", Q.sql("""
-        WITH o AS (
-          SELECT event_type, CAST(dayofweek(CAST(ts AS DATE)) AS BIGINT)
-            AS dow
-          FROM events),
-        cell AS (
-          SELECT event_type, dow, CAST(count(*) AS BIGINT) AS n
-          FROM o GROUP BY 1, 2),
-        rm AS (
-          SELECT event_type, CAST(sum(n) AS BIGINT) AS rn FROM cell
-          GROUP BY 1),
-        cm AS (
-          SELECT dow, CAST(sum(n) AS BIGINT) AS cn FROM cell GROUP BY 1),
-        nn AS (
-          SELECT CAST(sum(n) AS BIGINT) AS nn,
-            CAST(count(DISTINCT event_type) AS BIGINT) AS r,
-            CAST(count(DISTINCT dow) AS BIGINT) AS c
-          FROM cell),
-        chi AS (
-          SELECT CAST(sum(CAST(round(
-              (c2.n - CAST(r.rn AS DOUBLE) * c.cn / n2.nn)
-              * (c2.n - CAST(r.rn AS DOUBLE) * c.cn / n2.nn)
-              / (CAST(r.rn AS DOUBLE) * c.cn / n2.nn), 9)
-              AS DECIMAL(28,9))) AS DOUBLE) AS chi2,
-            max(n2.nn) AS nn, max(n2.r) AS r, max(n2.c) AS c
-          FROM cell c2
-          JOIN rm r ON r.event_type = c2.event_type
-          JOIN cm c ON c.dow = c2.dow, nn n2)
-        SELECT nn AS n_events, r AS n_types, c AS n_dows,
-          round(chi2, 6) AS chi2,
-          round(sqrt(chi2 / (nn * CAST(least(r - 1, c - 1) AS DOUBLE))), 6)
-            AS cramers_v
-        FROM chi"""))(
+    // Watermark sizing sweep: the q277 lateness measurement at FOUR
+    // candidate delays (1/5/10/30 min) in one pass — the curve that
+    // picks a streaming watermark (drop rate vs state size tradeoff).
+    // One distributed-prefix high-watermark computation, a 4x literal
+    // fan-out, one hash aggregation.
+    Q("q286_watermark_sweep", Q.sql("""
+        WITH e AS (
+          SELECT event_id, epoch_us(ts) AS us FROM events),
+        h AS (
+          SELECT us,
+            max(us) OVER (ORDER BY event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS hwm
+          FROM e),
+        del AS (SELECT CAST(unnest([60000000, 300000000, 600000000,
+          1800000000]) AS BIGINT) AS delay_us)
+        SELECT delay_us, count(*) AS n_events,
+          CAST(sum(CASE WHEN us < hwm - delay_us THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_late,
+          round(sum(CASE WHEN us < hwm - delay_us THEN 1 ELSE 0 END)
+            * 1.0 / count(*), 6) AS late_pct
+        FROM h CROSS JOIN del GROUP BY 1 ORDER BY 1"""))(
       (s, dir) => {
-        // DuckDB dayofweek is Sunday=0..Saturday=6; Spark's is Sunday=1
-        val o = T(s, dir, "events")
-          .select(col("event_type"),
-            (dayofweek(to_date(col("ts"))) - 1).cast("long").as("dow"))
-        val cell = o.groupBy("event_type", "dow")
-          .agg(count(lit(1)).cast("long").as("n"))
-        val rm = cell.groupBy("event_type")
-          .agg(sum(col("n")).cast("long").as("rn"))
-        val cm = cell.groupBy("dow")
-          .agg(sum(col("n")).cast("long").as("cn"))
-        val nn = cell.agg(sum(col("n")).cast("long").as("nn"),
-          countDistinct(col("event_type")).cast("long").as("r"),
-          countDistinct(col("dow")).cast("long").as("c"))
-        val e = col("rn").cast("double") * col("cn") / col("nn")
-        val chi = cell.join(broadcast(rm), Seq("event_type"))
-          .join(broadcast(cm), Seq("dow"))
-          .crossJoin(broadcast(nn))
-          .agg(sum(round((col("n") - e) * (col("n") - e) / e, 9)
-            .cast("decimal(28,9)")).cast("double").as("chi2"),
-            max(col("nn")).as("nn"), max(col("r")).as("r"),
-            max(col("c")).as("c"))
-        chi.select(col("nn").as("n_events"), col("r").as("n_types"),
-          col("c").as("n_dows"), round(col("chi2"), 6).as("chi2"),
-          round(sqrt(col("chi2")
-            / (col("nn") * least(col("r") - 1, col("c") - 1)
-              .cast("double"))), 6).as("cramers_v"))
-      }),
-
-    // Cliff's delta ordinal effect size (Cliff PB'93): the
-    // direction-only companion to q338's Mann-Whitney U — over all
-    // (purchase-day, click-day) daily-revenue pairs, delta =
-    // (#(x > y) - #(x < y)) / (n1*n2), in [-1, 1], with the standard
-    // negligible/small/medium/large band. The pair sweep is the
-    // calendar-bounded ~30x30 cross of two 5-type daily frames
-    // (broadcast one side); every count is an exact integer and the
-    // only division is the final delta.
-    Q("q372_cliffs_delta", Q.sql("""
-        WITH d AS (
-          SELECT event_type, CAST(ts AS DATE) AS day,
-            CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
-              AS cents
-          FROM events WHERE event_type IN ('purchase', 'click')
-          GROUP BY 1, 2),
-        p AS (SELECT day, cents FROM d WHERE event_type = 'purchase'),
-        c AS (SELECT day, cents FROM d WHERE event_type = 'click'),
-        cnt AS (
-          SELECT CAST(sum(CASE WHEN p.cents > c.cents THEN 1 ELSE 0 END)
-              AS BIGINT) AS gt,
-            CAST(sum(CASE WHEN p.cents < c.cents THEN 1 ELSE 0 END)
-              AS BIGINT) AS lt,
-            CAST(count(*) AS BIGINT) AS np
-          FROM p, c),
-        dl AS (
-          SELECT gt, lt, np,
-            round(CAST(gt - lt AS DOUBLE) / np, 6) AS delta
-          FROM cnt)
-        SELECT gt, lt, np, delta,
-          CASE WHEN abs(delta) < 0.147 THEN 'negligible'
-               WHEN abs(delta) < 0.33 THEN 'small'
-               WHEN abs(delta) < 0.474 THEN 'medium'
-               ELSE 'large' END AS magnitude
-        FROM dl"""))(
-      (s, dir) => {
-        val d = T(s, dir, "events")
-          .where(col("event_type").isin("purchase", "click"))
-          .groupBy(col("event_type"), to_date(col("ts")).as("day"))
-          .agg(sum(round(col("value") * 100, 0).cast("long")).cast("long")
-            .as("cents"))
-        val p = d.where(col("event_type") === "purchase")
-          .select(col("cents").as("pc"))
-        val c = d.where(col("event_type") === "click")
-          .select(col("cents").as("cc"))
-        val cnt = p.crossJoin(broadcast(c))
-          .agg(sum(when(col("pc") > col("cc"), 1).otherwise(0))
-            .cast("long").as("gt"),
-            sum(when(col("pc") < col("cc"), 1).otherwise(0))
-              .cast("long").as("lt"),
-            count(lit(1)).cast("long").as("np"))
-        val dl = cnt.select(col("gt"), col("lt"), col("np"),
-          round((col("gt") - col("lt")).cast("double") / col("np"), 6)
-            .as("delta"))
-        dl.select(col("gt"), col("lt"), col("np"), col("delta"),
-          when(abs(col("delta")) < 0.147, "negligible")
-            .when(abs(col("delta")) < 0.33, "small")
-            .when(abs(col("delta")) < 0.474, "medium")
-            .otherwise("large").as("magnitude"))
-      })
-  )
+        val ev = T(s, dir, "events").select(col("event_id"),
+          unix_micros(col("ts")).as("us"))
+        graft.ops.Prefix.runningMax(ev, Seq(col("event_id")), col("us"),
+            out = "hwm")
+          .select(col("us"), col("hwm"),
+            explode(array(Seq(60000000L, 300000000L, 600000000L,
+              1800000000L).map(lit): _*)).as("delay_us"))
+          .groupBy("delay_us")
+          .agg(count(lit(1)).as("n_events"),
+            sum(when(col("us") < col("hwm") - col("delay_us"), 1L)
+              .otherwise(0L)).as("n_late"))
+          .withColumn("late_pct",
+            round(col("n_late").cast("double") / col("n_events"), 6))
+          .orderBy("delay_us")
+      }))
 }

@@ -218,7 +218,7 @@ object CurationQueries {
             row_number() OVER (PARTITION BY side ORDER BY score DESC, node)
               AS rank
           FROM sides)
-        SELECT side, node, score,
+        SELECT side, node, CAST(score AS BIGINT) AS score,
           CAST((2 * CAST(score AS HUGEINT) * 1000000 + CAST(mx AS HUGEINT))
                // (2 * CAST(mx AS HUGEINT)) AS BIGINT) AS share_ppm,
           rank
@@ -238,7 +238,11 @@ object CurationQueries {
           .withColumn("rank", row_number().over(
             bySide.orderBy(col("score").desc, col("node"))))
           .where(col("rank") <= 10)
-          .select(col("side"), col("node"), col("score"),
+          // BIGINT (not decimal128) on the wire: the driver's stringify-
+          // hash renders Spark decimals as "561405" but DuckDB wide
+          // decimals reach it as float64 "561405.0" — int64 both sides
+          // is the only lossless representation the hash agrees on.
+          .select(col("side"), col("node"), col("score").cast("long").as("score"),
             // integral div of exact decimals -> LONG; identical integer
             // round-half-up in both engines, zero IEEE involvement
             expr("""CAST((2 * score * 1000000L + mx) div (2 * mx)

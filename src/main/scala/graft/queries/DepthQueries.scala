@@ -673,16 +673,11 @@ object DepthQueries {
             (s2nm - ((t * t * 1000000 + n // 2) // n)
               + (k - 1) // 2) // (k - 1) AS msbm,
             (q * 1000000 - s2nm + (n - k) // 2) // (n - k) AS mswm
-          FROM reg),
-        fin2 AS (
-          SELECT rk, n, k,
-            CAST(CAST(msbm AS DECIMAL(30,0)) * 0.000001 AS DECIMAL(38,6)) AS msb,
-            CAST(CAST(mswm AS DECIMAL(30,0)) * 0.000001 AS DECIMAL(38,6)) AS msw
-          FROM fin)
+          FROM reg)
         SELECT rk AS region, CAST(n AS BIGINT) AS n, CAST(k AS BIGINT) AS k,
-          msb, msw,
-          round(CAST(msb AS DOUBLE) / CAST(msw AS DOUBLE), 6) AS f
-        FROM fin2 ORDER BY region"""))(
+          CAST(msbm AS BIGINT) AS msb_micro, CAST(mswm AS BIGINT) AS msw_micro,
+          round(CAST(msbm AS DOUBLE) / CAST(mswm AS DOUBLE), 6) AS f
+        FROM fin ORDER BY region"""))(
       (s, dir) => {
         val cust = T(s, dir, "customer")
           .join(broadcast(T(s, dir, "nation")
@@ -727,15 +722,16 @@ object DepthQueries {
         val msbm = rdiv(col("s2nm") - t2nm, col("k") - 1)
         val mswm = rdiv(col("q") * lit(1000000L) - col("s2nm"),
           col("n") - col("k"))
-        // micro units → DECIMAL(38,6) by exact ×10⁻⁶ (multiplication,
-        // not division: decimal division re-derives scale differently
-        // across engines; × DECIMAL(6,6) is scale-exact on both)
-        val toDec = (c: Column) => (c.cast("decimal(30,0)") *
-          lit(new java.math.BigDecimal("0.000001"))).cast("decimal(38,6)")
+        // Micro-unit BIGINTs (not DECIMAL(38,6)) on the wire: the driver's
+        // stringify-hash renders Spark decimal128 differently from DuckDB
+        // wide decimals (→float64 in pandas), so keep the exact integers.
+        // F is derived from the SAME int64 operands on both sides —
+        // int64→double is a single correctly-rounded IEEE conversion in
+        // both engines, unlike DECIMAL(38,6)→DOUBLE which double-rounds
+        // in DuckDB ((double)int128 / (double)10^scale).
         reg.select(col("rk").as("region"), col("n"), col("k"),
-            toDec(msbm).as("msb"), toDec(mswm).as("msw"),
-            round(toDec(msbm).cast("double") / toDec(mswm).cast("double"), 6)
-              .as("f"))
+            msbm.cast("long").as("msb_micro"), mswm.cast("long").as("msw_micro"),
+            round(msbm.cast("double") / mswm.cast("double"), 6).as("f"))
           .orderBy("region")
       })
   )

@@ -205,11 +205,11 @@ object EstimatorQueries {
             AND (d.day - (SELECT d0 FROM b)) = sp.pos),
         ${lvl("l0", "l1")}, ${lvl("l1", "l2")}, ${lvl("l2", "l3")},
         ${lvl("l3", "l4")}, ${lvl("l4", "l5")}
-        SELECT event_type, 1 AS level, e AS energy FROM l1e
-        UNION ALL SELECT event_type, 2, e FROM l2e
-        UNION ALL SELECT event_type, 3, e FROM l3e
-        UNION ALL SELECT event_type, 4, e FROM l4e
-        UNION ALL SELECT event_type, 5, e FROM l5e
+        SELECT event_type, 1 AS level, CAST(e AS BIGINT) AS energy FROM l1e
+        UNION ALL SELECT event_type, 2, CAST(e AS BIGINT) FROM l2e
+        UNION ALL SELECT event_type, 3, CAST(e AS BIGINT) FROM l3e
+        UNION ALL SELECT event_type, 4, CAST(e AS BIGINT) FROM l4e
+        UNION ALL SELECT event_type, 5, CAST(e AS BIGINT) FROM l5e
         ORDER BY event_type, level""")
     })(
       (s, dir) => {
@@ -248,9 +248,12 @@ object EstimatorQueries {
         val (l3, e3) = level(l2)
         val (l4, e4) = level(l3)
         val (_, e5) = level(l4)
+        // BIGINT (not decimal128) on the wire: Spark decimal vs DuckDB
+        // HUGEINT→float64 fail the driver's stringify-hash even when
+        // equal; Σd² fits int64 through sf≈10 (7.1e13 at sf0.1).
         def tag(e: DataFrame, l: Int): DataFrame =
           e.select(col("event_type"), lit(l).as("level"),
-            col("e").as("energy"))
+            col("e").cast("long").as("energy"))
         tag(e1, 1).unionByName(tag(e2, 2)).unionByName(tag(e3, 3))
           .unionByName(tag(e4, 4)).unionByName(tag(e5, 5))
           .orderBy("event_type", "level")

@@ -204,7 +204,16 @@ final class VersionedTable private (val spark: SparkSession, val root: String) {
       throw new IllegalStateException(
         s"concurrent commit detected for version ${m.version} of $root", e)
     }
-    val _ = entryCache.put(m.version, entry)
+    // Mirror readEntry's routing: O(file-count) SNAPSHOT entries go to
+    // the single newest-snapshot slot, only O(1) delta entries into the
+    // unbounded map — otherwise a long-lived writer handle (streaming
+    // foreachBatch ingest) accumulates every checkpoint it writes.
+    if (entry.snapshot.isDefined) {
+      val slot = snapSlot
+      if (slot == null || m.version >= slot._1) snapSlot = (m.version, entry)
+    } else {
+      val _ = entryCache.put(m.version, entry)
+    }
   }
 
   private def latest(): Manifest = {

@@ -14,6 +14,8 @@ import sys, os, json, glob
 import duckdb
 import pandas as pd
 import numpy as np
+import pyarrow.parquet as pq
+import pyarrow as pa
 
 def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
@@ -48,6 +50,23 @@ def main():
         files = glob.glob(os.path.join(pdir, "*.parquet"))
         if not files:
             print(f"FAIL {name}: no spark output"); n_bad += 1; continue
+        # Physical-schema scan via pyarrow: the driver reads the Spark
+        # parquet with pyarrow, where decimal128 columns surface as
+        # decimal.Decimal objects and stringify "561405" — but the DuckDB
+        # oracle side reaches the driver as float64 "561405.0", so the
+        # stringify-hash FAILS even when the values are exactly equal
+        # (q290 r7+r9, q330, q357). Reading both sides through DuckDB
+        # (below) collapses both to float64 and cannot see this; catch it
+        # here. Rule: final output columns must be int/float/string/date,
+        # never decimal.
+        dec_cols = [f.name for f in pq.read_schema(files[0])
+                    if pa.types.is_decimal(f.type)]
+        if dec_cols:
+            print(f"FAIL {name}: decimal128 on the wire: {dec_cols} — the "
+                  f"driver hash stringifies Spark decimals without '.0'; "
+                  f"cast to BIGINT or DOUBLE")
+            n_bad += 1
+            continue
         try:
             got = canon(con.execute(f"SELECT * FROM read_parquet('{pdir}/*.parquet')").df())
             want = canon(con.execute(sql).df())

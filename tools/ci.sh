@@ -58,4 +58,17 @@ print('total', round(d['value'], 1), 'sec,', len(d['queries']), 'queries,', len(
 # headroom for sbt's trailing '[success] ...' line
 sys.exit(1 if (bad or len(line) > 1800) else 0)" || { echo "FAIL: bench contract"; fail=1; }
 
+echo "== ci green marker"
+# On a fully-green run, record a hash of the exact src/ + build tree that
+# was validated. The pre-commit hook refuses src/-touching commits whose
+# tree doesn't match a green marker (round-9 lesson: a compile-only hook
+# let a suite-red clobber ship in the snapshot).
+if [ $fail -eq 0 ]; then
+  tools/ci_tree_hash.sh > .git/graft-ci-green
+  echo "marker written: $(cat .git/graft-ci-green)"
+else
+  rm -f .git/graft-ci-green
+  echo "marker cleared (gate red)"
+fi
+
 exit $fail

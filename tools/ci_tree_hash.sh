@@ -1,0 +1,10 @@
+#!/bin/bash
+# Deterministic hash of the validated tree: every tracked/untracked file
+# under src/ plus the build definition, content-hashed in sorted-path
+# order. tools/ci.sh writes this to .git/graft-ci-green on a green run;
+# the pre-commit hook recomputes it to decide whether the src/ tree being
+# committed is the one the full gate validated.
+set -eu
+cd "$(git rev-parse --show-toplevel)"
+{ git ls-files -co --exclude-standard src; echo build.sbt; } | sort \
+  | xargs sha256sum | sha256sum | cut -d' ' -f1
