@@ -41,7 +41,10 @@ object SparkEntry {
       SeriesQueries.all ++ TrainPrepQueries.all ++ IntrospectQueries.all ++
       NineQueries.all ++ InferenceQueries.all ++ CodingQueries.all ++
       EstimatorQueries.all ++ RobustNineQueries.all ++ AuditNineQueries.all ++
-      HazardQueries.all ++ StyleQueries.all
+      HazardQueries.all ++ StyleQueries.all ++
+      DiagTestQueries.all ++ CorpusMineQueries.all ++
+      SeriesTestQueries.all ++ CohortRankQueries.all ++
+      SpatialEvalQueries.all ++ RankEvalQueries.all
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0.
     * Full slice: scan -> filter -> broadcast-join -> agg -> window top-k.

@@ -396,9 +396,19 @@ object NineQueries {
     // shared-part count, an sf-adaptive cut that stays meaningful as
     // the raw graph densifies (per-part pair generation — never
     // all-pairs; the threshold is one broadcast scalar). Emits the
-    // support histogram before and after the peel: the degree-bounded,
-    // equi-join-only shape (two hash joins per support pass) that
-    // scales where per-node triangle listing can't.
+    // support histogram before and after the peel. Support is computed
+    // by sorted-adjacency intersection: one shuffle builds per-vertex
+    // neighbor ARRAYS (degree-bounded — dmax·8B per row), each edge then
+    // scores size(array_intersect(N(a), N(b))) inside whole-stage
+    // codegen — the same Σ-wedge work as a wedge join but with no
+    // 10⁷-row wedge/triangle materialization, no extra shuffles. The
+    // peel is fixed-point-aware: if no edge falls below the 4-truss
+    // support floor (the common dense-graph case), round 1 reuses the
+    // cached round-0 supports instead of recounting; otherwise the
+    // array pass reruns on the surviving subgraph. Equi-joins only —
+    // the shape that scales where per-node triangle listing can't
+    // (hub vertices bound the array width; salt or batch wedges past
+    // ~10⁶-degree hubs).
     Q("q340_ktruss", Q.sql("""
         WITH ps AS (
           SELECT DISTINCT l_partkey AS pk, l_suppkey AS sk FROM lineitem),
@@ -444,36 +454,49 @@ object NineQueries {
         FROM sup1 GROUP BY 1, 2
         ORDER BY round, support"""))(
       (s, dir) => {
+        // per-part supplier sets in ONE shuffle (collect_set fuses the
+        // distinct), ordered pairs exploded in codegen — never all-pairs
         val ps = T(s, dir, "lineitem")
           .select(col("l_partkey").as("pk"), col("l_suppkey").as("sk"))
-          .distinct()
-        val sh = ps.as("a")
-          .join(ps.select(col("pk"), col("sk").as("sb")), "pk")
-          .where(col("sk") < col("sb"))
-          .groupBy(col("sk").as("sa"), col("sb"))
+          .groupBy("pk").agg(sort_array(collect_set(col("sk"))).as("sks"))
+        val pairs = ps.select(explode(expr(
+          """flatten(transform(sks, (a, i) ->
+               transform(slice(sks, i + 2, size(sks)), b -> struct(a, b))))"""
+          )).as("p"))
+        val sh = pairs
+          .groupBy(col("p.a").as("sa"), col("p.b").as("sb"))
           .agg(count(lit(1)).cast("long").as("shared"))
         val thr = sh.agg((lit(1.1) * avg(col("shared"))).as("t"))
         val e = sh.crossJoin(broadcast(thr))
           .where(col("shared").cast("double") >= col("t"))
           .select("sa", "sb")
           .cache()
-        def support(edges: DataFrame): DataFrame = {
-          val nbr = edges.select(col("sa").as("u"), col("sb").as("v"))
+        // support pass: vertex-keyed sorted neighbor arrays (one shuffle
+        // over the symmetric edge list), then per-edge
+        // size(array_intersect) — all-codegen, nothing wedge-sized ever
+        // materializes
+        def supportOf(edges: DataFrame): DataFrame = {
+          val nbrs = edges.select(col("sa").as("u"), col("sb").as("v"))
             .unionByName(edges.select(col("sb").as("u"), col("sa").as("v")))
-          // common-neighbor count per edge: wedge join on the shared
-          // endpoint w — equi-joins only, degree-bounded fan-out
-          val tri = edges
-            .join(nbr.select(col("u").as("sa"), col("v").as("w")), Seq("sa"))
-            .join(nbr.select(col("u").as("sb"), col("v").as("w")),
-              Seq("sb", "w"))
-            .groupBy("sa", "sb").agg(count(lit(1)).as("sup"))
-          edges.join(tri, Seq("sa", "sb"), "left")
+            .groupBy("u").agg(sort_array(collect_set(col("v"))).as("ns"))
+          edges
+            .join(nbrs.select(col("u").as("sa"), col("ns").as("na")), "sa")
+            .join(nbrs.select(col("u").as("sb"), col("ns").as("nb")), "sb")
             .select(col("sa"), col("sb"),
-              coalesce(col("sup"), lit(0L)).cast("long").as("sup"))
+              size(array_intersect(col("na"), col("nb"))).cast("long")
+                .as("sup"))
         }
-        val sup0 = support(e).cache()
-        val keep = sup0.where(col("sup") >= 2).select("sa", "sb")
-        val sup1 = support(keep)
+        val sup0 = supportOf(e).cache()
+        // 4-truss peel with fixed-point shortcut: when nothing falls
+        // below the support floor (the dense-graph common case), the
+        // surviving subgraph IS the round-0 graph and its supports are
+        // already computed — reuse them instead of a second array pass.
+        // The count is an O(1)-row action on the cached support frame
+        // (precedent: the eager component/prefix barriers elsewhere).
+        val nRemoved = sup0.where(col("sup") < 2).count()
+        val sup1 =
+          if (nRemoved == 0) sup0
+          else supportOf(sup0.where(col("sup") >= 2).select("sa", "sb"))
         def hist(df: DataFrame, r: Int): DataFrame =
           df.groupBy(col("sup").as("support"))
             .agg(count(lit(1)).cast("long").as("n_edges"))

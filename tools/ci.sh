@@ -7,6 +7,13 @@ set -u
 cd "$(dirname "$0")/.."
 fail=0
 
+# Hash the tree BEFORE validating. Round-10 lesson: the marker used to be
+# computed at gate END, so source files written while the gate ran were
+# blessed without ever compiling (a batch with a syntax error shipped a
+# "green" marker that way). Now the start hash is what gets recorded, and
+# a mid-run edit voids the marker instead of laundering itself into it.
+tree_at_start=$(tools/ci_tree_hash.sh)
+
 echo "== compile + test"
 test_out=$(sbt -batch test 2>&1); test_rc=$?
 echo "$test_out" | grep -E "Tests:|\*\*\*|\[error\]" | head -5
@@ -63,9 +70,14 @@ echo "== ci green marker"
 # was validated. The pre-commit hook refuses src/-touching commits whose
 # tree doesn't match a green marker (round-9 lesson: a compile-only hook
 # let a suite-red clobber ship in the snapshot).
-if [ $fail -eq 0 ]; then
-  tools/ci_tree_hash.sh > .git/graft-ci-green
+tree_at_end=$(tools/ci_tree_hash.sh)
+if [ $fail -eq 0 ] && [ "$tree_at_start" = "$tree_at_end" ]; then
+  echo "$tree_at_start" > .git/graft-ci-green
   echo "marker written: $(cat .git/graft-ci-green)"
+elif [ $fail -eq 0 ]; then
+  rm -f .git/graft-ci-green
+  echo "marker cleared (src/ tree changed mid-run — re-run the gate)"
+  fail=1
 else
   rm -f .git/graft-ci-green
   echo "marker cleared (gate red)"
