@@ -44,7 +44,8 @@ object SparkEntry {
       HazardQueries.all ++ StyleQueries.all ++
       DiagTestQueries.all ++ CorpusMineQueries.all ++
       SeriesTestQueries.all ++ CohortRankQueries.all ++
-      SpatialEvalQueries.all ++ RankEvalQueries.all
+      SpatialEvalQueries.all ++ RankEvalQueries.all ++
+      SeqDesignQueries.all
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0.
     * Full slice: scan -> filter -> broadcast-join -> agg -> window top-k.
