@@ -45,7 +45,8 @@ object SparkEntry {
       DiagTestQueries.all ++ CorpusMineQueries.all ++
       SeriesTestQueries.all ++ CohortRankQueries.all ++
       SpatialEvalQueries.all ++ RankEvalQueries.all ++
-      SeqDesignQueries.all ++ PopulationQueries.all
+      SeqDesignQueries.all ++ PopulationQueries.all ++
+      CausalDesignQueries.all ++ RobustTenQueries.all
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0.
     * Full slice: scan -> filter -> broadcast-join -> agg -> window top-k.
