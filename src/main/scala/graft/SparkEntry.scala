@@ -46,7 +46,8 @@ object SparkEntry {
       SeriesTestQueries.all ++ CohortRankQueries.all ++
       SpatialEvalQueries.all ++ RankEvalQueries.all ++
       SeqDesignQueries.all ++ PopulationQueries.all ++
-      CausalDesignQueries.all ++ RobustTenQueries.all
+      CausalDesignQueries.all ++ RobustTenQueries.all ++
+      TrendPowerQueries.all
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0.
     * Full slice: scan -> filter -> broadcast-join -> agg -> window top-k.
