@@ -47,7 +47,8 @@ object SparkEntry {
       SpatialEvalQueries.all ++ RankEvalQueries.all ++
       SeqDesignQueries.all ++ PopulationQueries.all ++
       CausalDesignQueries.all ++ RobustTenQueries.all ++
-      TrendPowerQueries.all ++ AgreementQueries.all
+      TrendPowerQueries.all ++ AgreementQueries.all ++
+      ReliabilityQueries.all
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0.
     * Full slice: scan -> filter -> broadcast-join -> agg -> window top-k.
