@@ -48,7 +48,7 @@ object SparkEntry {
       SeqDesignQueries.all ++ PopulationQueries.all ++
       CausalDesignQueries.all ++ RobustTenQueries.all ++
       TrendPowerQueries.all ++ AgreementQueries.all ++
-      ReliabilityQueries.all
+      ReliabilityQueries.all ++ BalanceQueries.all
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0.
     * Full slice: scan -> filter -> broadcast-join -> agg -> window top-k.
