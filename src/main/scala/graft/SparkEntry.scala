@@ -48,7 +48,8 @@ object SparkEntry {
       SeqDesignQueries.all ++ PopulationQueries.all ++
       CausalDesignQueries.all ++ RobustTenQueries.all ++
       TrendPowerQueries.all ++ AgreementQueries.all ++
-      ReliabilityQueries.all ++ BalanceQueries.all
+      ReliabilityQueries.all ++ BalanceQueries.all ++
+      AdoptionQueries.all
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0.
     * Full slice: scan -> filter -> broadcast-join -> agg -> window top-k.

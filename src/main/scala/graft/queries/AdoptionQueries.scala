@@ -1,0 +1,322 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.ops.Relational.dsum
+
+/** Round-10 batch 15: adoption-curve, network-elite, and histogram-
+  * separation operators — the Bass diffusion fit, the rich-club
+  * coefficient, and Otsu's threshold — each oracle-checked bit-for-bit
+  * against DuckDB.
+  */
+object AdoptionQueries {
+
+  private def T(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** The q332 house form: exact 4-dp fixed-point daily mass per type. */
+  private val dailyMassSql = """
+    SELECT event_type, CAST(ts AS DATE) AS day,
+      CAST(sum(CAST(floor(value * 10000 + 0.5) AS BIGINT)) AS BIGINT) AS v
+    FROM events GROUP BY 1, 2"""
+
+  private def dailyMass(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "events")
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(sum(floor(col("value") * 10000 + 0.5).cast("long")).as("v"))
+
+  def all: Seq[Q] = Seq(
+
+    // Bass diffusion fit (Bass Mgmt.Sci.'69, discrete OLS form) — the
+    // adoption-curve model behind every product-growth forecast:
+    // S_t = a + b·C_{t−1} + c·C_{t−1}² with S_t daily new signups and
+    // C the cumulative count, then m (market size) from cm² + bm + a =
+    // 0, p = a/m (innovation) and q = −c·m (imitation). Cumulative
+    // adopters via the DISTRIBUTED prefix; the quadratic's raw moments
+    // ΣX³/ΣX⁴ ride DECIMAL(38,0) (int64-safe through sf≈1); the 3×3
+    // Cramer determinants are fixed-order doubles written identically
+    // in both engines.
+    Q("q449_bass_diffusion", Q.sql("""
+        WITH daily AS (
+          SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS s
+          FROM events WHERE event_type = 'signup' GROUP BY 1),
+        cum AS (
+          SELECT a.day, a.s,
+            CAST(sum(b.s) AS BIGINT) - a.s AS x
+          FROM daily a JOIN daily b ON b.day <= a.day
+          GROUP BY a.day, a.s),
+        m AS (
+          SELECT CAST(count(*) AS BIGINT) AS n,
+            CAST(sum(x) AS BIGINT) AS s1,
+            CAST(sum(CAST(x AS HUGEINT) * x) AS DECIMAL(38,0)) AS s2,
+            CAST(sum(CAST(x AS HUGEINT) * x * x) AS DECIMAL(38,0)) AS s3,
+            CAST(sum(CAST(x AS HUGEINT) * x * x * x) AS DECIMAL(38,0))
+              AS s4,
+            CAST(sum(s) AS BIGINT) AS t0,
+            CAST(sum(CAST(x AS HUGEINT) * s) AS DECIMAL(38,0)) AS t1,
+            CAST(sum(CAST(x AS HUGEINT) * x * s) AS DECIMAL(38,0)) AS t2
+          FROM cum),
+        d AS (
+          SELECT n,
+            CAST(s1 AS DOUBLE) AS s1, CAST(s2 AS DOUBLE) AS s2,
+            CAST(s3 AS DOUBLE) AS s3, CAST(s4 AS DOUBLE) AS s4,
+            CAST(t0 AS DOUBLE) AS t0, CAST(t1 AS DOUBLE) AS t1,
+            CAST(t2 AS DOUBLE) AS t2
+          FROM m),
+        det AS (
+          SELECT n, t0, t1, t2, s1, s2, s3, s4,
+            n * (s2 * s4 - s3 * s3) - s1 * (s1 * s4 - s2 * s3)
+              + s2 * (s1 * s3 - s2 * s2) AS dd
+          FROM d),
+        abc AS (
+          SELECT
+            (t0 * (s2 * s4 - s3 * s3) - s1 * (t1 * s4 - t2 * s3)
+              + s2 * (t1 * s3 - t2 * s2)) / dd AS a,
+            (n * (t1 * s4 - t2 * s3) - t0 * (s1 * s4 - s2 * s3)
+              + s2 * (s1 * t2 - s2 * t1)) / dd AS b,
+            (n * (s2 * t2 - s3 * t1) - s1 * (s1 * t2 - s2 * t1)
+              + t0 * (s1 * s3 - s2 * s2)) / dd AS c,
+            n
+          FROM det),
+        fit AS (
+          SELECT n, a, b, c,
+            (-b - sqrt(b * b - 4 * a * c)) / (2 * c) AS mm
+          FROM abc)
+        SELECT n AS n_days, round(a, 6) AS a, round(b, 6) AS b,
+          round(c, 8) AS c, round(mm, 6) AS market_m,
+          round(a / mm, 6) AS p_innovation,
+          round(-c * mm, 6) AS q_imitation
+        FROM fit"""))(
+      (s, dir) => {
+        val daily = T(s, dir, "events")
+          .where(col("event_type") === "signup")
+          .groupBy(to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("s"))
+        val cum0 = graft.ops.Prefix.runningTotal(
+          daily, Seq(col("day")), col("s"), "__cum")
+        val cum = cum0.select(col("day"), col("s"),
+          (col("__cum") - col("s")).as("x"))
+        def dq(e: Column) = sum(e).cast("decimal(38,0)")
+        val xd = col("x").cast("decimal(19,0)")
+        val m = cum.agg(count(lit(1)).as("n"), sum(col("x")).as("s1"),
+          dq(xd * col("x")).as("s2"),
+          dq(xd * col("x") * col("x")).as("s3"),
+          dq(xd * col("x") * col("x") * col("x")).as("s4"),
+          sum(col("s")).as("t0"),
+          dq(xd * col("s")).as("t1"),
+          dq(xd * col("x") * col("s")).as("t2"))
+        val d = m.select(col("n"),
+          col("s1").cast("double").as("s1"),
+          col("s2").cast("double").as("s2"),
+          col("s3").cast("double").as("s3"),
+          col("s4").cast("double").as("s4"),
+          col("t0").cast("double").as("t0"),
+          col("t1").cast("double").as("t1"),
+          col("t2").cast("double").as("t2"))
+        val dd = col("n") * (col("s2") * col("s4") - col("s3") * col("s3")) -
+          col("s1") * (col("s1") * col("s4") - col("s2") * col("s3")) +
+          col("s2") * (col("s1") * col("s3") - col("s2") * col("s2"))
+        val det = d.select(col("n"), col("t0"), col("t1"), col("t2"),
+          col("s1"), col("s2"), col("s3"), col("s4"), dd.as("dd"))
+        val abc = det.select(
+          ((col("t0") * (col("s2") * col("s4") - col("s3") * col("s3")) -
+            col("s1") * (col("t1") * col("s4") - col("t2") * col("s3")) +
+            col("s2") * (col("t1") * col("s3") - col("t2") * col("s2")))
+            / col("dd")).as("a"),
+          ((col("n") * (col("t1") * col("s4") - col("t2") * col("s3")) -
+            col("t0") * (col("s1") * col("s4") - col("s2") * col("s3")) +
+            col("s2") * (col("s1") * col("t2") - col("s2") * col("t1")))
+            / col("dd")).as("b"),
+          ((col("n") * (col("s2") * col("t2") - col("s3") * col("t1")) -
+            col("s1") * (col("s1") * col("t2") - col("s2") * col("t1")) +
+            col("t0") * (col("s1") * col("s3") - col("s2") * col("s2")))
+            / col("dd")).as("c"),
+          col("n"))
+        val fit = abc.select(col("n"), col("a"), col("b"), col("c"),
+          ((-col("b") - sqrt(col("b") * col("b")
+            - lit(4) * col("a") * col("c"))) / (lit(2) * col("c")))
+            .as("mm"))
+        fit.select(col("n").as("n_days"), round(col("a"), 6).as("a"),
+          round(col("b"), 6).as("b"), round(col("c"), 8).as("c"),
+          round(col("mm"), 6).as("market_m"),
+          round(col("a") / col("mm"), 6).as("p_innovation"),
+          round(-col("c") * col("mm"), 6).as("q_imitation"))
+      }),
+
+    // Rich-club coefficient (Zhou & Mondragón IEEE Comm.'04) — do the
+    // best-connected suppliers preferentially trade with EACH OTHER?
+    // φ(k) = 2E_{>k}/(N_{>k}(N_{>k}−1)) on the q340 strong co-supply
+    // graph at the exact degree order statistics k ∈ {d50, d75, d90}
+    // (value-grouped prefix — never a raw sort). Degrees are one agg
+    // over the edge list; the >k subgraph check is two broadcast
+    // semi-joins against the model-sized rich-node frame.
+    Q("q450_rich_club", Q.sql("""
+        WITH ps AS (
+          SELECT DISTINCT l_partkey AS pk, l_suppkey AS sk FROM lineitem),
+        sh AS (
+          SELECT a.sk AS sa, b.sk AS sb, CAST(count(*) AS BIGINT)
+            AS shared
+          FROM ps a JOIN ps b ON b.pk = a.pk AND a.sk < b.sk
+          GROUP BY 1, 2),
+        thr AS (SELECT 1.1 * avg(shared) AS t FROM sh),
+        e AS (
+          SELECT sa, sb FROM sh, thr WHERE shared >= thr.t),
+        deg AS (
+          SELECT v, CAST(count(*) AS BIGINT) AS d FROM (
+            SELECT sa AS v FROM e UNION ALL SELECT sb AS v FROM e)
+          GROUP BY 1),
+        dc AS (
+          SELECT a.d, CAST(count(*) AS BIGINT) AS cc
+          FROM deg a JOIN deg b ON (b.d, b.v) <= (a.d, a.v)
+          GROUP BY a.d, a.v),
+        nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM deg),
+        ks AS (
+          SELECT 'd50' AS lvl, min(d) AS k FROM dc, nn
+            WHERE cc >= (nn.n + 1) // 2
+          UNION ALL
+          SELECT 'd75', min(d) FROM dc, nn WHERE cc >= (3 * nn.n + 3) // 4
+          UNION ALL
+          SELECT 'd90', min(d) FROM dc, nn
+            WHERE cc >= (9 * nn.n + 9) // 10),
+        rich AS (
+          SELECT ks.lvl, ks.k, deg.v
+          FROM ks JOIN deg ON deg.d > ks.k),
+        nk AS (
+          SELECT lvl, k, CAST(count(*) AS BIGINT) AS n_k
+          FROM rich GROUP BY 1, 2),
+        ek AS (
+          SELECT r1.lvl, CAST(count(*) AS BIGINT) AS e_k
+          FROM e JOIN rich r1 ON r1.v = e.sa
+          JOIN rich r2 ON r2.v = e.sb AND r2.lvl = r1.lvl
+          GROUP BY 1)
+        SELECT nk.lvl AS level, nk.k AS degree_k, nk.n_k,
+          coalesce(ek.e_k, 0) AS e_k,
+          round(CAST(2 * coalesce(ek.e_k, 0) AS DOUBLE)
+            / (CAST(nk.n_k AS DOUBLE) * (nk.n_k - 1)), 6) AS phi
+        FROM nk LEFT JOIN ek ON ek.lvl = nk.lvl
+        ORDER BY nk.lvl"""))(
+      (s, dir) => {
+        val ps = T(s, dir, "lineitem")
+          .select(col("l_partkey").as("pk"), col("l_suppkey").as("sk"))
+          .distinct()
+        val sh = ps.as("a")
+          .join(ps.select(col("pk"), col("sk").as("sb")), "pk")
+          .where(col("sk") < col("sb"))
+          .groupBy(col("sk").as("sa"), col("sb"))
+          .agg(count(lit(1)).as("shared"))
+        val thr = sh.agg((lit(1.1) * avg(col("shared"))).as("t"))
+        val e = sh.crossJoin(broadcast(thr))
+          .where(col("shared").cast("double") >= col("t"))
+          .select("sa", "sb").cache()
+        val deg = e.select(col("sa").as("v"))
+          .unionByName(e.select(col("sb").as("v")))
+          .groupBy("v").agg(count(lit(1)).as("d"))
+        val dc = graft.ops.Prefix.runningTotal(
+          deg.withColumn("__one", lit(1L)), Seq(col("d"), col("v")),
+          col("__one"), "cc")
+        val nn = deg.agg(count(lit(1)).as("n"))
+        def pick(lvl: String, thrExpr: String): DataFrame =
+          dc.crossJoin(broadcast(nn)).where(col("cc") >= expr(thrExpr))
+            .agg(min(col("d")).as("k")).select(lit(lvl).as("lvl"),
+              col("k"))
+        val ks = pick("d50", "(n + 1) div 2")
+          .unionByName(pick("d75", "(3 * n + 3) div 4"))
+          .unionByName(pick("d90", "(9 * n + 9) div 10"))
+        val rich = broadcast(ks).join(deg, col("d") > col("k"))
+          .select(col("lvl"), col("k"), col("v"))
+        val nk = rich.groupBy("lvl", "k").agg(count(lit(1)).as("n_k"))
+        val ek = e
+          .join(broadcast(rich.select(col("lvl"), col("v").as("sa"))),
+            "sa")
+          .join(broadcast(rich.select(col("lvl").as("l2"),
+            col("v").as("sb2"))),
+            col("sb2") === col("sb") && col("l2") === col("lvl"))
+          .groupBy("lvl").agg(count(lit(1)).as("e_k"))
+        nk.join(ek, Seq("lvl"), "left")
+          .select(col("lvl").as("level"), col("k").as("degree_k"),
+            col("n_k"), coalesce(col("e_k"), lit(0L)).as("e_k"),
+            round((lit(2) * coalesce(col("e_k"), lit(0L))).cast("double")
+              / (col("n_k").cast("double") * (col("n_k") - 1)), 6)
+              .as("phi"))
+          .orderBy("level")
+      }),
+
+    // Otsu's threshold (Otsu IEEE SMC'79) — the image-binarization
+    // classic applied to the daily-revenue histogram: per type, the
+    // value t* maximizing the between-class variance σ_B² ∝
+    // (S·n₀ − s₀·n)²/(n₀(n−n₀)) over the value-grouped candidate
+    // frame — the VALUE-domain twin of q432's time-domain split.
+    // Prefix sums of counts and masses are exact integers; the
+    // objective's numerator rides DECIMAL(38,0) and the argmax is
+    // deterministic under (obj DESC, v).
+    Q("q451_otsu_threshold", Q.sql(s"""
+        WITH d AS ($dailyMassSql),
+        vc AS (
+          SELECT event_type, v, CAST(count(*) AS BIGINT) AS c
+          FROM d GROUP BY 1, 2),
+        cum AS (
+          SELECT a.event_type, a.v,
+            CAST(sum(b.c) AS BIGINT) AS n0,
+            CAST(sum(b.c * b.v) AS BIGINT) AS s0
+          FROM vc a JOIN vc b ON b.event_type = a.event_type
+            AND b.v <= a.v
+          GROUP BY 1, 2),
+        m AS (
+          SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+            CAST(sum(v) AS BIGINT) AS sv
+          FROM d GROUP BY 1),
+        cand AS (
+          SELECT cum.event_type, cum.v, cum.n0, m.n,
+            CAST(CAST(m.sv AS HUGEINT) * cum.n0
+              - CAST(cum.s0 AS HUGEINT) * m.n AS DOUBLE)
+              * CAST(CAST(m.sv AS HUGEINT) * cum.n0
+                - CAST(cum.s0 AS HUGEINT) * m.n AS DOUBLE)
+              / (CAST(cum.n0 AS DOUBLE) * (m.n - cum.n0)) AS obj
+          FROM cum JOIN m ON m.event_type = cum.event_type
+          WHERE cum.n0 < m.n),
+        best AS (
+          SELECT event_type, v, n0, n, obj,
+            row_number() OVER (PARTITION BY event_type
+              ORDER BY obj DESC, v) AS pick
+          FROM cand)
+        SELECT event_type, round(v / 1e7, 6) AS threshold_kd,
+          n0 AS n_below, n - n0 AS n_above,
+          round(obj / (CAST(n AS DOUBLE) * n) / 1e14, 6)
+            AS between_var_kd2
+        FROM best WHERE pick = 1 ORDER BY event_type"""))(
+      (s, dir) => {
+        val d = dailyMass(s, dir)
+        val vc = d.groupBy("event_type", "v").agg(count(lit(1)).as("c"))
+        val cum0 = graft.ops.Prefix.runningTotal(
+          vc.withColumn("__cv", col("c") * col("v")),
+          Seq(col("v")), col("c"), "n0", strataCols = Seq("event_type"))
+        val cum = graft.ops.Prefix.runningTotal(
+          cum0, Seq(col("v")), col("__cv"), "s0",
+          strataCols = Seq("event_type"))
+        val m = d.groupBy("event_type")
+          .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"))
+        val num = (col("sv").cast("decimal(19,0)") * col("n0")
+          - col("s0").cast("decimal(19,0)") * col("n"))
+          .cast("decimal(38,0)").cast("double")
+        val cand = cum.join(broadcast(m), "event_type")
+          .where(col("n0") < col("n"))
+          .select(col("event_type"), col("v"), col("n0"), col("n"),
+            (num * num / (col("n0").cast("double")
+              * (col("n") - col("n0")))).as("obj"))
+        val best = cand.select(col("event_type"), col("v"), col("n0"),
+          col("n"), col("obj"),
+          row_number().over(Window.partitionBy("event_type")
+            .orderBy(col("obj").desc, col("v"))).as("pick"))
+        best.where(col("pick") === 1)
+          .select(col("event_type"),
+            round(col("v") / lit(1e7), 6).as("threshold_kd"),
+            col("n0").as("n_below"), (col("n") - col("n0")).as("n_above"),
+            round(col("obj") / (col("n").cast("double") * col("n"))
+              / lit(1e14), 6).as("between_var_kd2"))
+          .orderBy("event_type")
+      })
+  )
+}
