@@ -49,7 +49,8 @@ object SparkEntry {
       CausalDesignQueries.all ++ RobustTenQueries.all ++
       TrendPowerQueries.all ++ AgreementQueries.all ++
       ReliabilityQueries.all ++ BalanceQueries.all ++
-      AdoptionQueries.all ++ ComplexityQueries.all
+      AdoptionQueries.all ++ ComplexityQueries.all ++
+      CapstoneQueries.all
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0.
     * Full slice: scan -> filter -> broadcast-join -> agg -> window top-k.

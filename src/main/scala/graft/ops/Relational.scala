@@ -16,9 +16,10 @@ import org.apache.spark.sql.functions._
   * (`udf_complex_logic.py:50-51`).
   *
   * Scale notes (100 TB design):
-  *  - joins against small dimension tables take an explicit
-  *    [[org.apache.spark.sql.functions.broadcast]] hint so no shuffle of the
-  *    fact side ever happens for them;
+  *  - joins against dimension tables rely on size-based broadcast
+  *    planning (no forced hint): the fact side never shuffles while a
+  *    dim fits the broadcast threshold, and a dim that has outgrown it
+  *    at extreme SF degrades to a shuffle join instead of an OOM;
   *  - aggregates are plain `groupBy().agg()` — Catalyst plans
   *    partial (map-side) + final hash aggregation, so the shuffle carries
   *    only one row per (partition, key);
@@ -44,11 +45,17 @@ object Relational {
 
   /** Denormalizing multi-way join: fact table enriched with broadcast
     * dimensions (reference J1, `denormalized_tables.py:90-98`).
-    * Dimensions are broadcast — at 100 TB the fact side never shuffles.
+    * No forced broadcast hint: dimension tables SCALE with the data
+    * (customer/supplier/part grow linearly with SF), so the right plan
+    * is size-adaptive — Spark's size estimation and AQE broadcast a
+    * dim while it fits `autoBroadcastJoinThreshold` (so the fact side
+    * never shuffles at any benchable SF) and fall back to a shuffle
+    * join once it has outgrown executor memory at extreme scale, where
+    * a forced hint would OOM the build side.
     */
   def denormalize(fact: DataFrame, dims: Seq[(DataFrame, Column)]): DataFrame =
     dims.foldLeft(fact) { case (acc, (dim, cond)) =>
-      acc.join(broadcast(dim), cond, "inner")
+      acc.join(dim, cond, "inner")
     }
 
   /** Top-k rows per group, deterministic: ordering must include a unique

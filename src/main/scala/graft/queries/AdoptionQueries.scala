@@ -150,9 +150,13 @@ object AdoptionQueries {
     // best-connected suppliers preferentially trade with EACH OTHER?
     // φ(k) = 2E_{>k}/(N_{>k}(N_{>k}−1)) on the q340 strong co-supply
     // graph at the exact degree order statistics k ∈ {d50, d75, d90}
-    // (value-grouped prefix — never a raw sort). Degrees are one agg
-    // over the edge list; the >k subgraph check is two broadcast
-    // semi-joins against the model-sized rich-node frame.
+    // (value-grouped prefix over the DEGREE HISTOGRAM — distinct
+    // degrees, never per-vertex). All three cuts fall out of ONE
+    // conditional aggregation; rich-club membership is three boolean
+    // FLAGS on the degree frame (the k-cut row is the only broadcast —
+    // a vertex-fraction broadcast would not survive 100× scale), so
+    // the >k subgraph check is two shuffle equi-joins of the edge list
+    // against the flagged vertex frame and one conditional agg.
     Q("q450_rich_club", Q.sql("""
         WITH ps AS (
           SELECT DISTINCT l_partkey AS pk, l_suppkey AS sk FROM lineitem),
@@ -199,48 +203,81 @@ object AdoptionQueries {
         FROM nk LEFT JOIN ek ON ek.lvl = nk.lvl
         ORDER BY nk.lvl"""))(
       (s, dir) => {
-        val ps = T(s, dir, "lineitem")
-          .select(col("l_partkey").as("pk"), col("l_suppkey").as("sk"))
-          .distinct()
-        val sh = ps.as("a")
-          .join(ps.select(col("pk"), col("sk").as("sb")), "pk")
-          .where(col("sk") < col("sb"))
-          .groupBy(col("sk").as("sa"), col("sb"))
-          .agg(count(lit(1)).as("shared"))
-        val thr = sh.agg((lit(1.1) * avg(col("shared"))).as("t"))
-        val e = sh.crossJoin(broadcast(thr))
-          .where(col("shared").cast("double") >= col("t"))
-          .select("sa", "sb").cache()
+        val sh = graft.graph.CoSupply.sharedParts(T(s, dir, "lineitem"))
+          .cache() // feeds BOTH the threshold agg and the edge filter
+        val e = graft.graph.CoSupply.strongEdges(sh).cache()
         val deg = e.select(col("sa").as("v"))
           .unionByName(e.select(col("sb").as("v")))
           .groupBy("v").agg(count(lit(1)).as("d"))
-        val dc = graft.ops.Prefix.runningTotal(
-          deg.withColumn("__one", lit(1L)), Seq(col("d"), col("v")),
-          col("__one"), "cc")
+          .cache() // feeds histogram, count, flags — one shuffle total
+        // Prefix over the degree HISTOGRAM (|distinct degrees| rows):
+        // cum(d) == the max per-vertex (d, v)-rank within degree d, so
+        // min d with cum(d) >= q is the same order statistic as the
+        // per-vertex prefix at a fraction of the rows.
+        val dh = deg.groupBy("d").agg(count(lit(1)).as("c"))
+        val dcum = graft.ops.Prefix.runningTotal(
+          dh, Seq(col("d")), col("c"), "cc")
         val nn = deg.agg(count(lit(1)).as("n"))
-        def pick(lvl: String, thrExpr: String): DataFrame =
-          dc.crossJoin(broadcast(nn)).where(col("cc") >= expr(thrExpr))
-            .agg(min(col("d")).as("k")).select(lit(lvl).as("lvl"),
-              col("k"))
-        val ks = pick("d50", "(n + 1) div 2")
-          .unionByName(pick("d75", "(3 * n + 3) div 4"))
-          .unionByName(pick("d90", "(9 * n + 9) div 10"))
-        val rich = broadcast(ks).join(deg, col("d") > col("k"))
-          .select(col("lvl"), col("k"), col("v"))
-        val nk = rich.groupBy("lvl", "k").agg(count(lit(1)).as("n_k"))
-        val ek = e
-          .join(broadcast(rich.select(col("lvl"), col("v").as("sa"))),
-            "sa")
-          .join(broadcast(rich.select(col("lvl").as("l2"),
-            col("v").as("sb2"))),
-            col("sb2") === col("sb") && col("l2") === col("lvl"))
-          .groupBy("lvl").agg(count(lit(1)).as("e_k"))
-        nk.join(ek, Seq("lvl"), "left")
-          .select(col("lvl").as("level"), col("k").as("degree_k"),
-            col("n_k"), coalesce(col("e_k"), lit(0L)).as("e_k"),
-            round((lit(2) * coalesce(col("e_k"), lit(0L))).cast("double")
-              / (col("n_k").cast("double") * (col("n_k") - 1)), 6)
+        // all three degree cuts in ONE conditional aggregation,
+        // collected as a single model-bounded row (precedent: the eager
+        // peel count in q340) — inlining the three Long cuts as
+        // literals keeps every downstream branch in plain codegen
+        // instead of re-broadcasting the cut subtree per consumer
+        val kkRow = dcum.crossJoin(broadcast(nn)).agg(
+          min(when(col("cc") >= expr("(n + 1) div 2"), col("d")))
+            .as("k50"),
+          min(when(col("cc") >= expr("(3 * n + 3) div 4"), col("d")))
+            .as("k75"),
+          min(when(col("cc") >= expr("(9 * n + 9) div 10"), col("d")))
+            .as("k90")).collect()(0)
+        // an empty graph leaves the cuts NULL (min over zero rows) —
+        // MaxValue makes every membership flag false, so the n_k > 0
+        // filter below yields the oracle's empty output
+        def kAt(i: Int): Long =
+          if (kkRow.isNullAt(i)) Long.MaxValue else kkRow.getLong(i)
+        val (k50, k75, k90) = (kAt(0), kAt(1), kAt(2))
+        // rich-club membership as flags on the vertex frame — nothing
+        // vertex-sized is ever broadcast
+        val degf = deg.select(col("v"),
+          (col("d") > lit(k50)).as("r50"),
+          (col("d") > lit(k75)).as("r75"),
+          (col("d") > lit(k90)).as("r90"))
+        val nk = degf.agg(
+          sum(when(col("r50"), 1L).otherwise(0L)).as("n50"),
+          sum(when(col("r75"), 1L).otherwise(0L)).as("n75"),
+          sum(when(col("r90"), 1L).otherwise(0L)).as("n90"))
+        val ej = e
+          .join(degf.select(col("v").as("sa"), col("r50").as("a50"),
+            col("r75").as("a75"), col("r90").as("a90")), "sa")
+          .join(degf.select(col("v").as("sb"), col("r50").as("b50"),
+            col("r75").as("b75"), col("r90").as("b90")), "sb")
+        val ekA = ej.agg(
+          sum(when(col("a50") && col("b50"), 1L).otherwise(0L))
+            .as("e50"),
+          sum(when(col("a75") && col("b75"), 1L).otherwise(0L))
+            .as("e75"),
+          sum(when(col("a90") && col("b90"), 1L).otherwise(0L))
+            .as("e90"))
+        val one = nk.crossJoin(ekA) // two 1-row aggs
+        // explode ONE struct array from the single combined row — a
+        // union of three per-level selects would recompute the ej
+        // aggregation per branch (measured 3× the tail cost)
+        def lvlStruct(tag: String, k: Long, nC: String, eC: String) =
+          struct(lit(tag).as("level"), lit(k).as("degree_k"),
+            col(nC).as("n_k"), col(eC).as("e_k"))
+        one.select(explode(array(
+            lvlStruct("d50", k50, "n50", "e50"),
+            lvlStruct("d75", k75, "n75", "e75"),
+            lvlStruct("d90", k90, "n90", "e90"))).as("r"))
+          .select(col("r.level").as("level"),
+            col("r.degree_k").as("degree_k"), col("r.n_k").as("n_k"),
+            col("r.e_k").as("e_k"),
+            round((lit(2) * col("r.e_k")).cast("double")
+              / (col("r.n_k").cast("double") * (col("r.n_k") - 1)), 6)
               .as("phi"))
+          // the oracle's rich CTE emits a level only when some vertex
+          // clears the cut — mirror that by dropping empty levels
+          .where(col("n_k") > 0)
           .orderBy("level")
       }),
 

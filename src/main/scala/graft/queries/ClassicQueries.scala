@@ -63,8 +63,8 @@ object ClassicQueries {
           .join(T(s, dir, "orders")
             .where(to_date(col("o_orderdate")) < lit("1998-06-01")),
             col("l_orderkey") === col("o_orderkey"))
-          .join(broadcast(T(s, dir, "customer")
-            .where(col("c_mktsegment") === "BUILDING")),
+          .join(T(s, dir, "customer")
+            .where(col("c_mktsegment") === "BUILDING"),
             col("o_custkey") === col("c_custkey"))
           .groupBy(col("l_orderkey"),
             to_date(col("o_orderdate")).as("o_date"), col("o_orderpriority"))
@@ -96,9 +96,9 @@ object ClassicQueries {
             .where(to_date(col("o_orderdate")) >= lit("1997-01-01") &&
               to_date(col("o_orderdate")) < lit("1997-07-01")),
             col("l_orderkey") === col("o_orderkey"))
-          .join(broadcast(T(s, dir, "customer")),
+          .join(T(s, dir, "customer"),
             col("o_custkey") === col("c_custkey"))
-          .join(broadcast(T(s, dir, "nation")),
+          .join(T(s, dir, "nation"),
             col("c_nationkey") === col("n_nationkey"))
           .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"),
             col("n_name"))

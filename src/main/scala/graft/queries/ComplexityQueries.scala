@@ -60,15 +60,18 @@ object ComplexityQueries {
           FROM sq WHERE x IS NOT NULL GROUP BY 1),
         f AS (
           SELECT event_type, n,
-            (n * CAST(qxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy)
-              * (n * CAST(qxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy)
-              / ((n * CAST(qxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx)
-                * (n * CAST(qyy AS DOUBLE) - CAST(sy AS DOUBLE) * sy))
-              AS r2
-          FROM m)
+            (n * CAST(qxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy) AS num,
+            (n * CAST(qxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx)
+              * (n * CAST(qyy AS DOUBLE) - CAST(sy AS DOUBLE) * sy)
+              AS den
+          FROM m),
+        g AS (
+          SELECT event_type, n,
+            CASE WHEN den > 0 THEN num * num / den END AS r2
+          FROM f)
         SELECT event_type, n AS n_obs, round(r2, 6) AS r2,
           round(n * r2, 6) AS arch_lm
-        FROM f ORDER BY event_type"""))(
+        FROM g ORDER BY event_type"""))(
       (s, dir) => {
         val d = dailyMass(s, dir)
         val w = Window.partitionBy("event_type").orderBy("day")
@@ -93,11 +96,15 @@ object ComplexityQueries {
         val nD = col("n").cast("double")
         val dxy = nD * col("qxy").cast("double") -
           col("sx").cast("double") * col("sy")
+        // constant squared-changes make either variance term zero —
+        // NULL-degenerate like q454 instead of NaN/Inf on the wire
+        // (ADVICE r10)
+        val den = (nD * col("qxx").cast("double")
+            - col("sx").cast("double") * col("sx")) *
+          (nD * col("qyy").cast("double")
+            - col("sy").cast("double") * col("sy"))
         val f = m.select(col("event_type"), col("n"),
-          (dxy * dxy / ((nD * col("qxx").cast("double")
-              - col("sx").cast("double") * col("sx"))
-            * (nD * col("qyy").cast("double")
-              - col("sy").cast("double") * col("sy")))).as("r2"))
+          when(den > 0, dxy * dxy / den).as("r2"))
         f.select(col("event_type"), col("n").as("n_obs"),
             round(col("r2"), 6).as("r2"),
             round(col("n") * col("r2"), 6).as("arch_lm"))

@@ -76,7 +76,7 @@ object CoreQueries {
         val o = T(s, dir, "orders")
         val l = T(s, dir, "lineitem")
         l.join(o, col("l_orderkey") === col("o_orderkey"))
-          .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+          .join(c, col("o_custkey") === col("c_custkey"))
           .groupBy("c_mktsegment")
           .agg(
             dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 8)

@@ -440,8 +440,8 @@ object CurationQueries {
           .where(col("sk") < col("sb"))
           .select(col("sk").as("sa"), col("sb"))
           .distinct()
-        val nat = broadcast(T(s, dir, "supplier")
-          .select(col("s_suppkey").as("skey"), col("s_nationkey").as("nk")))
+        val nat = T(s, dir, "supplier")
+          .select(col("s_suppkey").as("skey"), col("s_nationkey").as("nk"))
         val en = e
           .join(nat.select(col("skey"), col("nk").as("nka")),
             col("sa") === col("skey")).drop("skey")
@@ -645,8 +645,8 @@ object CurationQueries {
           .where(col("sk") < col("sb"))
           .select(col("sk").as("sa"), col("sb"))
           .distinct()
-        val nat = broadcast(T(s, dir, "supplier")
-          .select(col("s_suppkey").as("skey"), col("s_nationkey").as("nk")))
+        val nat = T(s, dir, "supplier")
+          .select(col("s_suppkey").as("skey"), col("s_nationkey").as("nk"))
         val dg = e.select(col("sa").as("i"), col("sb").as("j"))
           .unionByName(e.select(col("sb").as("i"), col("sa").as("j")))
         val deg = dg.groupBy("i").agg(count(lit(1)).cast("bigint").as("ki"))

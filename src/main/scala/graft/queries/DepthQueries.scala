@@ -100,7 +100,7 @@ object DepthQueries {
         FROM cum GROUP BY 1 ORDER BY 1"""))(
       (s, dir) => {
         val cr = T(s, dir, "orders")
-          .join(broadcast(T(s, dir, "customer")),
+          .join(T(s, dir, "customer"),
             col("o_custkey") === col("c_custkey"))
           .groupBy(col("c_mktsegment"), col("c_custkey"))
           .agg(dsum(col("o_totalprice"), 4).as("rev"))
@@ -464,7 +464,7 @@ object DepthQueries {
         WHERE rank <= 5 ORDER BY c_mktsegment, rank"""))(
       (s, dir) => {
         val joined = T(s, dir, "orders")
-          .join(broadcast(T(s, dir, "customer")),
+          .join(T(s, dir, "customer"),
             col("o_custkey") === col("c_custkey"))
           .select("c_mktsegment", "o_orderkey", "o_totalprice")
         graft.plans.NativeTopK.topKPerGroup(joined, Seq(col("c_mktsegment")),

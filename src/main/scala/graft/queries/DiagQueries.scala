@@ -41,7 +41,7 @@ object DiagQueries {
         FROM m ORDER BY 1, 2"""))(
       (s, dir) => {
         val daily = T(s, dir, "orders")
-          .join(broadcast(T(s, dir, "customer")),
+          .join(T(s, dir, "customer"),
             col("o_custkey") === col("c_custkey"))
           .groupBy(to_date(col("o_orderdate")).as("day"),
             col("c_mktsegment").as("seg"))
@@ -232,7 +232,7 @@ object DiagQueries {
             dsum(col("l_extendedprice"), 4).as("ext"),
             count(lit(1)).as("n_lines"))
         val pts = pp
-          .join(broadcast(T(s, dir, "part")),
+          .join(T(s, dir, "part"),
             col("p_partkey") === col("l_partkey"))
           .where(col("qty") > 0)
           .select(col("p_brand").as("brand"),

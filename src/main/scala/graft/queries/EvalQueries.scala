@@ -251,7 +251,7 @@ object EvalQueries {
             lit(1L), out = "r_rev"),
           Seq(col("n_orders").desc, col("o_custkey")), lit(1L), out = "r_cnt")
         val m = rk.select(greatest(col("r_rev"), col("r_cnt")).as("m"))
-          .where(col("m") <= 50)
+          .where(col("m") <= 50).limit(50) // ranks are unique: <= 50 rows
         val dep = T(s, dir, "orders").sparkSession.range(1, 51)
           .select(col("id").cast("int").as("d"))
         // non-equi LEFT join: broadcast the <=50-row frontier (the

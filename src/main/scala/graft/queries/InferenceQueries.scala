@@ -207,7 +207,7 @@ object InferenceQueries {
         FROM sil GROUP BY 1 ORDER BY 1"""))(
       (s, dir) => {
         val emb = T(s, dir, "embeddings")
-        val m = emb.where(col("vec_id") < 8)
+        val m = emb.where(col("vec_id") < 8).limit(8) // ids unique: 8 rows
           .select(col("vec_id").as("mid"), col("embedding").as("me"))
         // native codegen dot (ArrayMath) accumulates in the same
         // left-associative order as the oracle's PortableSql.cosine

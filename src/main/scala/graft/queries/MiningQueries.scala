@@ -54,7 +54,7 @@ object MiningQueries {
         GROUP BY 1 ORDER BY 1"""))(
       (s, dir) =>
         T(s, dir, "orders")
-          .join(broadcast(T(s, dir, "customer")),
+          .join(T(s, dir, "customer"),
             col("o_custkey") === col("c_custkey"))
           .groupBy("c_mktsegment")
           .agg(

@@ -455,22 +455,11 @@ object NineQueries {
         ORDER BY round, support"""))(
       (s, dir) => {
         // per-part supplier sets in ONE shuffle (collect_set fuses the
-        // distinct), ordered pairs exploded in codegen — never all-pairs
-        val ps = T(s, dir, "lineitem")
-          .select(col("l_partkey").as("pk"), col("l_suppkey").as("sk"))
-          .groupBy("pk").agg(sort_array(collect_set(col("sk"))).as("sks"))
-        val pairs = ps.select(explode(expr(
-          """flatten(transform(sks, (a, i) ->
-               transform(slice(sks, i + 2, size(sks)), b -> struct(a, b))))"""
-          )).as("p"))
-        val sh = pairs
-          .groupBy(col("p.a").as("sa"), col("p.b").as("sb"))
-          .agg(count(lit(1)).cast("long").as("shared"))
-        val thr = sh.agg((lit(1.1) * avg(col("shared"))).as("t"))
-        val e = sh.crossJoin(broadcast(thr))
-          .where(col("shared").cast("double") >= col("t"))
-          .select("sa", "sb")
-          .cache()
+        // distinct), ordered pairs exploded in codegen — never all-pairs;
+        // shared base with q450 (graph/CoSupply.scala)
+        val sh = graft.graph.CoSupply.sharedParts(T(s, dir, "lineitem"))
+          .cache() // threshold agg + edge filter both scan it
+        val e = graft.graph.CoSupply.strongEdges(sh).cache()
         // support pass: vertex-keyed sorted neighbor arrays (one shuffle
         // over the symmetric edge list), then per-edge
         // size(array_intersect) — all-codegen, nothing wedge-sized ever

@@ -116,7 +116,7 @@ object PrivacyQueries {
         FROM noised ORDER BY 1"""))(
       (s, dir) => {
         val exact = T(s, dir, "orders")
-          .join(broadcast(T(s, dir, "customer")),
+          .join(T(s, dir, "customer"),
             col("o_custkey") === col("c_custkey"))
           .groupBy("c_mktsegment").agg(count(lit(1)).as("n"))
         exact

@@ -253,8 +253,11 @@ object QualityQueries {
           inSet("03_lineitem_returnflag_set", col("l_returnflag"), Seq("A", "N", "R")),
           inRange("04_lineitem_quantity_range", col("l_quantity"), 1, 50)))
         val uniq = report(o, Seq(unique("05_orders_key_unique", col("o_orderkey"))))
+        // orders keys are FACT-sized — no broadcast; the anti join
+        // shuffles on the key (AQE still broadcasts while it fits)
         val ri = refIntegrity("06_lineitem_orders_ri",
-          li, col("l_orderkey"), o, col("o_orderkey"))
+          li, col("l_orderkey"), o, col("o_orderkey"),
+          broadcastParent = false)
         rowChecks.union(uniq).union(ri)
           .withColumnRenamed("check", "check_name")
           .orderBy("check_name")
@@ -420,10 +423,12 @@ object QualityQueries {
           .groupBy("part_a", "part_b").agg(count(lit(1)).as("n_co"))
         val f = i.groupBy("l_partkey").agg(count(lit(1)).as("n_orders"))
         val t = i.agg(countDistinct(col("l_orderkey")).as("n_baskets"))
-        pr.join(broadcast(f.select(col("l_partkey").as("part_a"),
-            col("n_orders").as("n_a"))), "part_a")
-          .join(broadcast(f.select(col("l_partkey").as("part_b"),
-            col("n_orders").as("n_b"))), "part_b")
+        // per-part counts are part-keyed (data-sized at scale): plain
+        // equi-joins — size-based planning broadcasts them while small
+        pr.join(f.select(col("l_partkey").as("part_a"),
+            col("n_orders").as("n_a")), "part_a")
+          .join(f.select(col("l_partkey").as("part_b"),
+            col("n_orders").as("n_b")), "part_b")
           .crossJoin(broadcast(t))
           .select(col("part_a"), col("part_b"), col("n_co"),
             col("n_a"), col("n_b"),

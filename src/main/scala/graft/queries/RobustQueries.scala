@@ -73,7 +73,7 @@ object RobustQueries {
             col("l_orderkey") === col("o_orderkey"))
           .join(T(s, dir, "customer"),
             col("o_custkey") === col("c_custkey"))
-          .join(broadcast(T(s, dir, "supplier")),
+          .join(T(s, dir, "supplier"),
             col("l_suppkey") === col("s_suppkey") &&
               col("c_nationkey") === col("s_nationkey"))
           .join(broadcast(T(s, dir, "nation")),
@@ -107,7 +107,7 @@ object RobustQueries {
           .where(col("total_qty") > 300)
           .join(T(s, dir, "orders"),
             col("l_orderkey") === col("o_orderkey"))
-          .join(broadcast(T(s, dir, "customer")),
+          .join(T(s, dir, "customer"),
             col("o_custkey") === col("c_custkey"))
           .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
             to_date(col("o_orderdate")).as("o_date"), col("o_totalprice"),
@@ -130,7 +130,7 @@ object RobustQueries {
         FROM m ORDER BY month"""))(
       (s, dir) =>
         T(s, dir, "lineitem")
-          .join(broadcast(T(s, dir, "part")),
+          .join(T(s, dir, "part"),
             col("l_partkey") === col("p_partkey"))
           .groupBy(trunc(to_date(col("l_shipdate")), "month").as("month"))
           .agg(

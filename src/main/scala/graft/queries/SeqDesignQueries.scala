@@ -91,7 +91,7 @@ object SeqDesignQueries {
         val fin = c.agg(count(lit(1)).as("n_days"),
           max(col("day")).as("last_day"))
         val fc = c.join(broadcast(fin), col("day") === col("last_day"))
-          .select(col("cum").as("cum_final"))
+          .limit(1).select(col("cum").as("cum_final"))
         fin.crossJoin(broadcast(fc))
           .join(firstCross, lit(true), "left")
           .select(col("n_days"),

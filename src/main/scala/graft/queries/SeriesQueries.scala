@@ -62,8 +62,8 @@ object SeriesQueries {
         FROM joined ORDER BY day"""))(
       (s, dir) => {
         val daily = T(s, dir, "lineitem")
-          .join(broadcast(T(s, dir, "part")
-            .where(col("p_brand") === "Brand#13")),
+          .join(T(s, dir, "part")
+            .where(col("p_brand") === "Brand#13"),
             col("p_partkey") === col("l_partkey"))
           .groupBy(to_date(col("l_shipdate")).as("day"))
           .agg(round(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 8),

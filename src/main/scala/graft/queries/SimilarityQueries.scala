@@ -98,7 +98,7 @@ object SimilarityQueries {
         val b = emb.withColumn("bucket",
           Similarity.lshBucket(col("embedding"), Dim, LshBits))
         val flips = 0L +: (0 until LshBits).map(1L << _)
-        val probes = b.where(col("vec_id") < 5)
+        val probes = b.where(col("vec_id") < 5).limit(5)
           .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
             col("bucket"),
             explode(typedlit(flips.toSeq)).as("flip"))
@@ -119,7 +119,7 @@ object SimilarityQueries {
             .orderBy(col("cos_sim").desc, col("neighbor_id"))))
           .where(col("rank") <= 3)
           .select("query_id", "neighbor_id")
-        val exact = Similarity.knnBruteForce(emb.where(col("vec_id") < 5), emb, 3)
+        val exact = Similarity.knnBruteForce(emb.where(col("vec_id") < 5).limit(5), emb, 3)
           .select("query_id", "neighbor_id")
         val counts = scored.groupBy("query_id")
           .agg(sum(when(col("own"), 1L).otherwise(0L)).as("n_cand_single"),
@@ -164,7 +164,7 @@ object SimilarityQueries {
     })(
       (s, dir) => {
         val planes = Similarity.planes(16, Dim)
-        val sample = T(s, dir, "embeddings").where(col("vec_id") < 40)
+        val sample = T(s, dir, "embeddings").where(col("vec_id") < 40).limit(40)
           .select(col("vec_id"), col("embedding"),
             array(planes.map(p =>
               graft.functions.ArrayMath.dotConst(col("embedding"), p))
@@ -200,7 +200,7 @@ object SimilarityQueries {
         ORDER BY query_id, rank"""))(
       (s, dir) => {
         val emb = T(s, dir, "embeddings")
-        Similarity.knnBruteForce(emb.where(col("vec_id") < 5), emb, k = 3)
+        Similarity.knnBruteForce(emb.where(col("vec_id") < 5).limit(5), emb, k = 3)
           .orderBy("query_id", "rank")
       }),
 
@@ -283,7 +283,7 @@ object SimilarityQueries {
     })(
       (s, dir) => {
         val emb = T(s, dir, "embeddings")
-        Ivf.knn(emb.where(col("vec_id") < 5), emb,
+        Ivf.knn(emb.where(col("vec_id") < 5).limit(5), emb,
             Ivf.fixedCentroids(IvfK, Dim), nProbe = 3, k = 3)
           .orderBy("query_id", "rank")
       }),
@@ -349,7 +349,7 @@ object SimilarityQueries {
           .select(col("vec_id"),
             transform(col("qvec"), x => x.cast("float")).as("qemb"))
         val joined = cached(emb.join(packed, Seq("vec_id")))
-        Ivf.knn(joined.where(col("vec_id") < 5), joined,
+        Ivf.knn(joined.where(col("vec_id") < 5).limit(5), joined,
             Ivf.fixedCentroids(IvfK, Dim), nProbe = 3, k = 3,
             scoreCol = "qemb")
           .orderBy("query_id", "rank")
@@ -536,7 +536,7 @@ object SimilarityQueries {
         ORDER BY query_id, rank"""))(
       (s, dir) => {
         val emb = T(s, dir, "embeddings")
-        Pq.adcSearch(emb.where(col("vec_id") < 5),
+        Pq.adcSearch(emb.where(col("vec_id") < 5).limit(5),
             Pq.encode(emb, PqBooks), PqBooks, k = 3)
           .orderBy("query_id", "rank")
       }),
@@ -590,7 +590,7 @@ object SimilarityQueries {
     })(
       (s, dir) => {
         val emb = T(s, dir, "embeddings")
-        Pq.ivfAdcSearch(emb.where(col("vec_id") < 5), emb,
+        Pq.ivfAdcSearch(emb.where(col("vec_id") < 5).limit(5), emb,
             Ivf.fixedCentroids(IvfK, Dim), PqBooks, nProbe = 3, k = 3)
           .orderBy("query_id", "rank")
       })

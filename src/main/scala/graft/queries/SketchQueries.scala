@@ -105,7 +105,7 @@ object SketchQueries {
             .select(col("vec_id"),
               transform(col("qvec"), x => x.cast("float")).as("embedding")))
         graft.similarity.Similarity.knnBruteForce(
-            packed.where(col("vec_id") < 5), packed, k = 3)
+            packed.where(col("vec_id") < 5).limit(5), packed, k = 3)
           .orderBy("query_id", "rank")
       }),
 

@@ -312,7 +312,8 @@ object TailQueries {
               col("o_orderkey")),
             Seq(col("x").desc, col("o_orderkey")), k = HillK + 1, out = "r")
           .select(col("x"), col("r"))
-        val xk1 = rk.where(col("r") === HillK + 1).select(col("x").as("xk"))
+        val xk1 = rk.where(col("r") === HillK + 1).limit(1)
+          .select(col("x").as("xk"))
         val tail = rk.where(col("r") <= HillK)
           .crossJoin(broadcast(xk1))
           .select(round(log(col("x")) - log(col("xk")), 8).as("lterm"),

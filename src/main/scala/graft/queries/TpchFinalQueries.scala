@@ -68,14 +68,14 @@ object TpchFinalQueries {
           .where(col("r_name") === "EUROPE")
           .select("s_suppkey", "s_name", "s_acctbal", "n_name")
         val scoped = costs
-          .join(broadcast(T(s, dir, "part")
+          .join(T(s, dir, "part")
             .where(col("p_type") === "LARGE" && col("p_size").between(10, 20))
-            .select("p_partkey", "p_name")), col("p_partkey") === col("pk"))
-          .join(broadcast(euSupp), col("s_suppkey") === col("sk"))
+            .select("p_partkey", "p_name"), col("p_partkey") === col("pk"))
+          .join(euSupp, col("s_suppkey") === col("sk"))
         val minCost = scoped.groupBy(col("p_partkey").as("m_pk"))
           .agg(min(col("cost")).as("min_cost"))
         scoped
-          .join(broadcast(minCost),
+          .join(minCost,
             col("p_partkey") === col("m_pk") && col("cost") === col("min_cost"))
           .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_name", "cost")
           .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"),
@@ -109,7 +109,7 @@ object TpchFinalQueries {
           .where(col("n_name") === "NATION_3")
           .select("s_suppkey")
         val valueByPart = T(s, dir, "lineitem")
-          .join(broadcast(natSupp), col("s_suppkey") === col("l_suppkey"))
+          .join(natSupp, col("s_suppkey") === col("l_suppkey"))
           .groupBy(col("l_partkey").as("p_partkey"))
           .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 8)
             .as("part_value"))
@@ -184,9 +184,9 @@ object TpchFinalQueries {
         val partQty = shipped.groupBy(col("pk").as("tpk"))
           .agg(sum(col("supp_qty")).as("part_qty"))
         val dominant = shipped
-          .join(broadcast(partQty), col("pk") === col("tpk"))
-          .join(broadcast(T(s, dir, "part")
-            .where(col("p_name").like("red%")).select("p_partkey")),
+          .join(partQty, col("pk") === col("tpk"))
+          .join(T(s, dir, "part")
+            .where(col("p_name").like("red%")).select("p_partkey"),
             col("p_partkey") === col("pk"))
           .where(col("supp_qty").cast("double") >
             lit(0.3) * col("part_qty").cast("double"))
@@ -249,7 +249,7 @@ object TpchFinalQueries {
             "left_semi")
           .join(l2, col("lo2") === col("lo") && col("ls2") =!= col("ls"),
             "left_anti")
-          .join(broadcast(natSupp), col("s_suppkey") === col("ls"))
+          .join(natSupp, col("s_suppkey") === col("ls"))
           .groupBy("s_name")
           .agg(count(lit(1)).as("numwait"))
           .orderBy(col("numwait").desc, col("s_name"))

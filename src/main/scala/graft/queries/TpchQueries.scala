@@ -56,8 +56,8 @@ object TpchQueries {
         T(s, dir, "lineitem")
           .where(year(to_date(col("l_shipdate"))).between(1996, 1997))
           .join(T(s, dir, "orders"), col("o_orderkey") === col("l_orderkey"))
-          .join(broadcast(T(s, dir, "supplier")), col("s_suppkey") === col("l_suppkey"))
-          .join(broadcast(T(s, dir, "customer")), col("c_custkey") === col("o_custkey"))
+          .join(T(s, dir, "supplier"), col("s_suppkey") === col("l_suppkey"))
+          .join(T(s, dir, "customer"), col("c_custkey") === col("o_custkey"))
           .join(n1, col("s_nationkey") === col("n1_key"))
           .join(n2, col("c_nationkey") === col("n2_key"))
           .where((col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_11") ||
@@ -118,7 +118,7 @@ object TpchQueries {
         val thresholds = li.groupBy(col("l_partkey").as("t_partkey"))
           .agg((lit(0.2) * (sum(col("l_quantity")) / count(lit(1))))
             .as("qty_cut"))
-        li.join(broadcast(T(s, dir, "part"))
+        li.join(T(s, dir, "part")
             .where(col("p_brand") === "Brand#23" && col("p_type") === "SMALL"),
             col("p_partkey") === col("l_partkey"))
           .join(thresholds, col("t_partkey") === col("l_partkey"))
@@ -152,9 +152,9 @@ object TpchQueries {
           col("p_size").between(1, 35) && col("l_quantity").between(20, 30)
         T(s, dir, "lineitem")
           .where(col("l_quantity").between(1, 30)) // pushdown envelope
-          .join(broadcast(T(s, dir, "part")
+          .join(T(s, dir, "part")
             .where(col("p_brand").isin("Brand#12", "Brand#23", "Brand#34") &&
-              col("p_size").between(1, 35))),
+              col("p_size").between(1, 35)),
             col("p_partkey") === col("l_partkey"))
           .where(arm1 || arm2 || arm3)
           .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 8)
@@ -195,16 +195,16 @@ object TpchQueries {
           .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation")))
         val vol = col("l_extendedprice") * (lit(1) - col("l_discount"))
         T(s, dir, "lineitem")
-          .join(broadcast(T(s, dir, "part")
-            .where(col("p_type") === "ECONOMY")),
+          .join(T(s, dir, "part")
+            .where(col("p_type") === "ECONOMY"),
             col("p_partkey") === col("l_partkey"))
           .join(T(s, dir, "orders"), col("o_orderkey") === col("l_orderkey"))
-          .join(broadcast(T(s, dir, "customer")), col("c_custkey") === col("o_custkey"))
+          .join(T(s, dir, "customer"), col("c_custkey") === col("o_custkey"))
           .join(cn, col("c_nationkey") === col("cn_key"))
           .join(broadcast(T(s, dir, "region")
             .where(col("r_name") === "ASIA")),
             col("cn_region") === col("r_regionkey"))
-          .join(broadcast(T(s, dir, "supplier")), col("s_suppkey") === col("l_suppkey"))
+          .join(T(s, dir, "supplier"), col("s_suppkey") === col("l_suppkey"))
           .join(sn, col("s_nationkey") === col("sn_key"))
           .groupBy(year(to_date(col("o_orderdate"))).as("o_year"))
           .agg(round(
@@ -241,7 +241,7 @@ object TpchQueries {
           .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
             .cast("decimal(27,8)")).as("total_rev"))
         val maxRev = revenue.agg(max(col("total_rev")).as("max_rev"))
-        broadcast(T(s, dir, "supplier"))
+        T(s, dir, "supplier")
           .join(revenue, col("s_suppkey") === col("supplier_no"))
           .crossJoin(broadcast(maxRev))
           .where(col("total_rev") === col("max_rev"))
@@ -271,10 +271,10 @@ object TpchQueries {
         GROUP BY 1, 2 ORDER BY 1, 2 DESC"""))(
       (s, dir) =>
         T(s, dir, "lineitem")
-          .join(broadcast(T(s, dir, "part")
-            .where(col("p_name").contains("gear"))),
+          .join(T(s, dir, "part")
+            .where(col("p_name").contains("gear")),
             col("p_partkey") === col("l_partkey"))
-          .join(broadcast(T(s, dir, "supplier")), col("s_suppkey") === col("l_suppkey"))
+          .join(T(s, dir, "supplier"), col("s_suppkey") === col("l_suppkey"))
           .join(broadcast(T(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
           .join(T(s, dir, "orders"), col("o_orderkey") === col("l_orderkey"))
           .groupBy(col("n_name").as("nation"),
@@ -299,9 +299,9 @@ object TpchQueries {
         ORDER BY supplier_cnt DESC, p_brand, p_type, p_size"""))(
       (s, dir) =>
         T(s, dir, "lineitem")
-          .join(broadcast(T(s, dir, "part")
+          .join(T(s, dir, "part")
             .where(col("p_brand") =!= "Brand#13" &&
-              col("p_size").isin(1, 9, 14, 19, 23, 36, 45, 49))),
+              col("p_size").isin(1, 9, 14, 19, 23, 36, 45, 49)),
             col("p_partkey") === col("l_partkey"))
           .groupBy("p_brand", "p_type", "p_size")
           .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))

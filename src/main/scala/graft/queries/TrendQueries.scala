@@ -376,7 +376,7 @@ object TrendQueries {
         val ref = T(s, dir, "orders")
           .agg(max(to_date(col("o_orderdate"))).as("ref_day"))
         val cust = T(s, dir, "orders")
-          .join(broadcast(T(s, dir, "customer")),
+          .join(T(s, dir, "customer"),
             col("o_custkey") === col("c_custkey"))
           .crossJoin(broadcast(ref))
           .groupBy(col("c_custkey"), col("c_mktsegment"), col("ref_day"))

@@ -94,7 +94,8 @@ object WarehouseQueries {
           .select(col("part"), col("up").as("p0"), col("qd").as("q0"))
         def wsum(a: Column, b: Column) =
           sum(round(a * b, 4).cast("decimal(27,4)")).cast("double")
-        val j = p.join(broadcast(base), "part")
+        // base is part-keyed (data-sized at scale): plain equi-join
+        val j = p.join(base, "part")
         val agg = j.groupBy("ym").agg(
           count(lit(1)).as("n_parts"),
           wsum(col("up"), col("q0")).as("l_num"),
@@ -137,8 +138,8 @@ object WarehouseQueries {
         FROM sh GROUP BY 1 ORDER BY nation"""))(
       (s, dir) => {
         val sr = T(s, dir, "lineitem")
-          .join(broadcast(T(s, dir, "supplier")
-            .select(col("s_suppkey"), col("s_nationkey"))),
+          .join(T(s, dir, "supplier")
+            .select(col("s_suppkey"), col("s_nationkey")),
             col("s_suppkey") === col("l_suppkey"))
           .groupBy(col("s_nationkey").as("nation"),
             col("l_suppkey").as("supp"))
@@ -412,8 +413,10 @@ object WarehouseQueries {
           (o.where(col("o_orderkey") % 7 =!= 0), o.where(col("o_orderkey") % 7 === 0))
         val (cBase, cDelta) =
           (c.where(col("c_custkey") % 5 =!= 0), c.where(col("c_custkey") % 5 === 0))
+        // customer partitions are fact-scaling: plain equi-joins (AQE
+        // broadcasts a small delta side at runtime when it fits)
         def partial(ord: DataFrame, cust: DataFrame): DataFrame =
-          ord.join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+          ord.join(cust, col("o_custkey") === col("c_custkey"))
             .groupBy(col("c_nationkey").as("nation_key"))
             .agg(count(lit(1)).as("n_part"),
               sum(col("o_totalprice").cast("decimal(27,4)")).as("rev_part"))
@@ -534,8 +537,8 @@ object WarehouseQueries {
         ORDER BY nt.nation"""))(
       (s, dir) => {
         val sr = T(s, dir, "lineitem")
-          .join(broadcast(T(s, dir, "supplier")
-            .select(col("s_suppkey"), col("s_nationkey"))),
+          .join(T(s, dir, "supplier")
+            .select(col("s_suppkey"), col("s_nationkey")),
             col("s_suppkey") === col("l_suppkey"))
           .groupBy(col("s_nationkey").as("nation"),
             col("l_suppkey").as("supp"))

@@ -201,7 +201,8 @@ object Similarity {
     */
   def annRecallLsh(emb: DataFrame, dim: Int, nBits: Int, k: Int,
                    nQueries: Int): DataFrame = {
-    val exact = knnBruteForce(emb.where(col("vec_id") < nQueries), emb, k, dim)
+    val exact = knnBruteForce(
+      emb.where(col("vec_id") < nQueries).limit(nQueries), emb, k, dim)
       .select(col("query_id"), col("neighbor_id"))
     val bucketed = lshBucketed(emb, dim, nBits)
     val q = bucketed.select(col("bucket"), col("vec_id").as("query_id"))

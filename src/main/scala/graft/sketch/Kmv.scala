@@ -73,7 +73,11 @@ object Kmv {
     * join here is a broadcast of at most k hashes.
     */
   def intersectEstimate(a: DataFrame, b: DataFrame, k: Int): DataFrame = {
-    val u = a.select(col("h")).unionByName(b.select(col("h"))).distinct()
+    // enforce the <= k contract as a STATIC bound (limit is a no-op on
+    // conforming inputs) so every broadcast below is provably model-sized
+    val ak = a.limit(k)
+    val bk = b.limit(k)
+    val u = ak.select(col("h")).unionByName(bk.select(col("h"))).distinct()
     // union frame is <= 2k rows: rank by the house broadcast self-join
     // count (no global window anywhere in the engine)
     val bott = u.join(broadcast(u.select(col("h").as("h2"))),
@@ -83,8 +87,8 @@ object Kmv {
         .cast("long").as("rk"))
       .where(col("rk") <= k)
     val inBoth = bott
-      .join(broadcast(a.select(col("h")).distinct()), Seq("h"), "semi")
-      .join(broadcast(b.select(col("h")).distinct()), Seq("h"), "semi")
+      .join(broadcast(ak.select(col("h")).distinct()), Seq("h"), "semi")
+      .join(broadcast(bk.select(col("h")).distinct()), Seq("h"), "semi")
       .agg(count(lit(1)).cast("long").as("matches"))
     val uAgg = bott.agg(count(lit(1)).cast("long").as("k_used"),
       max(col("h")).cast("long").as("theta_u"))

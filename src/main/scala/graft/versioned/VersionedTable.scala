@@ -105,10 +105,24 @@ final class VersionedTable private (val spark: SparkSession, val root: String) {
     */
   private val entryCache =
     scala.collection.concurrent.TrieMap.empty[Long, LogEntry]
-  @volatile private var snapSlot: (Long, LogEntry) = null
+  private val snapSlot =
+    new java.util.concurrent.atomic.AtomicReference[(Long, LogEntry)](null)
+
+  /** CAS loop: concurrent readers/committers each try to install their
+    * snapshot, and the NEWEST version always wins — a plain volatile
+    * check-then-act could interleave and leave an older snapshot in the
+    * slot (extra re-reads on the next resolution walk; ADVICE r10).
+    */
+  private def offerSnap(v: Long, e: LogEntry): Unit = {
+    var done = false
+    while (!done) {
+      val cur = snapSlot.get()
+      done = (cur != null && cur._1 > v) || snapSlot.compareAndSet(cur, (v, e))
+    }
+  }
 
   private def readEntry(v: Long): LogEntry = {
-    val slot = snapSlot
+    val slot = snapSlot.get()
     if (slot != null && slot._1 == v) slot._2
     else entryCache.get(v) match {
       case Some(e) => e
@@ -117,9 +131,8 @@ final class VersionedTable private (val spark: SparkSession, val root: String) {
         val bytes = try org.apache.hadoop.io.IOUtils.readFullyToByteArray(in)
         finally in.close()
         val e = LogEntry.fromJson(new String(bytes, StandardCharsets.UTF_8))
-        if (e.snapshot.isDefined) {
-          if (slot == null || v >= slot._1) snapSlot = (v, e)
-        } else entryCache.put(v, e)
+        if (e.snapshot.isDefined) offerSnap(v, e)
+        else entryCache.put(v, e)
         e
     }
   }
@@ -209,8 +222,7 @@ final class VersionedTable private (val spark: SparkSession, val root: String) {
     // unbounded map — otherwise a long-lived writer handle (streaming
     // foreachBatch ingest) accumulates every checkpoint it writes.
     if (entry.snapshot.isDefined) {
-      val slot = snapSlot
-      if (slot == null || m.version >= slot._1) snapSlot = (m.version, entry)
+      offerSnap(m.version, entry)
     } else {
       val _ = entryCache.put(m.version, entry)
     }

@@ -65,6 +65,47 @@ class PlansSpec extends SparkSpec {
     }
   }
 
+  test("round-11 family pins: prefix chain, single-pass order-statistic tail, trig spectrum") {
+    import org.apache.spark.sql.catalyst.plans.logical.Generate
+    val dir = "/root/testdata/sf0.001"
+    // q430 Aalen-Johansen: the at-risk/cumulative-incidence chain must
+    // ride the distributed prefix (its __pid partition ids are the
+    // fingerprint) — a regression to a global-sort/window form would
+    // drop them; and nothing may plan a cartesian
+    locally {
+      spark.catalog.clearCache()
+      val p = SparkEntry.queries("q430_competing_risks")(spark, dir)
+        .queryExecution.executedPlan.toString
+      p should include("__pid")
+      p should not include "CartesianProduct"
+    }
+    // q450 rich-club: the three per-level outputs must come from ONE
+    // explode over the single combined row — the union-of-three-selects
+    // form recomputes the edge aggregation per level (the round-10 weak
+    // item, 3× the tail cost)
+    locally {
+      spark.catalog.clearCache()
+      val qe = SparkEntry.queries("q450_rich_club")(spark, dir)
+        .queryExecution
+      val gens = qe.optimizedPlan.collect { case g: Generate => g }
+      withClue("q450 must build its 3 levels from one explode:") {
+        gens should have size 1
+      }
+      qe.executedPlan.toString should not include "CartesianProduct"
+    }
+    // q453 spectral entropy: the rounded-trig spectrum's harmonics are
+    // model frames — at this SF every join must be broadcast-shaped (no
+    // cartesian, no shuffle join); the per-type windows are covered by
+    // the NoGlobalWindowSpec sweep
+    locally {
+      spark.catalog.clearCache()
+      val p = SparkEntry.queries("q453_spectral_entropy")(spark, dir)
+        .queryExecution.executedPlan.toString
+      p should not include "CartesianProduct"
+      p should not include "SortMergeJoin"
+    }
+  }
+
   test("q294 fact scan carries a dynamicpruning partition filter (DPP fires)") {
     spark.catalog.clearCache()
     val plan = SparkEntry.queries("q294_dpp_join")(spark, "/root/testdata/sf0.001")

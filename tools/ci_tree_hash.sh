@@ -6,5 +6,7 @@
 # committed is the one the full gate validated.
 set -eu
 cd "$(git rev-parse --show-toplevel)"
-{ git ls-files -co --exclude-standard src; echo build.sbt; } | sort \
-  | xargs sha256sum | sha256sum | cut -d' ' -f1
+# NUL-delimited end to end: a path with whitespace must hash as ONE
+# argument, not split into garbage (ADVICE r10).
+{ git ls-files -z -co --exclude-standard src; printf 'build.sbt\0'; } \
+  | sort -z | xargs -0 sha256sum | sha256sum | cut -d' ' -f1
