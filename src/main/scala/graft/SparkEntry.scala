@@ -50,7 +50,8 @@ object SparkEntry {
       TrendPowerQueries.all ++ AgreementQueries.all ++
       ReliabilityQueries.all ++ BalanceQueries.all ++
       AdoptionQueries.all ++ ComplexityQueries.all ++
-      CapstoneQueries.all
+      CapstoneQueries.all ++ ReliabilityTwoQueries.all ++
+      StationarityQueries.all
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0.
     * Full slice: scan -> filter -> broadcast-join -> agg -> window top-k.
