@@ -245,6 +245,60 @@ object CapstoneQueries {
               sum(col("hp")).cast("double") / sum(col("hc"))), 6)
               .as("click_to_purchase"))
           .orderBy("cohort")
+      }),
+
+    // Lakehouse-operations capstone: the V-layer exercised as ONE
+    // composed lifecycle — CONVERT-style create (v0) → copy-on-write
+    // UPDATE (v1, negative balances clamped) → DELETE (v2, a whole
+    // segment dropped) → schema-evolving APPEND (v3, +10% VIP clones
+    // with a new boolean column) — with the final per-segment state,
+    // the time-travel row count at v0, and the manifest version count
+    // all read back through the SAME log, and the expected values
+    // reconstructed in pure SQL over the untouched fixture (deleted
+    // MACHINERY rows survive only via the post-delete clones). Scratch
+    // table rebuilt per run (q42-q45 mechanism).
+    Q("q464_lakehouse_capstone", Q.sql("""
+        WITH kept AS (
+          SELECT c_mktsegment,
+            CASE WHEN c_acctbal < 0 THEN 0.0 ELSE c_acctbal END AS bal,
+            0 AS vip
+          FROM customer WHERE c_mktsegment <> 'MACHINERY'),
+        clones AS (
+          SELECT c_mktsegment, c_acctbal AS bal, 1 AS vip
+          FROM customer WHERE c_custkey % 10 = 0),
+        cur AS (SELECT * FROM kept UNION ALL SELECT * FROM clones),
+        n0 AS (SELECT CAST(count(*) AS BIGINT) AS n_v0 FROM customer)
+        SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_rows,
+          round(CAST(sum(CAST(bal AS DECIMAL(27,8))) AS DOUBLE), 2)
+            AS acctbal_sum,
+          CAST(sum(vip) AS BIGINT) AS n_vip,
+          n0.n_v0,
+          CAST(4 AS BIGINT) AS n_versions
+        FROM cur, n0
+        GROUP BY c_mktsegment, n0.n_v0
+        ORDER BY c_mktsegment"""))(
+      (s, dir) => {
+        import graft.ops.Relational.dsum
+        import graft.versioned.VersionedTable
+        val base = T(s, dir, "customer")
+        val t0 = VersionedTable.create(s,
+          VersionedQueries.scratch(s, "capstone", dir), base)
+        val t1 = t0.update(col("c_acctbal") < 0,
+          Map("c_acctbal" -> lit(0.0)))
+        val t2 = t1.delete(col("c_mktsegment") === "MACHINERY")
+        val clones = base.where(col("c_custkey") % 10 === 0)
+          .withColumn("vip", lit(true))
+        val t3 = t2.append(clones, mergeSchema = true)
+        val n0 = t3.asOf(0).agg(count(lit(1)).cast("long").as("n_v0"))
+        val nv = t3.history
+          .agg(count(lit(1)).cast("long").as("n_versions"))
+        t3.toDF.groupBy("c_mktsegment").agg(
+            count(lit(1)).cast("long").as("n_rows"),
+            round(dsum(col("c_acctbal"), 8), 2).as("acctbal_sum"),
+            sum(when(col("vip") === true, 1L).otherwise(0L))
+              .cast("long").as("n_vip"))
+          .crossJoin(broadcast(n0)).crossJoin(broadcast(nv))
+          .orderBy("c_mktsegment")
       })
   )
 }
