@@ -51,7 +51,7 @@ object SparkEntry {
       ReliabilityQueries.all ++ BalanceQueries.all ++
       AdoptionQueries.all ++ ComplexityQueries.all ++
       CapstoneQueries.all ++ ReliabilityTwoQueries.all ++
-      StationarityQueries.all
+      StationarityQueries.all ++ RankScaleQueries.all
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0.
     * Full slice: scan -> filter -> broadcast-join -> agg -> window top-k.
