@@ -218,30 +218,33 @@ object AdoptionQueries {
         val dcum = graft.ops.Prefix.runningTotal(
           dh, Seq(col("d")), col("c"), "cc")
         val nn = deg.agg(count(lit(1)).as("n"))
-        // all three degree cuts in ONE conditional aggregation,
-        // collected as a single model-bounded row (precedent: the eager
-        // peel count in q340) — inlining the three Long cuts as
-        // literals keeps every downstream branch in plain codegen
-        // instead of re-broadcasting the cut subtree per consumer
-        val kkRow = dcum.crossJoin(broadcast(nn)).agg(
+        // all three degree cuts in ONE conditional aggregation, kept
+        // LAZY as a 1-row frame (no collect at construction time —
+        // plan-only sweeps build every registered query, and an eager
+        // collect would make them pay full execution; round-11 ADVICE).
+        // cache() so the cut subtree materializes once across the
+        // flag/struct consumers instead of per broadcast
+        val kk = dcum.crossJoin(broadcast(nn)).agg(
           min(when(col("cc") >= expr("(n + 1) div 2"), col("d")))
             .as("k50"),
           min(when(col("cc") >= expr("(3 * n + 3) div 4"), col("d")))
             .as("k75"),
           min(when(col("cc") >= expr("(9 * n + 9) div 10"), col("d")))
-            .as("k90")).collect()(0)
-        // an empty graph leaves the cuts NULL (min over zero rows) —
-        // MaxValue makes every membership flag false, so the n_k > 0
+            .as("k90")).cache()
+        // rich-club membership as flags on the vertex frame — only the
+        // 1-row cut frame is ever broadcast, nothing vertex-sized. An
+        // empty graph leaves the cuts NULL (min over zero rows): the
+        // NULL comparisons make every flag non-true, so the n_k > 0
         // filter below yields the oracle's empty output
-        def kAt(i: Int): Long =
-          if (kkRow.isNullAt(i)) Long.MaxValue else kkRow.getLong(i)
-        val (k50, k75, k90) = (kAt(0), kAt(1), kAt(2))
-        // rich-club membership as flags on the vertex frame — nothing
-        // vertex-sized is ever broadcast
-        val degf = deg.select(col("v"),
-          (col("d") > lit(k50)).as("r50"),
-          (col("d") > lit(k75)).as("r75"),
-          (col("d") > lit(k90)).as("r90"))
+        // constant-key broadcast HASH join, not crossJoin: a BNLJ
+        // against even a 1-row frame drops the vertex scan out of
+        // whole-stage codegen (round-7 lesson)
+        val degf = deg.withColumn("j", lit(1))
+          .join(broadcast(kk.withColumn("j", lit(1))), "j")
+          .select(col("v"),
+            (col("d") > col("k50")).as("r50"),
+            (col("d") > col("k75")).as("r75"),
+            (col("d") > col("k90")).as("r90"))
         val nk = degf.agg(
           sum(when(col("r50"), 1L).otherwise(0L)).as("n50"),
           sum(when(col("r75"), 1L).otherwise(0L)).as("n75"),
@@ -258,17 +261,18 @@ object AdoptionQueries {
             .as("e75"),
           sum(when(col("a90") && col("b90"), 1L).otherwise(0L))
             .as("e90"))
-        val one = nk.crossJoin(ekA) // two 1-row aggs
+        // three 1-row aggs joined — still one row
+        val one = nk.crossJoin(ekA).crossJoin(broadcast(kk))
         // explode ONE struct array from the single combined row — a
         // union of three per-level selects would recompute the ej
         // aggregation per branch (measured 3× the tail cost)
-        def lvlStruct(tag: String, k: Long, nC: String, eC: String) =
-          struct(lit(tag).as("level"), lit(k).as("degree_k"),
+        def lvlStruct(tag: String, kC: String, nC: String, eC: String) =
+          struct(lit(tag).as("level"), col(kC).as("degree_k"),
             col(nC).as("n_k"), col(eC).as("e_k"))
         one.select(explode(array(
-            lvlStruct("d50", k50, "n50", "e50"),
-            lvlStruct("d75", k75, "n75", "e75"),
-            lvlStruct("d90", k90, "n90", "e90"))).as("r"))
+            lvlStruct("d50", "k50", "n50", "e50"),
+            lvlStruct("d75", "k75", "n75", "e75"),
+            lvlStruct("d90", "k90", "n90", "e90"))).as("r"))
           .select(col("r.level").as("level"),
             col("r.degree_k").as("degree_k"), col("r.n_k").as("n_k"),
             col("r.e_k").as("e_k"),

@@ -742,11 +742,14 @@ object CurationQueries {
             .unionByName(e.select(col("sb").as("u"), col("sa").as("v"))))
         val l0 = nbr.select(col("u")).distinct()
           .select(col("u"), col("u").as("lbl"))
-        // the label frame is node-count-sized (suppliers) — broadcast it
-        // each round so the cached edge list never re-shuffles; the only
-        // shuffle per round is the (u, lbl) mode aggregation
+        // the label frame is VERTEX-sized (one row per supplier) — it
+        // grows with the data, so it carries NO broadcast hint: at
+        // benchable SF Spark's size estimate/AQE still broadcasts it,
+        // and at web scale the label join correctly degrades to a
+        // shuffled equi-join on v (the cached edge list re-partitions
+        // once per round; a corpus-fraction broadcast would OOM first)
         val lbl3 = (1 to 3).foldLeft(l0) { (lbl, _) =>
-          nbr.join(broadcast(lbl.select(col("u").as("v2"), col("lbl"))),
+          nbr.join(lbl.select(col("u").as("v2"), col("lbl")),
               col("v") === col("v2"))
             .groupBy(col("u"), col("lbl"))
             .agg(count(lit(1)).as("c"))

@@ -208,10 +208,13 @@ object RankScaleQueries {
         val bC = d.agg(countDistinct(col("day")).cast("long").as("b"))
         val qj = sF.groupBy("event_type")
           .agg(sum(col("s4")).cast("long").as("q4"))
-        val tot = sF.agg(sum(col("s4") * col("s4")).cast("decimal(38,0)")
-          .as("a16"))
-        val bb = qj.agg(sum(col("q4") * col("q4")).cast("decimal(38,0)")
-          .as("sq16"))
+        // squares in decimal(19,0) BEFORE the multiply (q467's svv
+        // pattern): s4/q4 scale with the data, so long*long would wrap
+        // silently where the oracle's HUGEINT stays exact
+        val tot = sF.agg(sum(col("s4").cast("decimal(19,0)") * col("s4"))
+          .cast("decimal(38,0)").as("a16"))
+        val bb = qj.agg(sum(col("q4").cast("decimal(19,0)") * col("q4"))
+          .cast("decimal(38,0)").as("sq16"))
         val den = col("a16").cast("double") -
           col("sq16").cast("double") / col("b")
         qj.crossJoin(broadcast(tot)).crossJoin(broadcast(bb))

@@ -65,8 +65,10 @@ object ReliabilityTwoQueries {
         SELECT stratum, a, b, c, d,
           round(CASE WHEN b * c > 0
             THEN CAST(a AS DOUBLE) * d / (b * c) END, 6) AS odds_ratio,
-          round(srad / srbc, 6) AS mh_common_or,
-          round((sa - se) * (sa - se) / sv, 6) AS cmh_chi2
+          round(CASE WHEN srbc > 0 THEN srad / srbc END, 6)
+            AS mh_common_or,
+          round(CASE WHEN sv > 0
+            THEN (sa - se) * (sa - se) / sv END, 6) AS cmh_chi2
         FROM terms, pooled
         ORDER BY stratum"""))(
       (s, dir) => {
@@ -106,9 +108,14 @@ object ReliabilityTwoQueries {
             round(when(col("b") * col("c") > 0,
               col("a").cast("double") * col("d") / (col("b") * col("c"))),
               6).as("odds_ratio"),
-            round(col("srad") / col("srbc"), 6).as("mh_common_or"),
-            round((col("sa") - col("se")) * (col("sa") - col("se"))
-              / col("sv"), 6).as("cmh_chi2"))
+            // degenerate strata (all-exposed / all-unexposed) zero the
+            // pooled denominators: NULL-guard like q454, or Spark's
+            // non-ANSI NULL diverges from DuckDB's Inf/NaN
+            round(when(col("srbc") > 0, col("srad") / col("srbc")), 6)
+              .as("mh_common_or"),
+            round(when(col("sv") > 0,
+              (col("sa") - col("se")) * (col("sa") - col("se"))
+                / col("sv")), 6).as("cmh_chi2"))
           .orderBy("stratum")
       }),
 
@@ -143,16 +150,21 @@ object ReliabilityTwoQueries {
                 FROM x GROUP BY 1)),
         agg AS (
           SELECT CAST(count(*) AS BIGINT) AS k,
-            CAST(sum(n * q - s * s) AS BIGINT) AS item_num
+            CAST(sum(CAST(n AS HUGEINT) * q - CAST(s AS HUGEINT) * s)
+              AS DECIMAL(38,0)) AS item_num
           FROM item)
         SELECT agg.k AS k_items, tot.n AS n_users,
-          round(CAST(agg.item_num AS DOUBLE) / (tot.n * (tot.n - 1)), 6)
+          round(CAST(agg.item_num AS DOUBLE)
+            / (CAST(tot.n AS DOUBLE) * (tot.n - 1)), 6)
             AS sum_item_var,
-          round(CAST(tot.n * tot.q - tot.s * tot.s AS DOUBLE)
-            / (tot.n * (tot.n - 1)), 6) AS total_var,
+          round(CAST(CAST(tot.n AS HUGEINT) * tot.q
+              - CAST(tot.s AS HUGEINT) * tot.s AS DOUBLE)
+            / (CAST(tot.n AS DOUBLE) * (tot.n - 1)), 6) AS total_var,
           round(CAST(agg.k AS DOUBLE) / (agg.k - 1)
             * (1 - CAST(agg.item_num AS DOUBLE)
-              / (tot.n * tot.q - tot.s * tot.s)), 6) AS cronbach_alpha
+              / CAST(CAST(tot.n AS HUGEINT) * tot.q
+                - CAST(tot.s AS HUGEINT) * tot.s AS DOUBLE)), 6)
+            AS cronbach_alpha
         FROM agg, tot"""))(
       (s, dir) => {
         val ev = T(s, dir, "events")
@@ -173,19 +185,24 @@ object ReliabilityTwoQueries {
           .agg(count(lit(1)).cast("long").as("n"),
             sum(col("t")).cast("long").as("s"),
             sum(col("t") * col("t")).cast("long").as("q"))
+        // n scales with the data (users), so n·q and s² are computed in
+        // decimal(19,0)→decimal(38,0) like q467's svv — long·long would
+        // wrap silently at ~n>1e8 while the oracle's HUGEINT stays exact
         val agg = item.agg(count(lit(1)).cast("long").as("k"),
-          sum(col("n") * col("q") - col("s") * col("s")).cast("long")
-            .as("item_num"))
+          sum(col("n").cast("decimal(19,0)") * col("q") -
+              col("s").cast("decimal(19,0)") * col("s"))
+            .cast("decimal(38,0)").as("item_num"))
+        val totNum = (col("n").cast("decimal(19,0)") * col("q") -
+          col("s").cast("decimal(19,0)") * col("s")).cast("decimal(38,0)")
+        val denNN = col("n").cast("double") * (col("n") - lit(1))
         agg.crossJoin(broadcast(tot))
           .select(col("k").as("k_items"), col("n").as("n_users"),
-            round(col("item_num").cast("double")
-              / (col("n") * (col("n") - 1)), 6).as("sum_item_var"),
-            round((col("n") * col("q") - col("s") * col("s"))
-              .cast("double") / (col("n") * (col("n") - 1)), 6)
-              .as("total_var"),
+            round(col("item_num").cast("double") / denNN, 6)
+              .as("sum_item_var"),
+            round(totNum.cast("double") / denNN, 6).as("total_var"),
             round(col("k").cast("double") / (col("k") - 1)
               * (lit(1) - col("item_num").cast("double")
-                / (col("n") * col("q") - col("s") * col("s"))), 6)
+                / totNum.cast("double")), 6)
               .as("cronbach_alpha"))
       }),
 

@@ -169,9 +169,10 @@ object StationarityQueries {
           FROM e GROUP BY 1),
         ck AS (
           SELECT e.event_type, e.day, e.h, e.n,
-            (e.res * e.res) * e.h
-              / (2 * (s.ssr / (e.n - 2)) * (1 - e.h) * (1 - e.h))
-              AS cook
+            CASE WHEN e.n > 2 AND e.h < 1 AND s.ssr > 0
+              THEN (e.res * e.res) * e.h
+                / (2 * (s.ssr / (e.n - 2)) * (1 - e.h) * (1 - e.h))
+              END AS cook
           FROM e JOIN s ON s.event_type = e.event_type),
         rk AS (
           SELECT event_type, day, cook, h,
@@ -219,11 +220,15 @@ object StationarityQueries {
           max(col("n")).as("n2"),
           sum(round(col("res") * col("res"), 4).cast("decimal(38,4)"))
             .cast("double").as("ssr"))
+        // NULL-guard the data-dependent denominators (q454 discipline):
+        // n==2 zeroes ssr/(n−2), h==1 zeroes (1−h)², all-on-the-line
+        // fits zero ssr — each would be NULL on Spark vs Inf on DuckDB
         val ck = e.join(ss, "event_type")
           .select(col("event_type"), col("day"), col("h"), col("n"),
-            ((col("res") * col("res")) * col("h")
-              / (lit(2) * (col("ssr") / (col("n") - 2))
-                * (lit(1) - col("h")) * (lit(1) - col("h"))))
+            when(col("n") > 2 && col("h") < 1 && col("ssr") > 0,
+              (col("res") * col("res")) * col("h")
+                / (lit(2) * (col("ssr") / (col("n") - 2))
+                  * (lit(1) - col("h")) * (lit(1) - col("h"))))
               .as("cook"))
         val w = Window.partitionBy("event_type")
           .orderBy(col("cook").desc, col("day"))

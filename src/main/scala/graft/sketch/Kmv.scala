@@ -73,10 +73,14 @@ object Kmv {
     * join here is a broadcast of at most k hashes.
     */
   def intersectEstimate(a: DataFrame, b: DataFrame, k: Int): DataFrame = {
-    // enforce the <= k contract as a STATIC bound (limit is a no-op on
-    // conforming inputs) so every broadcast below is provably model-sized
-    val ak = a.limit(k)
-    val bk = b.limit(k)
+    // enforce the <= k contract as a STATIC bound, deterministically:
+    // sort-by-hash + limit is a TakeOrderedAndProject (per-partition
+    // top-k, then merge — no global shuffle), a no-op on conforming
+    // inputs, and on an OVERSIZED input it keeps the k SMALLEST hashes
+    // — the sketch semantics — where a bare limit(k) kept an arbitrary
+    // subset that silently corrupted theta_u/matches
+    val ak = a.orderBy(col("h")).limit(k)
+    val bk = b.orderBy(col("h")).limit(k)
     val u = ak.select(col("h")).unionByName(bk.select(col("h"))).distinct()
     // union frame is <= 2k rows: rank by the house broadcast self-join
     // count (no global window anywhere in the engine)

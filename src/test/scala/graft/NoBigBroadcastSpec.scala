@@ -4,6 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.{LeftAnti, LeftSemi}
 import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.execution.columnar.InMemoryRelation
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 import org.apache.spark.sql.functions._
 
@@ -76,7 +77,8 @@ class NoBigBroadcastSpec extends SparkSpec {
     "n_nationkey", "n_regionkey", "r_regionkey", "s_nationkey",
     "c_nationkey")
   private def isEntityKey(n: String): Boolean =
-    entityKey.matcher(n).find() && !fixedDomainKey.contains(n)
+    n == "!unresolved" ||
+      (entityKey.matcher(n).find() && !fixedDomainKey.contains(n))
 
   private def hinted(h: Option[HintInfo]): Boolean =
     h.exists(_.strategy.exists(_.toString.toUpperCase.contains("BROADCAST")))
@@ -112,7 +114,15 @@ class NoBigBroadcastSpec extends SparkSpec {
 
   /** Trace `start` attributes through every Alias in `plan` to the
     * leaf-relation column names their value domains ultimately derive
-    * from.
+    * from. A `.cache()` boundary is NOT a leaf for this purpose: an
+    * [[InMemoryRelation]] exposes the cached frame's RENAMED columns
+    * (round-11 judge finding — q334's label frame surfaced as `u`, so
+    * the name-based entity check passed vacuously); the trace recurses
+    * into `cacheBuilder.logicalPlan`, positionally mapping the cached
+    * output back to the plan that produced it. Any origin that still
+    * cannot be resolved to a trusted relation column FAILS CLOSED as
+    * the sentinel `!unresolved`, which [[isEntityKey]] treats as
+    * entity-keyed.
     */
   private def leafOrigins(plan: LogicalPlan, start: AttributeSet): Set[String] = {
     val aliasDom = scala.collection.mutable.Map.empty[ExprId, AttributeSet]
@@ -126,9 +136,20 @@ class NoBigBroadcastSpec extends SparkSpec {
     def expand(id: ExprId): Unit =
       if (seen.add(id)) aliasDom.get(id).foreach(_.foreach(a => expand(a.exprId)))
     start.foreach(a => expand(a.exprId))
-    val leafName = plan.collectLeaves()
-      .flatMap(_.output.map(a => a.exprId -> a.name)).toMap
-    seen.flatMap(leafName.get).toSet
+    val leafAttr: Map[ExprId, (String, LogicalPlan)] = plan.collectLeaves()
+      .flatMap(l => l.output.map(a => a.exprId -> (a.name, l))).toMap
+    seen.toSet.flatMap { (id: ExprId) =>
+      leafAttr.get(id) match {
+        case Some((_, imr: InMemoryRelation)) =>
+          val idx = imr.output.indexWhere(_.exprId == id)
+          val cached = imr.cacheBuilder.logicalPlan
+          if (idx >= 0 && idx < cached.output.size)
+            leafOrigins(cached, AttributeSet(cached.output(idx) :: Nil))
+          else Set("!unresolved")
+        case Some((name, _)) => Set(name)
+        case None            => Set.empty[String]
+      }
+    }
   }
 
   /** Recursive model-boundedness: would this frame stay broadcastable
@@ -136,6 +157,10 @@ class NoBigBroadcastSpec extends SparkSpec {
     */
   private def bounded(p: LogicalPlan): Boolean = p match {
     case _ if p.maxRows.exists(_ <= 100000) => true
+    // a cache boundary is transparent: the cached LOGICAL plan is
+    // analyzed with the same rules (round-11 judge: treating it as an
+    // opaque leaf failed OPEN through the Aggregate branch above)
+    case imr: InMemoryRelation => bounded(imr.cacheBuilder.logicalPlan)
     case leaf: LeafNode => isDimLeaf(leaf)
     case a: Aggregate =>
       val gRefs = AttributeSet(a.groupingExpressions.flatMap(ge => domainRefs(ge).toSeq))
@@ -178,6 +203,18 @@ class NoBigBroadcastSpec extends SparkSpec {
         li.join(broadcast(perSupplier),
           li("l_suppkey") === perSupplier("v")).select(col("n"))).nonEmpty,
         "probe no longer flags an entity-keyed aggregate broadcast")
+      // cache-boundary control (round-11 judge finding): the SAME
+      // entity-keyed frame laundered through .cache() — the
+      // InMemoryRelation leaf exposes the renamed column `v`, so a
+      // name-only trace that stops at cache boundaries passes it
+      val laundered = li.select(col("l_suppkey").as("v")).cache()
+      try {
+        val perV = laundered.groupBy("v").agg(count(lit(1)).as("n"))
+        assert(oversizedBroadcasts(
+          li.join(broadcast(perV), li("l_suppkey") === perV("v"))
+            .select(col("n"))).nonEmpty,
+          "probe no longer traces entity keys through InMemoryRelation")
+      } finally { val _ = laundered.unpersist() }
       // ...and the legal shapes must NOT be: a global-agg scalar, a
       // domain-keyed model aggregate, a fixed dimension scan
       assert(oversizedBroadcasts(
