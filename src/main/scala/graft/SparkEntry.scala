@@ -51,7 +51,8 @@ object SparkEntry {
       ReliabilityQueries.all ++ BalanceQueries.all ++
       AdoptionQueries.all ++ ComplexityQueries.all ++
       CapstoneQueries.all ++ ReliabilityTwoQueries.all ++
-      StationarityQueries.all ++ RankScaleQueries.all
+      StationarityQueries.all ++ RankScaleQueries.all ++
+      VarianceDiagQueries.all ++ CycleCapstoneQueries.all
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0.
     * Full slice: scan -> filter -> broadcast-join -> agg -> window top-k.

@@ -134,6 +134,25 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  // q468 is only a meaningful INCREMENTAL twin if the replay actually
+  // splits into several micro-batches: the keep-min-id upsert path is
+  // untested by a single create-only batch. Pin ≥2 commits (create +
+  // at least one upsert) so a maxFilesPerTrigger/staging regression
+  // can't quietly degrade the capstone to its batch form.
+  test("q468 stream curation replays as MULTIPLE commits into the versioned table") {
+    import graft.versioned.VersionedTable
+    val dir = "/root/testdata/sf0.001"
+    val out = SparkEntry.queries("q468_stream_curation_capstone")(spark, dir)
+      .collect()
+    assert(out.nonEmpty, "q468 produced no split rows")
+    val root = s"${sys.props("java.io.tmpdir")}/graft_vt/stream-cur-" +
+      dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val versions = VersionedTable.open(spark, root).history.count()
+    assert(versions >= 2,
+      s"expected >=2 commits (create + upserts), saw $versions — " +
+        "the stream collapsed to a single batch")
+  }
+
   test("decade UDF variant agrees with the native expression") {
     val years = Seq(1969, 1970, 2025).toDF("year")
     val both = years.select(
