@@ -295,6 +295,351 @@ object VarianceDiagQueries {
             round((col("n") * (col("n") + 2)) * col("sterm"), 6)
               .as("lb_q7"))
           .orderBy("event_type")
+      }),
+
+    // Conover squared-ranks test (Conover & Iman, '78/'81) — the
+    // two-sample scale test that squares pooled ranks of |x − x̄_g|,
+    // completing the dispersion family beside q465 Ansari-Bradley
+    // (both-ends midranks) and q470 Siegel-Tukey (alternation): odd- vs
+    // even-day daily masses per type. Deviations are integer-exact via
+    // rdiv against each SAMPLE's own mean; pooled doubled midranks keep
+    // squared scores exact under ties (a = m2², so T and the (Σa, Σa²)
+    // moments are BIGINT/DECIMAL-exact); z uses the general
+    // linear-rank-statistic moments, valid under any tie structure.
+    Q("q473_conover_squared_ranks", Q.sql(s"""
+        WITH d AS ($dailyMassSql),
+        g AS (SELECT event_type, day, v,
+                CAST(dayofmonth(day) % 2 AS INT) AS grp FROM d),
+        m AS (SELECT event_type, grp, CAST(count(*) AS BIGINT) AS n_g,
+                CAST(sum(v) AS BIGINT) AS s_g FROM g GROUP BY 1, 2),
+        u AS (
+          SELECT g.event_type, g.grp,
+            (abs(g.v * m.n_g - m.s_g) + m.n_g // 2) // m.n_g AS u
+          FROM g JOIN m ON m.event_type = g.event_type AND m.grp = g.grp),
+        uc AS (
+          SELECT event_type, u, CAST(count(*) AS BIGINT) AS c,
+            CAST(sum(grp) AS BIGINT) AS c1
+          FROM u GROUP BY 1, 2),
+        rk AS (
+          SELECT a.event_type, a.u, a.c, a.c1,
+            CAST(coalesce(sum(b.c), 0) AS BIGINT) AS less
+          FROM uc a LEFT JOIN uc b
+            ON b.event_type = a.event_type AND b.u < a.u
+          GROUP BY 1, 2, 3, 4),
+        sc AS (
+          SELECT event_type, c, c1, (2 * less + c + 1) AS m2 FROM rk),
+        agg AS (
+          SELECT event_type,
+            CAST(sum(c1 * m2 * m2) AS BIGINT) AS t1,
+            CAST(sum(c * m2 * m2) AS BIGINT) AS sa,
+            CAST(sum(CAST(c AS HUGEINT) * m2 * m2 * m2 * m2)
+              AS DECIMAL(38,0)) AS sa2,
+            CAST(sum(c) AS BIGINT) AS n,
+            CAST(sum(c1) AS BIGINT) AS n1
+          FROM sc GROUP BY 1),
+        fin AS (
+          SELECT event_type, n, n1, n - n1 AS n2, t1,
+            CAST(n1 AS DOUBLE) * sa / n AS mu,
+            CAST(n1 AS DOUBLE) * (n - n1)
+              * (n * CAST(sa2 AS DOUBLE) - CAST(sa AS DOUBLE) * sa)
+              / (CAST(n AS DOUBLE) * n * (n - 1)) AS vv
+          FROM agg)
+        SELECT event_type, n1, n2, CAST(t1 AS BIGINT) AS t_sq,
+          round(CASE WHEN vv > 0 THEN (t1 - mu) / sqrt(vv) END, 6) AS z
+        FROM fin ORDER BY event_type"""))(
+      (s, dir) => {
+        val g = dailyMass(s, dir).select(col("event_type"), col("day"),
+          col("v"), (dayofmonth(col("day")) % 2).cast("int").as("grp"))
+        val m = g.groupBy("event_type", "grp").agg(
+          count(lit(1)).cast("long").as("n_g"),
+          sum(col("v")).cast("long").as("s_g"))
+        val u = g.join(m, Seq("event_type", "grp"))
+          .select(col("event_type"), col("grp"),
+            rdiv(abs(col("v") * col("n_g") - col("s_g")), col("n_g"))
+              .cast("long").as("u"))
+        val uc = u.groupBy("event_type", "u").agg(
+          count(lit(1)).cast("long").as("c"),
+          sum(col("grp")).cast("long").as("c1"))
+        val rk = graft.ops.Prefix.runningTotal(uc, Seq(col("u")),
+            col("c"), "cum", strataCols = Seq("event_type"))
+          .withColumn("less", col("cum") - col("c"))
+        val sc = rk.select(col("event_type"), col("c"), col("c1"),
+          (lit(2) * col("less") + col("c") + 1).as("m2"))
+        val agg = sc.groupBy("event_type").agg(
+          sum(col("c1") * col("m2") * col("m2")).cast("long").as("t1"),
+          sum(col("c") * col("m2") * col("m2")).cast("long").as("sa"),
+          sum(col("c").cast("decimal(19,0)") * col("m2") * col("m2")
+            * col("m2") * col("m2")).cast("decimal(38,0)").as("sa2"),
+          sum(col("c")).cast("long").as("n"),
+          sum(col("c1")).cast("long").as("n1"))
+        val fin = agg.select(col("event_type"), col("n1"),
+          (col("n") - col("n1")).as("n2"), col("t1"),
+          (col("n1").cast("double") * col("sa") / col("n")).as("mu"),
+          (col("n1").cast("double") * (col("n") - col("n1"))
+            * (col("n") * col("sa2").cast("double")
+              - col("sa").cast("double") * col("sa"))
+            / (col("n").cast("double") * col("n") * (col("n") - 1)))
+            .as("vv"))
+        fin.select(col("event_type"), col("n1"), col("n2"),
+            col("t1").as("t_sq"),
+            round(when(col("vv") > 0,
+              (col("t1") - col("mu")) / sqrt(col("vv"))), 6).as("z"))
+          .orderBy("event_type")
+      }),
+
+    // Bartels rank von Neumann ratio (Bartels JASA'82) — the RANK
+    // randomness test beside q211's runs test and q381's
+    // Durbin-Watson: RVN = Σ(R_t − R_{t+1})² / Σ(R_t − R̄)² over the
+    // per-type daily series, tie-robust via doubled midranks (the ×2
+    // cancels between numerator and denominator) and an N-scaled
+    // integer denominator Σ(N·R2_t − ΣR2)² so the whole statistic is a
+    // ratio of two exact DECIMAL(38,0) sums × N². z uses the no-ties
+    // asymptotic Var ≈ 4/N (labelled as such).
+    Q("q474_bartels_rvn", Q.sql(s"""
+        WITH d AS ($dailyMassSql),
+        vc AS (SELECT event_type, v, CAST(count(*) AS BIGINT) AS c
+               FROM d GROUP BY 1, 2),
+        rk AS (
+          SELECT a.event_type, a.v, a.c,
+            CAST(coalesce(sum(b.c), 0) AS BIGINT) AS less
+          FROM vc a LEFT JOIN vc b
+            ON b.event_type = a.event_type AND b.v < a.v
+          GROUP BY 1, 2, 3),
+        i AS (
+          SELECT d.event_type, d.day,
+            CAST(row_number() OVER (PARTITION BY d.event_type
+              ORDER BY d.day) AS BIGINT) AS t,
+            (2 * rk.less + rk.c + 1) AS r2
+          FROM d JOIN rk ON rk.event_type = d.event_type AND rk.v = d.v),
+        m AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(r2) AS BIGINT) AS s2 FROM i GROUP BY 1),
+        num AS (
+          SELECT a.event_type,
+            CAST(sum((a.r2 - b.r2) * (a.r2 - b.r2)) AS BIGINT) AS nm
+          FROM i a JOIN i b
+            ON b.event_type = a.event_type AND b.t = a.t + 1
+          GROUP BY 1),
+        den AS (
+          SELECT x.event_type,
+            CAST(sum(CAST(x.n2 AS HUGEINT) * x.n2) AS DECIMAL(38,0)) AS dn
+          FROM (SELECT i.event_type, m.n * i.r2 - m.s2 AS n2
+                FROM i JOIN m ON m.event_type = i.event_type) x
+          GROUP BY 1),
+        fin AS (
+          SELECT m.event_type, m.n,
+            CAST(m.n AS DOUBLE) * m.n * num.nm / CAST(den.dn AS DOUBLE)
+              AS rvn
+          FROM m JOIN num ON num.event_type = m.event_type
+          JOIN den ON den.event_type = m.event_type
+          WHERE den.dn > 0)
+        SELECT event_type, n AS n_days, round(rvn, 6) AS rvn,
+          round((rvn - 2) / sqrt(4.0 / n), 6) AS z_no_ties
+        FROM fin ORDER BY event_type"""))(
+      (s, dir) => {
+        val d = dailyMass(s, dir)
+        val vc = d.groupBy("event_type", "v")
+          .agg(count(lit(1)).cast("long").as("c"))
+        val rk = graft.ops.Prefix.runningTotal(vc, Seq(col("v")),
+            col("c"), "cum", strataCols = Seq("event_type"))
+          .withColumn("less", col("cum") - col("c"))
+        val wT = Window.partitionBy("event_type").orderBy("day")
+        val i = d.join(rk.select(col("event_type"), col("v"), col("c"),
+            col("less")), Seq("event_type", "v"))
+          .select(col("event_type"),
+            row_number().over(wT).cast("long").as("t"),
+            (lit(2) * col("less") + col("c") + 1).as("r2"))
+        val m = i.groupBy("event_type").agg(
+          count(lit(1)).cast("long").as("n"),
+          sum(col("r2")).cast("long").as("s2"))
+        val num = i.as("a")
+          .join(i.select(col("event_type"), col("t").as("tb"),
+            col("r2").as("r2b")), Seq("event_type"))
+          .where(col("tb") === col("t") + 1)
+          .groupBy("event_type")
+          .agg(sum((col("r2") - col("r2b")) * (col("r2") - col("r2b")))
+            .cast("long").as("nm"))
+        val den = i.join(m, "event_type")
+          .select(col("event_type"),
+            (col("n") * col("r2") - col("s2")).as("n2"))
+          .groupBy("event_type")
+          .agg(sum(col("n2").cast("decimal(19,0)") * col("n2"))
+            .cast("decimal(38,0)").as("dn"))
+        val fin = m.join(num, "event_type").join(den, "event_type")
+          .where(col("dn") > 0)
+          .select(col("event_type"), col("n"),
+            (col("n").cast("double") * col("n") * col("nm")
+              / col("dn").cast("double")).as("rvn"))
+        fin.select(col("event_type"), col("n").as("n_days"),
+            round(col("rvn"), 6).as("rvn"),
+            round((col("rvn") - 2) / sqrt(lit(4.0) / col("n")), 6)
+              .as("z_no_ties"))
+          .orderBy("event_type")
+      }),
+
+    // D'Agostino's K² omnibus normality test (D'Agostino '70;
+    // Anscombe-Glynn '83; D'Agostino-Pearson '73) — Z(√b₁)² + Z(b₂)²
+    // per type over the daily-mass series, the joint
+    // skewness+kurtosis companion to q382's Jarque-Bera. Deviations
+    // are integer-exact in CENTI-value units (rdiv by n·100 — tight
+    // enough that the quantization moves K² only in the 5th decimal,
+    // validated against a float reference), so Σe², Σe³, Σe⁴ are
+    // DECIMAL(38,0)-exact and g₁/b₂ are two fixed-order doubles. The
+    // Z transforms are per-type scalar ladders (sqrt/ln only; the
+    // kurtosis cube root via sign·exp(ln|t|/3), the engine-portable
+    // cbrt — libm cbrt diverges across engines).
+    Q("q475_dagostino_k2", Q.sql(s"""
+        WITH d AS ($dailyMassSql),
+        m0 AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(v) AS BIGINT) AS s FROM d GROUP BY 1),
+        e AS (
+          SELECT d.event_type, m0.n,
+            CASE WHEN d.v * m0.n - m0.s >= 0
+              THEN (d.v * m0.n - m0.s + (m0.n * 100) // 2) // (m0.n * 100)
+              ELSE -((-(d.v * m0.n - m0.s) + (m0.n * 100) // 2)
+                     // (m0.n * 100))
+            END AS eu
+          FROM d JOIN m0 ON m0.event_type = d.event_type),
+        mom AS (
+          SELECT event_type, max(n) AS n,
+            CAST(sum(CAST(eu AS HUGEINT) * eu) AS DECIMAL(38,0)) AS s2,
+            CAST(sum(CAST(eu AS HUGEINT) * eu * eu) AS DECIMAL(38,0))
+              AS s3,
+            CAST(sum(CAST(eu AS HUGEINT) * eu * eu * eu)
+              AS DECIMAL(38,0)) AS s4
+          FROM e GROUP BY 1),
+        gb AS (
+          SELECT event_type, n,
+            sqrt(CAST(n AS DOUBLE)) * CAST(s3 AS DOUBLE)
+              / (CAST(s2 AS DOUBLE) * sqrt(CAST(s2 AS DOUBLE))) AS g1,
+            CAST(n AS DOUBLE) * CAST(s4 AS DOUBLE)
+              / (CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE)) AS b2
+          FROM mom WHERE s2 > 0 AND n > 4),
+        z1c AS (
+          SELECT event_type, n, b2,
+            g1 * sqrt((CAST(n AS DOUBLE) + 1) * (n + 3)
+              / (6.0 * (n - 2))) AS y,
+            -1.0 + sqrt(2.0 * (3.0 * (CAST(n AS DOUBLE) * n + 27 * n - 70)
+              * (n + 1) * (n + 3)
+              / ((CAST(n AS DOUBLE) - 2) * (n + 5) * (n + 7) * (n + 9))
+              - 1)) AS w2
+          FROM gb),
+        z1 AS (
+          SELECT event_type, n, b2,
+            CASE WHEN y = 0 THEN 0.0 ELSE
+              (1.0 / sqrt(ln(sqrt(w2))))
+              * ln(y / sqrt(2.0 / (w2 - 1))
+                  + sqrt((y / sqrt(2.0 / (w2 - 1)))
+                         * (y / sqrt(2.0 / (w2 - 1))) + 1.0))
+            END AS zs
+          FROM z1c),
+        z2c AS (
+          SELECT event_type, n, zs,
+            (b2 - 3.0 * (n - 1) / (CAST(n AS DOUBLE) + 1))
+              / sqrt(24.0 * n * (n - 2) * (n - 3)
+                / ((CAST(n AS DOUBLE) + 1) * (n + 1) * (n + 3) * (n + 5)))
+              AS x,
+            6.0 + 8.0 / (6.0 * (CAST(n AS DOUBLE) * n - 5 * n + 2)
+                / ((CAST(n AS DOUBLE) + 7) * (n + 9))
+                * sqrt(6.0 * (n + 3) * (n + 5)
+                  / (CAST(n AS DOUBLE) * (n - 2) * (n - 3))))
+              * (2.0 / (6.0 * (CAST(n AS DOUBLE) * n - 5 * n + 2)
+                  / ((CAST(n AS DOUBLE) + 7) * (n + 9))
+                  * sqrt(6.0 * (n + 3) * (n + 5)
+                    / (CAST(n AS DOUBLE) * (n - 2) * (n - 3))))
+                + sqrt(1.0 + 4.0 / ((6.0 * (CAST(n AS DOUBLE) * n - 5 * n + 2)
+                    / ((CAST(n AS DOUBLE) + 7) * (n + 9))
+                    * sqrt(6.0 * (n + 3) * (n + 5)
+                      / (CAST(n AS DOUBLE) * (n - 2) * (n - 3))))
+                  * (6.0 * (CAST(n AS DOUBLE) * n - 5 * n + 2)
+                    / ((CAST(n AS DOUBLE) + 7) * (n + 9))
+                    * sqrt(6.0 * (n + 3) * (n + 5)
+                      / (CAST(n AS DOUBLE) * (n - 2) * (n - 3)))))))
+              AS a
+          FROM z1),
+        z2 AS (
+          SELECT event_type, n, zs,
+            CASE WHEN 1.0 + x * sqrt(2.0 / (a - 4)) = 0 THEN NULL ELSE
+              ((1.0 - 2.0 / (9 * a)) -
+                CASE
+                  WHEN (1.0 - 2.0 / a) / (1.0 + x * sqrt(2.0 / (a - 4))) > 0
+                  THEN exp(ln((1.0 - 2.0 / a)
+                    / (1.0 + x * sqrt(2.0 / (a - 4)))) / 3)
+                  WHEN (1.0 - 2.0 / a) / (1.0 + x * sqrt(2.0 / (a - 4))) < 0
+                  THEN -exp(ln(-((1.0 - 2.0 / a)
+                    / (1.0 + x * sqrt(2.0 / (a - 4))))) / 3)
+                  ELSE 0.0
+                END)
+              / sqrt(2.0 / (9 * a))
+            END AS zk
+          FROM z2c)
+        SELECT event_type, n AS n_days, round(zs, 6) AS z_skew,
+          round(zk, 6) AS z_kurt, round(zs * zs + zk * zk, 6) AS k2
+        FROM z2 ORDER BY event_type"""))(
+      (s, dir) => {
+        val d = dailyMass(s, dir)
+        val m0 = d.groupBy("event_type").agg(
+          count(lit(1)).cast("long").as("n"),
+          sum(col("v")).cast("long").as("s"))
+        val e = d.join(m0, "event_type")
+          .select(col("event_type"), col("n"),
+            when(col("v") * col("n") - col("s") >= 0,
+              expr("(v * n - s + (n * 100) div 2) div (n * 100)"))
+              .otherwise(-expr(
+                "(-(v * n - s) + (n * 100) div 2) div (n * 100)"))
+              .as("eu"))
+        val euD = col("eu").cast("decimal(19,0)")
+        val mom = e.groupBy("event_type").agg(max(col("n")).as("n"),
+          sum(euD * col("eu")).cast("decimal(38,0)").as("s2"),
+          sum(euD * col("eu") * col("eu")).cast("decimal(38,0)").as("s3"),
+          sum(euD * col("eu") * col("eu") * col("eu"))
+            .cast("decimal(38,0)").as("s4"))
+        val nD = col("n").cast("double")
+        val s2D = col("s2").cast("double")
+        val gb = mom.where(col("s2") > 0 && col("n") > 4)
+          .select(col("event_type"), col("n"),
+            (sqrt(nD) * col("s3").cast("double") / (s2D * sqrt(s2D)))
+              .as("g1"),
+            (nD * col("s4").cast("double") / (s2D * s2D)).as("b2"))
+        val z1c = gb.select(col("event_type"), col("n"), col("b2"),
+          (col("g1") * sqrt((nD + 1) * (col("n") + 3)
+            / (lit(6.0) * (col("n") - 2)))).as("y"),
+          (lit(-1.0) + sqrt(lit(2.0) * (lit(3.0)
+            * (nD * col("n") + lit(27) * col("n") - 70)
+            * (col("n") + 1) * (col("n") + 3)
+            / ((nD - 2) * (col("n") + 5) * (col("n") + 7)
+              * (col("n") + 9)) - 1))).as("w2"))
+        val ya = col("y") / sqrt(lit(2.0) / (col("w2") - 1))
+        val z1 = z1c.select(col("event_type"), col("n"), col("b2"),
+          when(col("y") === 0, 0.0)
+            .otherwise((lit(1.0) / sqrt(log(sqrt(col("w2")))))
+              * log(ya + sqrt(ya * ya + lit(1.0)))).as("zs"))
+        val sb1 = lit(6.0) * (nD * col("n") - lit(5) * col("n") + 2) /
+          ((nD + 7) * (col("n") + 9)) *
+          sqrt(lit(6.0) * (col("n") + 3) * (col("n") + 5) /
+            (nD * (col("n") - 2) * (col("n") - 3)))
+        val z2c = z1.select(col("event_type"), col("n"), col("zs"),
+          ((col("b2") - lit(3.0) * (col("n") - 1) / (nD + 1))
+            / sqrt(lit(24.0) * col("n") * (col("n") - 2) * (col("n") - 3)
+              / ((nD + 1) * (col("n") + 1) * (col("n") + 3)
+                * (col("n") + 5)))).as("x"),
+          (lit(6.0) + lit(8.0) / sb1
+            * (lit(2.0) / sb1 + sqrt(lit(1.0) + lit(4.0) / (sb1 * sb1))))
+            .as("a"))
+        val t1 = (lit(1.0) - lit(2.0) / col("a")) /
+          (lit(1.0) + col("x") * sqrt(lit(2.0) / (col("a") - 4)))
+        val cbrtT1 = when(t1 > 0, exp(log(t1) / 3))
+          .when(t1 < 0, -exp(log(-t1) / 3)).otherwise(lit(0.0))
+        val z2 = z2c.select(col("event_type"), col("n"), col("zs"),
+          when(lit(1.0) + col("x") * sqrt(lit(2.0) / (col("a") - 4))
+              =!= 0,
+            ((lit(1.0) - lit(2.0) / (lit(9) * col("a"))) - cbrtT1)
+              / sqrt(lit(2.0) / (lit(9) * col("a")))).as("zk"))
+        z2.select(col("event_type"), col("n").as("n_days"),
+            round(col("zs"), 6).as("z_skew"),
+            round(col("zk"), 6).as("z_kurt"),
+            round(col("zs") * col("zs") + col("zk") * col("zk"), 6)
+              .as("k2"))
+          .orderBy("event_type")
       })
   )
 }
