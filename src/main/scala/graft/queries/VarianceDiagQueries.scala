@@ -640,6 +640,224 @@ object VarianceDiagQueries {
             round(col("zs") * col("zs") + col("zk") * col("zk"), 6)
               .as("k2"))
           .orderBy("event_type")
+      }),
+
+    // Brunner-Munzel test (Brunner & Munzel Biom.J'00) — the
+    // nonparametric Behrens-Fisher problem: does odd-day revenue tend
+    // to exceed even-day revenue, WITHOUT assuming equal variances
+    // (the assumption q338 Mann-Whitney quietly makes)? Tie-robust by
+    // construction: pooled and within-sample DOUBLED midranks keep the
+    // rank-difference terms integer after scaling by n_k (T_i = n_k·(m2
+    // − w2_k + (n_k+1)) − Σm2_k), so the variance estimators S_k² are
+    // exact DECIMAL(38,0) sums over the value-grouped frame; the
+    // statistic is one fixed-order double assembly. Also reports
+    // p̂ = P(X<Y) + ½P(X=Y), the stochastic-superiority effect size.
+    Q("q476_brunner_munzel", Q.sql(s"""
+        WITH d AS ($dailyMassSql),
+        g AS (SELECT event_type, v,
+                CAST(dayofmonth(day) % 2 AS INT) AS grp FROM d),
+        vc AS (
+          SELECT event_type, v, CAST(count(*) AS BIGINT) AS c,
+            CAST(sum(grp) AS BIGINT) AS c1
+          FROM g GROUP BY 1, 2),
+        rk AS (
+          SELECT a.event_type, a.v, a.c, a.c1, a.c - a.c1 AS c0,
+            CAST(coalesce(sum(b.c), 0) AS BIGINT) AS less,
+            CAST(coalesce(sum(b.c1), 0) AS BIGINT) AS less1,
+            CAST(coalesce(sum(b.c - b.c1), 0) AS BIGINT) AS less0
+          FROM vc a LEFT JOIN vc b
+            ON b.event_type = a.event_type AND b.v < a.v
+          GROUP BY 1, 2, 3, 4, 5),
+        m AS (
+          SELECT event_type, CAST(sum(c) AS BIGINT) AS n,
+            CAST(sum(c1) AS BIGINT) AS n1y,
+            CAST(sum(c - c1) AS BIGINT) AS n0x,
+            CAST(sum(c1 * (2 * less + c + 1)) AS BIGINT) AS s2y,
+            CAST(sum((c - c1) * (2 * less + c + 1)) AS BIGINT) AS s2x
+          FROM rk GROUP BY 1),
+        tq AS (
+          SELECT rk.event_type,
+            CAST(sum(rk.c1 * CAST(m.n1y * ((2 * rk.less + rk.c + 1)
+                - (2 * rk.less1 + rk.c1 + 1) + (m.n1y + 1)) - m.s2y
+                AS HUGEINT)
+              * (m.n1y * ((2 * rk.less + rk.c + 1)
+                - (2 * rk.less1 + rk.c1 + 1) + (m.n1y + 1)) - m.s2y))
+              AS DECIMAL(38,0)) AS ty2,
+            CAST(sum(rk.c0 * CAST(m.n0x * ((2 * rk.less + rk.c + 1)
+                - (2 * rk.less0 + rk.c0 + 1) + (m.n0x + 1)) - m.s2x
+                AS HUGEINT)
+              * (m.n0x * ((2 * rk.less + rk.c + 1)
+                - (2 * rk.less0 + rk.c0 + 1) + (m.n0x + 1)) - m.s2x))
+              AS DECIMAL(38,0)) AS tx2
+          FROM rk JOIN m ON m.event_type = rk.event_type
+          GROUP BY 1),
+        fin AS (
+          SELECT m.event_type, m.n, m.n0x AS n1, m.n1y AS n2,
+            (CAST(m.s2y AS DOUBLE) / m.n1y - (m.n1y + 1))
+              / (2.0 * m.n0x) AS phat,
+            (CAST(m.s2y AS DOUBLE) / m.n1y
+              - CAST(m.s2x AS DOUBLE) / m.n0x) / 2 AS dbar,
+            CAST(tq.tx2 AS DOUBLE)
+              / (4.0 * m.n0x * m.n0x * (m.n0x - 1)) AS s1sq,
+            CAST(tq.ty2 AS DOUBLE)
+              / (4.0 * m.n1y * m.n1y * (m.n1y - 1)) AS s2sq
+          FROM m JOIN tq ON tq.event_type = m.event_type
+          WHERE m.n0x > 1 AND m.n1y > 1)
+        SELECT event_type, n1, n2, round(phat, 6) AS p_hat,
+          round(CASE WHEN s1sq + s2sq > 0 THEN dbar
+            / sqrt(n * (s1sq / (CAST(n - n1 AS DOUBLE) * (n - n1))
+              + s2sq / (CAST(n - n2 AS DOUBLE) * (n - n2)))) END, 6)
+            AS w_bm
+        FROM fin ORDER BY event_type"""))(
+      (s, dir) => {
+        val g = dailyMass(s, dir).select(col("event_type"), col("v"),
+          (dayofmonth(col("day")) % 2).cast("int").as("grp"))
+        val vc = g.groupBy("event_type", "v").agg(
+          count(lit(1)).cast("long").as("c"),
+          sum(col("grp")).cast("long").as("c1"))
+        // three per-type prefixes over the same value-grouped frame:
+        // pooled, sample-1, sample-0 less-counts
+        val vc0 = vc.withColumn("c0", col("c") - col("c1"))
+        val r1 = graft.ops.Prefix.runningTotal(vc0, Seq(col("v")),
+          col("c"), "cumAll", strataCols = Seq("event_type"))
+        val r2 = graft.ops.Prefix.runningTotal(r1, Seq(col("v")),
+          col("c1"), "cum1", strataCols = Seq("event_type"))
+        val r3 = graft.ops.Prefix.runningTotal(r2, Seq(col("v")),
+          col("c0"), "cum0", strataCols = Seq("event_type"))
+        val rk = r3
+          .withColumn("less", col("cumAll") - col("c"))
+          .withColumn("less1", col("cum1") - col("c1"))
+          .withColumn("less0", col("cum0") - col("c0"))
+        val m2 = lit(2) * col("less") + col("c") + 1
+        val w2y = lit(2) * col("less1") + col("c1") + 1
+        val w2x = lit(2) * col("less0") + col("c0") + 1
+        val m = rk.groupBy("event_type").agg(
+          sum(col("c")).cast("long").as("n"),
+          sum(col("c1")).cast("long").as("n1y"),
+          sum(col("c0")).cast("long").as("n0x"),
+          sum(col("c1") * m2).cast("long").as("s2y"),
+          sum(col("c0") * m2).cast("long").as("s2x"))
+        val j = rk.join(m, "event_type")
+        val ty = col("n1y") * (m2 - w2y + (col("n1y") + 1)) - col("s2y")
+        val tx = col("n0x") * (m2 - w2x + (col("n0x") + 1)) - col("s2x")
+        val tq = j.groupBy("event_type").agg(
+          sum(col("c1") * ty.cast("decimal(19,0)") * ty)
+            .cast("decimal(38,0)").as("ty2"),
+          sum(col("c0") * tx.cast("decimal(19,0)") * tx)
+            .cast("decimal(38,0)").as("tx2"))
+        val fin = m.join(tq, "event_type")
+          .where(col("n0x") > 1 && col("n1y") > 1)
+          .select(col("event_type"), col("n"),
+            col("n0x").as("n1"), col("n1y").as("n2"),
+            ((col("s2y").cast("double") / col("n1y") - (col("n1y") + 1))
+              / (lit(2.0) * col("n0x"))).as("phat"),
+            ((col("s2y").cast("double") / col("n1y")
+              - col("s2x").cast("double") / col("n0x")) / 2).as("dbar"),
+            (col("tx2").cast("double")
+              / (lit(4.0) * col("n0x") * col("n0x") * (col("n0x") - 1)))
+              .as("s1sq"),
+            (col("ty2").cast("double")
+              / (lit(4.0) * col("n1y") * col("n1y") * (col("n1y") - 1)))
+              .as("s2sq"))
+        fin.select(col("event_type"), col("n1"), col("n2"),
+            round(col("phat"), 6).as("p_hat"),
+            round(when(col("s1sq") + col("s2sq") > 0, col("dbar")
+              / sqrt(col("n") * (col("s1sq")
+                / ((col("n") - col("n1")).cast("double")
+                  * (col("n") - col("n1")))
+                + col("s2sq") / ((col("n") - col("n2")).cast("double")
+                  * (col("n") - col("n2")))))), 6).as("w_bm"))
+          .orderBy("event_type")
+      }),
+
+    // Cucconi test (Cucconi Giorn.Econ'68) — the JOINT location-scale
+    // two-sample test that predates (and often beats) the
+    // Lepage-style combinations: C from the squared ranks U and squared
+    // CONTRARY ranks V of the odd-day sample with their exact negative
+    // correlation ρ(N). Doubled midranks make ΣR² and Σ(N+1−R)² exact
+    // (×4) DECIMAL(38,0) sums; U, V, ρ, C are fixed-order doubles.
+    Q("q477_cucconi", Q.sql(s"""
+        WITH d AS ($dailyMassSql),
+        g AS (SELECT event_type, v,
+                CAST(dayofmonth(day) % 2 AS INT) AS grp FROM d),
+        vc AS (
+          SELECT event_type, v, CAST(count(*) AS BIGINT) AS c,
+            CAST(sum(grp) AS BIGINT) AS c1
+          FROM g GROUP BY 1, 2),
+        rk AS (
+          SELECT a.event_type, a.v, a.c, a.c1,
+            CAST(coalesce(sum(b.c), 0) AS BIGINT) AS less
+          FROM vc a LEFT JOIN vc b
+            ON b.event_type = a.event_type AND b.v < a.v
+          GROUP BY 1, 2, 3, 4),
+        nn AS (SELECT event_type, CAST(sum(c) AS BIGINT) AS n,
+                 CAST(sum(c1) AS BIGINT) AS n2 FROM rk GROUP BY 1),
+        m AS (
+          SELECT rk.event_type, max(nn.n) AS n, max(nn.n2) AS n2,
+            CAST(sum(CAST(rk.c1 AS HUGEINT) * (2 * rk.less + rk.c + 1)
+              * (2 * rk.less + rk.c + 1)) AS DECIMAL(38,0)) AS s4,
+            CAST(sum(CAST(rk.c1 AS HUGEINT)
+              * (2 * (nn.n + 1) - (2 * rk.less + rk.c + 1))
+              * (2 * (nn.n + 1) - (2 * rk.less + rk.c + 1)))
+              AS DECIMAL(38,0)) AS s4c
+          FROM rk JOIN nn ON nn.event_type = rk.event_type
+          GROUP BY 1),
+        uv AS (
+          SELECT event_type, n, n2, n - n2 AS n1,
+            (3.0 * CAST(s4 AS DOUBLE) - 2.0 * n2 * (n + 1) * (2 * n + 1))
+              / (2.0 * sqrt(CAST(n - n2 AS DOUBLE) * n2 * (n + 1)
+                * (2 * n + 1) * (8 * n + 11) / 5.0)) AS u,
+            (3.0 * CAST(s4c AS DOUBLE)
+              - 2.0 * n2 * (n + 1) * (2 * n + 1))
+              / (2.0 * sqrt(CAST(n - n2 AS DOUBLE) * n2 * (n + 1)
+                * (2 * n + 1) * (8 * n + 11) / 5.0)) AS v,
+            2.0 * (CAST(n AS DOUBLE) * n - 4)
+              / ((2.0 * n + 1) * (8 * n + 11)) - 1 AS rho
+          FROM m WHERE n > 2)
+        SELECT event_type, n1, n2, round(u, 6) AS u, round(v, 6) AS v,
+          round((u * u + v * v - 2 * rho * u * v)
+            / (2 * (1 - rho * rho)), 6) AS cucconi_c
+        FROM uv ORDER BY event_type"""))(
+      (s, dir) => {
+        val g = dailyMass(s, dir).select(col("event_type"), col("v"),
+          (dayofmonth(col("day")) % 2).cast("int").as("grp"))
+        val vc = g.groupBy("event_type", "v").agg(
+          count(lit(1)).cast("long").as("c"),
+          sum(col("grp")).cast("long").as("c1"))
+        val rk = graft.ops.Prefix.runningTotal(vc, Seq(col("v")),
+            col("c"), "cum", strataCols = Seq("event_type"))
+          .withColumn("less", col("cum") - col("c"))
+        val nn = rk.groupBy("event_type").agg(
+          sum(col("c")).cast("long").as("n"),
+          sum(col("c1")).cast("long").as("n2"))
+        val m2 = lit(2) * col("less") + col("c") + 1
+        val cm2 = lit(2) * (col("n") + 1) - m2
+        val m = rk.join(nn, "event_type").groupBy("event_type").agg(
+          max(col("n")).as("n"), max(col("n2")).as("n2"),
+          sum(col("c1").cast("decimal(19,0)") * m2 * m2)
+            .cast("decimal(38,0)").as("s4"),
+          sum(col("c1").cast("decimal(19,0)") * cm2 * cm2)
+            .cast("decimal(38,0)").as("s4c"))
+        val den = lit(2.0) * sqrt((col("n") - col("n2")).cast("double")
+          * col("n2") * (col("n") + 1) * (lit(2) * col("n") + 1)
+          * (lit(8) * col("n") + 11) / 5.0)
+        val uv = m.where(col("n") > 2)
+          .select(col("event_type"), col("n"), col("n2"),
+            (col("n") - col("n2")).as("n1"),
+            ((lit(3.0) * col("s4").cast("double") - lit(2.0) * col("n2")
+              * (col("n") + 1) * (lit(2) * col("n") + 1)) / den).as("u"),
+            ((lit(3.0) * col("s4c").cast("double") - lit(2.0) * col("n2")
+              * (col("n") + 1) * (lit(2) * col("n") + 1)) / den).as("v"),
+            (lit(2.0) * (col("n").cast("double") * col("n") - 4)
+              / ((lit(2.0) * col("n") + 1) * (lit(8) * col("n") + 11))
+              - 1).as("rho"))
+        uv.select(col("event_type"), col("n1"), col("n2"),
+            round(col("u"), 6).as("u"), round(col("v"), 6).as("v"),
+            round((col("u") * col("u") + col("v") * col("v")
+              - lit(2) * col("rho") * col("u") * col("v"))
+              / (lit(2) * (lit(1) - col("rho") * col("rho"))), 6)
+              .as("cucconi_c"))
+          .orderBy("event_type")
       })
   )
 }

@@ -49,21 +49,25 @@ class NoBigBroadcastSpec extends SparkSpec {
       ("rank/degree vectors over the SUPPLIER vertex set (|V| = dim-" +
         "sized, ~1000× smaller than the edge fact); broadcasting keeps " +
         "each iteration one shuffle instead of two. The web-scale path " +
-        "is the documented broadcastRanks=false switch in PageRank.run"),
+        "is the documented broadcastRanks=false switch in PageRank.run. " +
+        "Measured rows (round 12): 1,000 at sf0.1; 10,000 on the 10× " +
+        "fixture — KBs per executor either way"),
     "q310_trustrank" ->
-      ("same rank-vector pattern and the same broadcastRanks=false " +
-        "scale switch as q101 (TrustRank reuses PageRank's iteration)"),
+      ("same rank-vector pattern, the same broadcastRanks=false " +
+        "scale switch, and the same measured 1k/10k supplier rows " +
+        "as q101 (TrustRank reuses PageRank's iteration)"),
     "q256_knn_label_eval" ->
       ("deliberate leave-one-out brute-force kNN EVAL: the query side " +
         "is the full embedding fixture by design (ground truth, like " +
         "q39's all-pairs baseline); the production path at scale is " +
-        "the q41/q114/q245 LSH/IVF family"),
+        "the q41/q114/q245 LSH/IVF family. Measured rows (round 12): " +
+        "2,000 at sf0.1; 20,000 on the 10× fixture"),
     "q262_hashed_doc_knn" ->
       ("query side is <= |Q|·buckets rows (10 docs × 64 hash buckets " +
-        "here) — bounded by the queryPred id set, which the optimizer " +
-        "cannot see through the token explode; " +
-        "TfIdf.hashedCosineTopK(broadcastQuery = false) is the scale " +
-        "path"))
+        "= 640 rows MAX at every SF) — bounded by the queryPred id " +
+        "set, which the optimizer cannot see through the token " +
+        "explode; TfIdf.hashedCosineTopK(broadcastQuery = false) is " +
+        "the scale path"))
 
   /** Leaf column names whose distinct count scales with the data: the
     * TPC-H/events/documents entity identifiers. A grouping key tracing
