@@ -858,6 +858,122 @@ object VarianceDiagQueries {
               / (lit(2) * (lit(1) - col("rho") * col("rho"))), 6)
               .as("cucconi_c"))
           .orderBy("event_type")
+      }),
+
+    // Lepage test (Lepage Biometrika'71) — the classic JOINT
+    // location-scale two-sample statistic L = z_W² + z_AB², combining
+    // the Wilcoxon rank-sum (location) with Ansari-Bradley (scale) —
+    // the rank-combination twin of q477's Cucconi. Both components
+    // share ONE pooled doubled-midrank pass; each z uses the general
+    // linear-rank-statistic moments from its own score multiset
+    // (Σa, Σa²) — exact under ties, unlike the tie-free closed forms —
+    // so the whole statistic is integer-exact until two final double
+    // assemblies.
+    Q("q478_lepage", Q.sql(s"""
+        WITH d AS ($dailyMassSql),
+        g AS (SELECT event_type, v,
+                CAST(dayofmonth(day) % 2 AS INT) AS grp FROM d),
+        vc AS (
+          SELECT event_type, v, CAST(count(*) AS BIGINT) AS c,
+            CAST(sum(grp) AS BIGINT) AS c1
+          FROM g GROUP BY 1, 2),
+        rk AS (
+          SELECT a.event_type, a.v, a.c, a.c1,
+            CAST(coalesce(sum(b.c), 0) AS BIGINT) AS less
+          FROM vc a LEFT JOIN vc b
+            ON b.event_type = a.event_type AND b.v < a.v
+          GROUP BY 1, 2, 3, 4),
+        nn AS (SELECT event_type, CAST(sum(c) AS BIGINT) AS n,
+                 CAST(sum(c1) AS BIGINT) AS n1 FROM rk GROUP BY 1),
+        sc AS (
+          SELECT rk.event_type, rk.c, rk.c1,
+            (2 * rk.less + rk.c + 1) AS aw,
+            least(2 * rk.less + rk.c + 1,
+                  2 * (nn.n + 1) - (2 * rk.less + rk.c + 1)) AS ab
+          FROM rk JOIN nn ON nn.event_type = rk.event_type),
+        agg AS (
+          SELECT event_type,
+            CAST(sum(c1 * aw) AS BIGINT) AS tw,
+            CAST(sum(c * aw) AS BIGINT) AS saw,
+            CAST(sum(CAST(c AS HUGEINT) * aw * aw) AS DECIMAL(38,0))
+              AS saw2,
+            CAST(sum(c1 * ab) AS BIGINT) AS tb,
+            CAST(sum(c * ab) AS BIGINT) AS sab,
+            CAST(sum(CAST(c AS HUGEINT) * ab * ab) AS DECIMAL(38,0))
+              AS sab2
+          FROM sc GROUP BY 1),
+        fin AS (
+          SELECT agg.event_type, nn.n, nn.n1, nn.n - nn.n1 AS n2,
+            tw - CAST(nn.n1 AS DOUBLE) * saw / nn.n AS dw,
+            CAST(nn.n1 AS DOUBLE) * (nn.n - nn.n1)
+              * (nn.n * CAST(saw2 AS DOUBLE) - CAST(saw AS DOUBLE) * saw)
+              / (CAST(nn.n AS DOUBLE) * nn.n * (nn.n - 1)) AS vw,
+            tb - CAST(nn.n1 AS DOUBLE) * sab / nn.n AS db,
+            CAST(nn.n1 AS DOUBLE) * (nn.n - nn.n1)
+              * (nn.n * CAST(sab2 AS DOUBLE) - CAST(sab AS DOUBLE) * sab)
+              / (CAST(nn.n AS DOUBLE) * nn.n * (nn.n - 1)) AS vb
+          FROM agg JOIN nn ON nn.event_type = agg.event_type
+          WHERE nn.n1 > 0 AND nn.n - nn.n1 > 0 AND nn.n > 1),
+        z AS (
+          SELECT event_type, n1, n2,
+            CASE WHEN vw > 0 THEN dw / sqrt(vw) END AS zw,
+            CASE WHEN vb > 0 THEN db / sqrt(vb) END AS zb
+          FROM fin)
+        SELECT event_type, n1, n2, round(zw, 6) AS z_wilcoxon,
+          round(zb, 6) AS z_ansari,
+          round(zw * zw + zb * zb, 6) AS lepage_l
+        FROM z ORDER BY event_type"""))(
+      (s, dir) => {
+        val g = dailyMass(s, dir).select(col("event_type"), col("v"),
+          (dayofmonth(col("day")) % 2).cast("int").as("grp"))
+        val vc = g.groupBy("event_type", "v").agg(
+          count(lit(1)).cast("long").as("c"),
+          sum(col("grp")).cast("long").as("c1"))
+        val rk = graft.ops.Prefix.runningTotal(vc, Seq(col("v")),
+            col("c"), "cum", strataCols = Seq("event_type"))
+          .withColumn("less", col("cum") - col("c"))
+        val nn = rk.groupBy("event_type").agg(
+          sum(col("c")).cast("long").as("n"),
+          sum(col("c1")).cast("long").as("n1"))
+        val m2 = lit(2) * col("less") + col("c") + 1
+        val sc = rk.join(nn, "event_type")
+          .select(col("event_type"), col("c"), col("c1"),
+            m2.as("aw"),
+            least(m2, lit(2) * (col("n") + 1) - m2).as("ab"))
+        val agg = sc.groupBy("event_type").agg(
+          sum(col("c1") * col("aw")).cast("long").as("tw"),
+          sum(col("c") * col("aw")).cast("long").as("saw"),
+          sum(col("c").cast("decimal(19,0)") * col("aw") * col("aw"))
+            .cast("decimal(38,0)").as("saw2"),
+          sum(col("c1") * col("ab")).cast("long").as("tb"),
+          sum(col("c") * col("ab")).cast("long").as("sab"),
+          sum(col("c").cast("decimal(19,0)") * col("ab") * col("ab"))
+            .cast("decimal(38,0)").as("sab2"))
+        def vv(sa: String, sa2: String) =
+          col("n1").cast("double") * (col("n") - col("n1")) *
+            (col("n") * col(sa2).cast("double") -
+              col(sa).cast("double") * col(sa)) /
+            (col("n").cast("double") * col("n") * (col("n") - 1))
+        val fin = agg.join(nn, "event_type")
+          .where(col("n1") > 0 && col("n") - col("n1") > 0 &&
+            col("n") > 1)
+          .select(col("event_type"), col("n1"),
+            (col("n") - col("n1")).as("n2"),
+            (col("tw") - col("n1").cast("double") * col("saw")
+              / col("n")).as("dw"),
+            vv("saw", "saw2").as("vw"),
+            (col("tb") - col("n1").cast("double") * col("sab")
+              / col("n")).as("db"),
+            vv("sab", "sab2").as("vb"))
+        val z = fin.select(col("event_type"), col("n1"), col("n2"),
+          when(col("vw") > 0, col("dw") / sqrt(col("vw"))).as("zw"),
+          when(col("vb") > 0, col("db") / sqrt(col("vb"))).as("zb"))
+        z.select(col("event_type"), col("n1"), col("n2"),
+            round(col("zw"), 6).as("z_wilcoxon"),
+            round(col("zb"), 6).as("z_ansari"),
+            round(col("zw") * col("zw") + col("zb") * col("zb"), 6)
+              .as("lepage_l"))
+          .orderBy("event_type")
       })
   )
 }
