@@ -227,6 +227,114 @@ object CycleCapstoneQueries {
           .select(col("section"), col("k"), col("n"),
             round(col("val"), 4).as("val"))
           .orderBy("section", "k")
+      }),
+
+    // Streaming drift-monitor capstone: the event log replayed as four
+    // micro-batches (staged by user_id % 4); each batch computes its
+    // per-type Population Stability Index against a broadcast REFERENCE
+    // histogram (5 types × ≤10 fixed value buckets — model-bounded) and
+    // appends one metrics row per (batch, type) to a versioned metrics
+    // table, one atomic commit per batch — the production shape of a
+    // training-data drift monitor (reference profile broadcast, O(batch)
+    // stream state, history queryable/time-travelable in the table).
+    // Batch identity is DATA-derived (user_id % 4), so the result is
+    // independent of file arrival order; the oracle computes the same
+    // PSI per modulus class relationally. Empty/unmatched bins are
+    // skipped (bc>0 AND rc>0 — the standard finite-PSI convention);
+    // the per-bin terms ride the rounded@9 DECIMAL sum.
+    Q("q479_stream_drift_capstone", Q.sql("""
+        WITH e AS (
+          SELECT event_type, CAST(user_id % 4 AS BIGINT) AS grp,
+            CAST(least(floor(CASE WHEN value < 0 THEN 0 ELSE value END
+              / 100), 9) AS BIGINT) AS bucket
+          FROM events WHERE value IS NOT NULL),
+        ref AS (
+          SELECT event_type, bucket, CAST(count(*) AS BIGINT) AS rc
+          FROM e GROUP BY 1, 2),
+        rt AS (SELECT event_type, CAST(sum(rc) AS BIGINT) AS rn
+               FROM ref GROUP BY 1),
+        b AS (
+          SELECT event_type, grp, bucket, CAST(count(*) AS BIGINT) AS bc
+          FROM e GROUP BY 1, 2, 3),
+        bt AS (SELECT event_type, grp, CAST(sum(bc) AS BIGINT) AS bn
+               FROM b GROUP BY 1, 2),
+        terms AS (
+          SELECT b.grp, b.event_type,
+            CAST(round(
+              (CAST(b.bc AS DOUBLE) / bt.bn
+                - CAST(ref.rc AS DOUBLE) / rt.rn)
+              * ln((CAST(b.bc AS DOUBLE) / bt.bn)
+                   / (CAST(ref.rc AS DOUBLE) / rt.rn)), 9)
+              AS DECIMAL(28,9)) AS term,
+            bt.bn
+          FROM b
+          JOIN bt ON bt.event_type = b.event_type AND bt.grp = b.grp
+          JOIN ref ON ref.event_type = b.event_type
+            AND ref.bucket = b.bucket
+          JOIN rt ON rt.event_type = b.event_type
+          WHERE b.bc > 0 AND ref.rc > 0)
+        SELECT grp AS batch_group, event_type,
+          CAST(max(bn) AS BIGINT) AS n_events,
+          round(CAST(sum(term) AS DOUBLE), 6) AS psi
+        FROM terms GROUP BY 1, 2
+        ORDER BY batch_group, event_type"""))(
+      (s, dir) => {
+        import org.apache.spark.sql.streaming.Trigger
+        import graft.versioned.VersionedTable
+        val safe = dir.replaceAll("[^A-Za-z0-9.]", "_")
+        val root = s"${sys.props("java.io.tmpdir")}/graft_vt/drift-$safe"
+        val stage = s"${sys.props("java.io.tmpdir")}/graft-stage-drift-$safe"
+        val hconf = graft.io.Lake.conf(s)
+        graft.io.Lake.rm(hconf, root)
+        graft.io.Lake.rm(hconf, stage)
+        def bucketed(df: DataFrame): DataFrame = df
+          .where(col("value").isNotNull)
+          .select(col("event_type"),
+            (col("user_id") % 4).cast("long").as("grp"),
+            least(floor(when(col("value") < 0, 0.0).otherwise(col("value"))
+              / 100), lit(9L)).cast("long").as("bucket"))
+        val fixture = Tables.load(s, dir, "events")
+        fixture.repartition(4, pmod(col("user_id"), lit(4)))
+          .write.mode("overwrite").parquet(stage)
+        // reference profile from the full fixture — 5 types × ≤10
+        // buckets, the model-bounded frame every batch broadcasts
+        val ref = bucketed(fixture)
+          .groupBy("event_type", "bucket")
+          .agg(count(lit(1)).cast("long").as("rc"))
+        val rt = ref.groupBy("event_type")
+          .agg(sum(col("rc")).cast("long").as("rn"))
+        val refAll = broadcast(ref.join(rt, "event_type")).cache()
+        val schema = s.read.parquet(stage).schema
+        val src = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1).parquet(stage)
+        val q = src.writeStream
+          .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+            val bb = bucketed(batch.toDF)
+              .groupBy("event_type", "grp", "bucket")
+              .agg(count(lit(1)).cast("long").as("bc"))
+            val bt = bb.groupBy("event_type", "grp")
+              .agg(sum(col("bc")).cast("long").as("bn"))
+            val pr = col("bc").cast("double") / col("bn")
+            val qr = col("rc").cast("double") / col("rn")
+            val psi = bb.join(bt, Seq("event_type", "grp"))
+              .join(refAll, Seq("event_type", "bucket"))
+              .where(col("bc") > 0 && col("rc") > 0)
+              .select(col("grp"), col("event_type"), col("bn"),
+                round((pr - qr) * log(pr / qr), 9).cast("decimal(28,9)")
+                  .as("term"))
+              .groupBy("grp", "event_type")
+              .agg(max(col("bn")).cast("long").as("n_events"),
+                sum(col("term")).cast("double").as("psi0"))
+              .select(col("grp").as("batch_group"), col("event_type"),
+                col("n_events"), round(col("psi0"), 6).as("psi"))
+            if (batchId == 0L) { VersionedTable.create(s, root, psi); () }
+            else { val _ = VersionedTable.open(s, root).append(psi); () }
+          }
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        VersionedTable.open(s, root).toDF
+          .orderBy("batch_group", "event_type")
       })
   )
 }
