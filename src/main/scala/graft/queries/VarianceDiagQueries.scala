@@ -80,13 +80,13 @@ object VarianceDiagQueries {
             CAST(sum(CASE WHEN grp = 1 THEN st ELSE 0 END) AS BIGINT)
               AS w1,
             CAST(sum(st) AS BIGINT) AS sa,
-            CAST(sum(st * st) AS BIGINT) AS sa2
+            CAST(sum(CAST(st AS HUGEINT) * st) AS DECIMAL(38,0)) AS sa2
           FROM a GROUP BY 1),
         fin AS (
           SELECT s.event_type, m.n, m.n1, m.n - m.n1 AS n2, s.w1,
             CAST(m.n1 AS DOUBLE) * s.sa / m.n AS mu,
             CAST(m.n1 AS DOUBLE) * (m.n - m.n1)
-              * (m.n * s.sa2 - s.sa * s.sa)
+              * (m.n * CAST(s.sa2 AS DOUBLE) - CAST(s.sa AS DOUBLE) * s.sa)
               / (CAST(m.n AS DOUBLE) * m.n * (m.n - 1)) AS vv
           FROM s JOIN m ON m.event_type = s.event_type)
         SELECT event_type, n1, n2, w1 AS st_w,
@@ -113,13 +113,18 @@ object VarianceDiagQueries {
           sum(when(col("grp") === 1, col("st")).otherwise(0L))
             .cast("long").as("w1"),
           sum(col("st")).cast("long").as("sa"),
-          sum(col("st") * col("st")).cast("long").as("sa2"))
+          // st ≤ 2n, so Σst² ~ 4n³ silently wraps long*long on very long
+          // series; square through decimal like q473's sa2 (the oracle's
+          // HUGEINT sum would error loudly while Spark wrapped quietly)
+          sum(col("st").cast("decimal(19,0)") * col("st"))
+            .cast("decimal(38,0)").as("sa2"))
         val fin = sAgg.join(m, "event_type")
           .select(col("event_type"), col("n1"),
             (col("n") - col("n1")).as("n2"), col("w1"),
             (col("n1").cast("double") * col("sa") / col("n")).as("mu"),
             (col("n1").cast("double") * (col("n") - col("n1"))
-              * (col("n") * col("sa2") - col("sa") * col("sa"))
+              * (col("n") * col("sa2").cast("double")
+                - col("sa").cast("double") * col("sa"))
               / (col("n").cast("double") * col("n") * (col("n") - 1)))
               .as("vv"))
         fin.select(col("event_type"), col("n1"), col("n2"),
@@ -415,7 +420,8 @@ object VarianceDiagQueries {
                 CAST(sum(r2) AS BIGINT) AS s2 FROM i GROUP BY 1),
         num AS (
           SELECT a.event_type,
-            CAST(sum((a.r2 - b.r2) * (a.r2 - b.r2)) AS BIGINT) AS nm
+            CAST(sum(CAST(a.r2 - b.r2 AS HUGEINT) * (a.r2 - b.r2))
+              AS DECIMAL(38,0)) AS nm
           FROM i a JOIN i b
             ON b.event_type = a.event_type AND b.t = a.t + 1
           GROUP BY 1),
@@ -427,8 +433,8 @@ object VarianceDiagQueries {
           GROUP BY 1),
         fin AS (
           SELECT m.event_type, m.n,
-            CAST(m.n AS DOUBLE) * m.n * num.nm / CAST(den.dn AS DOUBLE)
-              AS rvn
+            CAST(m.n AS DOUBLE) * m.n * CAST(num.nm AS DOUBLE)
+              / CAST(den.dn AS DOUBLE) AS rvn
           FROM m JOIN num ON num.event_type = m.event_type
           JOIN den ON den.event_type = m.event_type
           WHERE den.dn > 0)
@@ -456,8 +462,10 @@ object VarianceDiagQueries {
             col("r2").as("r2b")), Seq("event_type"))
           .where(col("tb") === col("t") + 1)
           .groupBy("event_type")
-          .agg(sum((col("r2") - col("r2b")) * (col("r2") - col("r2b")))
-            .cast("long").as("nm"))
+          // rank diffs ≤ 2n → Σdiff² ~ 4n³; decimal-square like q470/q473
+          .agg(sum((col("r2") - col("r2b")).cast("decimal(19,0)")
+              * (col("r2") - col("r2b")))
+            .cast("decimal(38,0)").as("nm"))
         val den = i.join(m, "event_type")
           .select(col("event_type"),
             (col("n") * col("r2") - col("s2")).as("n2"))
@@ -467,7 +475,7 @@ object VarianceDiagQueries {
         val fin = m.join(num, "event_type").join(den, "event_type")
           .where(col("dn") > 0)
           .select(col("event_type"), col("n"),
-            (col("n").cast("double") * col("n") * col("nm")
+            (col("n").cast("double") * col("n") * col("nm").cast("double")
               / col("dn").cast("double")).as("rvn"))
         fin.select(col("event_type"), col("n").as("n_days"),
             round(col("rvn"), 6).as("rvn"),
@@ -813,7 +821,7 @@ object VarianceDiagQueries {
                 * (2 * n + 1) * (8 * n + 11) / 5.0)) AS v,
             2.0 * (CAST(n AS DOUBLE) * n - 4)
               / ((2.0 * n + 1) * (8 * n + 11)) - 1 AS rho
-          FROM m WHERE n > 2)
+          FROM m WHERE n > 2 AND n2 > 0 AND n - n2 > 0)
         SELECT event_type, n1, n2, round(u, 6) AS u, round(v, 6) AS v,
           round((u * u + v * v - 2 * rho * u * v)
             / (2 * (1 - rho * rho)), 6) AS cucconi_c
@@ -841,7 +849,11 @@ object VarianceDiagQueries {
         val den = lit(2.0) * sqrt((col("n") - col("n2")).cast("double")
           * col("n2") * (col("n") + 1) * (lit(2) * col("n") + 1)
           * (lit(8) * col("n") + 11) / 5.0)
-        val uv = m.where(col("n") > 2)
+        // degenerate-sample guard (q478's): an all-odd or all-even type
+        // (n1 or n2 = 0) zeroes the shared denominator — NULL on Spark
+        // (non-ANSI /0) vs NaN/Inf on DuckDB IEEE float ops
+        val uv = m.where(col("n") > 2 && col("n2") > 0 &&
+            col("n") - col("n2") > 0)
           .select(col("event_type"), col("n"), col("n2"),
             (col("n") - col("n2")).as("n1"),
             ((lit(3.0) * col("s4").cast("double") - lit(2.0) * col("n2")
