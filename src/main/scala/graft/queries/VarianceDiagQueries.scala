@@ -986,6 +986,226 @@ object VarianceDiagQueries {
             round(col("zw") * col("zw") + col("zb") * col("zb"), 6)
               .as("lepage_l"))
           .orderBy("event_type")
+      }),
+
+    // Fligner-Killeen test (Fligner & Killeen JASA'76; the Conover,
+    // Johnson & Johnson '81 normal-scores form) — the rank-based scale
+    // test the robust-statistics literature recommends first, completing
+    // the homogeneity panel beside q471 Levene (mean-centered), q330
+    // Brown-Forsythe (median-centered) and q389 Bartlett: pooled ranks
+    // of |x − median_g| mapped through normal scores
+    // a = Φ⁻¹(1/2 + R/(2(N+1))), then a one-way χ² over the score means.
+    // Medians ride q330's doubled-median mechanism (2·x − med2 stays
+    // integer), pooled doubled midranks make the probit argument
+    // 1/2 + r2/(4(N+1)) exact, Φ⁻¹ is the engine-portable Acklam ladder
+    // ([[graft.functions.Probit]] — the same Column and SQL tree), and
+    // every score is rounded@9 into DECIMAL sums so the χ² assembly is
+    // two fixed-order double expressions.
+    Q("q481_fligner_killeen", {
+      val pArg = "(0.5 + (2 * rk.less + rk.c + 1) / (4.0 * (nn.n + 1)))"
+      Q.sql(s"""
+        WITH d AS ($dailyMassSql),
+        nv AS (SELECT event_type, v, CAST(count(*) AS BIGINT) AS cnt
+               FROM d GROUP BY 1, 2),
+        ncum AS (
+          SELECT event_type, v, cnt,
+            sum(cnt) OVER (PARTITION BY event_type ORDER BY v) AS cum,
+            CAST(sum(cnt) OVER (PARTITION BY event_type) AS BIGINT) AS n_g
+          FROM nv),
+        med AS (
+          SELECT event_type,
+            min(CASE WHEN cum >= (n_g + 1) // 2 THEN v END)
+              + min(CASE WHEN cum >= (n_g + 2) // 2 THEN v END) AS med2
+          FROM ncum GROUP BY 1),
+        u AS (
+          SELECT d.event_type, abs(2 * d.v - m.med2) AS u
+          FROM d JOIN med m ON m.event_type = d.event_type),
+        uc AS (SELECT u, CAST(count(*) AS BIGINT) AS c FROM u GROUP BY 1),
+        rk AS (
+          SELECT a.u, a.c, CAST(coalesce(sum(b.c), 0) AS BIGINT) AS less
+          FROM uc a LEFT JOIN uc b ON b.u < a.u
+          GROUP BY 1, 2),
+        nn AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM uc),
+        sc AS (
+          SELECT rk.u, round(${graft.functions.Probit.sql(pArg)}, 9) AS a
+          FROM rk, nn),
+        ug AS (SELECT event_type, u, CAST(count(*) AS BIGINT) AS cg
+               FROM u GROUP BY 1, 2),
+        grp AS (
+          SELECT g.event_type, CAST(sum(g.cg) AS BIGINT) AS n_g,
+            CAST(sum(CAST(g.cg AS DECIMAL(9,0))
+              * CAST(s.a AS DECIMAL(11,9))) AS DECIMAL(38,9)) AS sg,
+            CAST(sum(CAST(g.cg AS DECIMAL(9,0))
+              * CAST(round(s.a * s.a, 9) AS DECIMAL(11,9)))
+              AS DECIMAL(38,9)) AS qg
+          FROM ug g JOIN sc s ON s.u = g.u GROUP BY 1),
+        tot AS (
+          SELECT CAST(sum(n_g) AS BIGINT) AS n,
+            CAST(count(*) AS BIGINT) AS k,
+            CAST(sum(sg) AS DECIMAL(38,9)) AS st,
+            CAST(sum(qg) AS DECIMAL(38,9)) AS qt
+          FROM grp),
+        gm AS (
+          SELECT grp.event_type, grp.n_g,
+            CAST(grp.sg AS DOUBLE) / grp.n_g AS ag,
+            CAST(t.st AS DOUBLE) / t.n AS abar
+          FROM grp, tot t),
+        num AS (
+          SELECT CAST(sum(CAST(round(CAST(n_g AS DOUBLE)
+            * (ag - abar) * (ag - abar), 9) AS DECIMAL(28,9)))
+            AS DOUBLE) AS num
+          FROM gm),
+        fin AS (
+          SELECT round(num.num / ((CAST(t.qt AS DOUBLE)
+            - t.n * (CAST(t.st AS DOUBLE) / t.n)
+                  * (CAST(t.st AS DOUBLE) / t.n)) / (t.n - 1)), 6) AS fk
+          FROM num, tot t WHERE t.n > t.k)
+        SELECT g.event_type, g.n_g,
+          round(CAST(g.sg AS DOUBLE) / g.n_g, 6) AS mean_score,
+          f.fk AS fligner_x2
+        FROM grp g, fin f ORDER BY g.event_type""")
+    })(
+      (s, dir) => {
+        val d = dailyMass(s, dir)
+        val nv = d.groupBy("event_type", "v")
+          .agg(count(lit(1)).cast("long").as("cnt"))
+        val wCum = Window.partitionBy("event_type").orderBy("v")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wAll = Window.partitionBy("event_type")
+        val ncum = nv.select(col("event_type"), col("v"), col("cnt"),
+          sum(col("cnt")).over(wCum).as("cum"),
+          sum(col("cnt")).over(wAll).cast("long").as("n_g"))
+        val med = ncum.groupBy("event_type").agg(
+          (min(when(col("cum") >= floor((col("n_g") + 1) / 2), col("v")))
+            + min(when(col("cum") >= floor((col("n_g") + 2) / 2),
+              col("v")))).as("med2"))
+        val u = d.join(broadcast(med), "event_type")
+          .select(col("event_type"),
+            abs(lit(2) * col("v") - col("med2")).as("u"))
+        val uc = u.groupBy("u").agg(count(lit(1)).cast("long").as("c"))
+        val rk = graft.ops.Prefix.runningTotal(uc, Seq(col("u")),
+            col("c"), "cum")
+          .withColumn("less", col("cum") - col("c"))
+        val nn = uc.agg(sum(col("c")).cast("long").as("n"))
+        val pArg = lit(0.5) +
+          (lit(2) * col("less") + col("c") + 1) /
+            (lit(4.0) * (col("n") + 1))
+        val sc = rk.crossJoin(broadcast(nn))
+          .select(col("u"),
+            round(graft.functions.Probit.of(pArg), 9).as("a"))
+        val ug = u.groupBy("event_type", "u")
+          .agg(count(lit(1)).cast("long").as("cg"))
+        val grp = ug.join(sc, "u").groupBy("event_type").agg(
+          sum(col("cg")).cast("long").as("n_g"),
+          sum(col("cg").cast("decimal(9,0)")
+            * col("a").cast("decimal(11,9)")).cast("decimal(38,9)")
+            .as("sg"),
+          sum(col("cg").cast("decimal(9,0)")
+            * round(col("a") * col("a"), 9).cast("decimal(11,9)"))
+            .cast("decimal(38,9)").as("qg"))
+        val tot = grp.agg(sum(col("n_g")).cast("long").as("n"),
+          count(lit(1)).cast("long").as("k"),
+          sum(col("sg")).cast("decimal(38,9)").as("st"),
+          sum(col("qg")).cast("decimal(38,9)").as("qt"))
+        val gm = grp.crossJoin(broadcast(tot))
+          .select(col("event_type"), col("n_g"),
+            (col("sg").cast("double") / col("n_g")).as("ag"),
+            (col("st").cast("double") / col("n")).as("abar"))
+        val num = gm.agg(
+          sum(round(col("n_g").cast("double")
+              * (col("ag") - col("abar")) * (col("ag") - col("abar")), 9)
+            .cast("decimal(28,9)")).cast("double").as("num"))
+        val fin = num.crossJoin(broadcast(tot))
+          .where(col("n") > col("k"))
+          .select(round(col("num") / ((col("qt").cast("double")
+            - col("n") * (col("st").cast("double") / col("n"))
+              * (col("st").cast("double") / col("n"))) / (col("n") - 1)),
+            6).as("fk"))
+        grp.crossJoin(broadcast(fin))
+          .select(col("event_type"), col("n_g"),
+            round(col("sg").cast("double") / col("n_g"), 6)
+              .as("mean_score"),
+            col("fk").as("fligner_x2"))
+          .orderBy("event_type")
+      }),
+
+    // Wald-Wolfowitz two-sample runs test (Wald & Wolfowitz AMS'40) —
+    // the distribution-free omnibus beside q477 Cucconi / q478 Lepage:
+    // pool the odd- and even-day samples per type in the strict (v, day)
+    // total order (midranks don't compose with run counting, exactly
+    // q470's tie-breaking), count maximal same-group runs R, and
+    // standardize with the exact moments μ = 1 + 2n₁n₂/n,
+    // σ² = 2n₁n₂(2n₁n₂ − n) / (n²(n−1)) — every moment a fixed-order
+    // double over exact BIGINTs. Positions ride the per-type distributed
+    // prefix; the run count is one t→t+1 self-join, never a window over
+    // an unpartitioned order.
+    Q("q482_wald_wolfowitz_runs", Q.sql(s"""
+        WITH d AS ($dailyMassSql),
+        g AS (SELECT event_type, day, v,
+                CAST(dayofmonth(day) % 2 AS INT) AS grp FROM d),
+        pos AS (
+          SELECT a.event_type, a.grp, CAST(count(b.day) + 1 AS BIGINT)
+            AS t
+          FROM g a LEFT JOIN g b
+            ON b.event_type = a.event_type
+            AND (b.v < a.v OR (b.v = a.v AND b.day < a.day))
+          GROUP BY a.event_type, a.day, a.v, a.grp),
+        m AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(grp) AS BIGINT) AS n1 FROM g GROUP BY 1),
+        tr AS (
+          SELECT a.event_type,
+            CAST(sum(CASE WHEN a.grp <> b.grp THEN 1 ELSE 0 END)
+              AS BIGINT) AS switches
+          FROM pos a JOIN pos b
+            ON b.event_type = a.event_type AND b.t = a.t + 1
+          GROUP BY 1),
+        fin AS (
+          SELECT m.event_type, m.n1, m.n - m.n1 AS n2,
+            tr.switches + 1 AS runs,
+            1 + 2.0 * m.n1 * (m.n - m.n1) / m.n AS mu,
+            2.0 * m.n1 * (m.n - m.n1)
+              * (2 * m.n1 * (m.n - m.n1) - m.n)
+              / (CAST(m.n AS DOUBLE) * m.n * (m.n - 1)) AS vv
+          FROM m JOIN tr ON tr.event_type = m.event_type
+          WHERE m.n1 > 0 AND m.n - m.n1 > 0 AND m.n > 1)
+        SELECT event_type, n1, n2, CAST(runs AS BIGINT) AS runs,
+          round(CASE WHEN vv > 0 THEN (runs - mu) / sqrt(vv) END, 6) AS z
+        FROM fin ORDER BY event_type"""))(
+      (s, dir) => {
+        val g = dailyMass(s, dir).select(col("event_type"), col("day"),
+          col("v"), (dayofmonth(col("day")) % 2).cast("int").as("grp"))
+        val m = g.groupBy("event_type").agg(
+          count(lit(1)).cast("long").as("n"),
+          sum(col("grp")).cast("long").as("n1"))
+        val pos = graft.ops.Prefix.runningTotal(
+          g.withColumn("__one", lit(1L)),
+          Seq(col("v"), col("day")), col("__one"), "t",
+          strataCols = Seq("event_type"))
+          .select(col("event_type"), col("grp"), col("t"))
+        val tr = pos.as("a")
+          .join(pos.select(col("event_type"), col("grp").as("grpb"),
+            col("t").as("tb")), Seq("event_type"))
+          .where(col("tb") === col("t") + 1)
+          .groupBy("event_type")
+          .agg(sum(when(col("grp") =!= col("grpb"), 1).otherwise(0))
+            .cast("long").as("switches"))
+        val fin = m.join(tr, "event_type")
+          .where(col("n1") > 0 && col("n") - col("n1") > 0 &&
+            col("n") > 1)
+          .select(col("event_type"), col("n1"),
+            (col("n") - col("n1")).as("n2"),
+            (col("switches") + 1).as("runs"),
+            (lit(1) + lit(2.0) * col("n1") * (col("n") - col("n1"))
+              / col("n")).as("mu"),
+            (lit(2.0) * col("n1") * (col("n") - col("n1"))
+              * (lit(2) * col("n1") * (col("n") - col("n1")) - col("n"))
+              / (col("n").cast("double") * col("n") * (col("n") - 1)))
+              .as("vv"))
+        fin.select(col("event_type"), col("n1"), col("n2"),
+            col("runs").cast("long").as("runs"),
+            round(when(col("vv") > 0,
+              (col("runs") - col("mu")) / sqrt(col("vv"))), 6).as("z"))
+          .orderBy("event_type")
       })
   )
 }
