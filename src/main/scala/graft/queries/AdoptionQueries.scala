@@ -203,8 +203,11 @@ object AdoptionQueries {
         FROM nk LEFT JOIN ek ON ek.lvl = nk.lvl
         ORDER BY nk.lvl"""))(
       (s, dir) => {
-        val sh = graft.graph.CoSupply.sharedParts(T(s, dir, "lineitem"))
-          .cache() // feeds BOTH the threshold agg and the edge filter
+        // staged pair frame (graph/CoSupply.scala): served from parquet
+        // after the family's first caller pays compute + write, so the
+        // threshold agg and edge filter both scan a file, not a
+        // recomputed self-join
+        val sh = graft.graph.CoSupply.sharedPartsStaged(s, dir)
         val e = graft.graph.CoSupply.strongEdges(sh).cache()
         val deg = e.select(col("sa").as("v"))
           .unionByName(e.select(col("sb").as("v")))

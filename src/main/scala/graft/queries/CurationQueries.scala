@@ -432,14 +432,10 @@ object CurationQueries {
         FROM degs d LEFT JOIN within w ON w.nk = d.nk, m
         ORDER BY nation"""))(
       (s, dir) => {
-        val ps = T(s, dir, "lineitem")
-          .select(col("l_partkey").as("pk"), col("l_suppkey").as("sk"))
-          .distinct()
-        val e = ps.as("a")
-          .join(ps.select(col("pk"), col("sk").as("sb")), "pk")
-          .where(col("sk") < col("sb"))
-          .select(col("sk").as("sa"), col("sb"))
-          .distinct()
+        // distinct co-supply pairs from the staged family base
+        // (graph/CoSupply.scala): same rows as the inline ps self-join
+        val e = graft.graph.CoSupply.sharedPartsStaged(s, dir)
+          .select(col("sa"), col("sb"))
         val nat = T(s, dir, "supplier")
           .select(col("s_suppkey").as("skey"), col("s_nationkey").as("nk"))
         val en = e
@@ -637,14 +633,9 @@ object CurationQueries {
         FROM best WHERE rk = 1
         ORDER BY dq DESC, supplier LIMIT 20"""))(
       (s, dir) => {
-        val ps = T(s, dir, "lineitem")
-          .select(col("l_partkey").as("pk"), col("l_suppkey").as("sk"))
-          .distinct()
-        val e = ps.as("a")
-          .join(ps.select(col("pk"), col("sk").as("sb")), "pk")
-          .where(col("sk") < col("sb"))
-          .select(col("sk").as("sa"), col("sb"))
-          .distinct()
+        // distinct co-supply pairs from the staged family base
+        val e = graft.graph.CoSupply.sharedPartsStaged(s, dir)
+          .select(col("sa"), col("sb"))
         val nat = T(s, dir, "supplier")
           .select(col("s_suppkey").as("skey"), col("s_nationkey").as("nk"))
         val dg = e.select(col("sa").as("i"), col("sb").as("j"))
@@ -729,14 +720,9 @@ object CurationQueries {
         ORDER BY n_members DESC, community LIMIT 20""")
     })(
       (s, dir) => {
-        val ps = T(s, dir, "lineitem")
-          .select(col("l_partkey").as("pk"), col("l_suppkey").as("sk"))
-          .distinct()
-        val e = ps.as("a")
-          .join(ps.select(col("pk"), col("sk").as("sb")), "pk")
-          .where(col("sk") < col("sb"))
-          .select(col("sk").as("sa"), col("sb"))
-          .distinct()
+        // distinct co-supply pairs from the staged family base
+        val e = graft.graph.CoSupply.sharedPartsStaged(s, dir)
+          .select(col("sa"), col("sb"))
         val nbr = cached(
           e.select(col("sa").as("u"), col("sb").as("v"))
             .unionByName(e.select(col("sb").as("u"), col("sa").as("v"))))

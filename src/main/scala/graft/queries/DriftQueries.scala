@@ -171,7 +171,7 @@ object DriftQueries {
         ${bfsCtes(BfsRounds)}
         SELECT v, dist FROM d$BfsRounds ORDER BY v"""))(
       (s, dir) => {
-        val e = CoPurchase.edges(T(s, dir, "lineitem"))
+        val e = CoPurchase.edgesStaged(s, dir)
         val adj = materialize(
           e.select(col("a").as("v"), col("b").as("u"))
             .unionAll(e.select(col("b"), col("a"))))

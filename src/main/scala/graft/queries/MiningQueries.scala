@@ -215,7 +215,7 @@ object MiningQueries {
         ORDER BY aa DESC, a, b LIMIT 50"""))(
       (s, dir) =>
         graft.graph.LinkPrediction.adamicAdar(
-          graft.graph.CoPurchase.edges(T(s, dir, "lineitem")),
+          graft.graph.CoPurchase.edgesStaged(s, dir),
           maxDeg = 100, k = 50)),
 
     // First-order Markov transition matrix over per-user event

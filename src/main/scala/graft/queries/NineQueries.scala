@@ -454,11 +454,10 @@ object NineQueries {
         FROM sup1 GROUP BY 1, 2
         ORDER BY round, support"""))(
       (s, dir) => {
-        // per-part supplier sets in ONE shuffle (collect_set fuses the
-        // distinct), ordered pairs exploded in codegen — never all-pairs;
-        // shared base with q450 (graph/CoSupply.scala)
-        val sh = graft.graph.CoSupply.sharedParts(T(s, dir, "lineitem"))
-          .cache() // threshold agg + edge filter both scan it
+        // shared base with q450 (graph/CoSupply.scala), staged to
+        // parquet once per fixture — threshold agg + edge filter scan
+        // the staged file instead of recomputing the self-join
+        val sh = graft.graph.CoSupply.sharedPartsStaged(s, dir)
         val e = graft.graph.CoSupply.strongEdges(sh).cache()
         // support pass: vertex-keyed sorted neighbor arrays (one shuffle
         // over the symmetric edge list), then per-edge

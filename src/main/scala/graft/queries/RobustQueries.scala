@@ -21,8 +21,8 @@ object RobustQueries {
   /** l_extendedprice * (1 - l_discount) — the TPC-H revenue expression. */
   private def rev = col("l_extendedprice") * (lit(1) - col("l_discount"))
 
-  private def coPurchaseEdges(df: DataFrame): DataFrame =
-    graft.graph.CoPurchase.edges(df)
+  private def coPurchaseEdges(s: SparkSession, dir: String): DataFrame =
+    graft.graph.CoPurchase.edgesStaged(s, dir)
 
   private val coPurchaseSql = graft.graph.CoPurchase.sql
 
@@ -224,7 +224,7 @@ object RobustQueries {
         FROM sm"""))(
       (s, dir) =>
         Assortativity.degreeAssortativity(
-          coPurchaseEdges(T(s, dir, "lineitem")))),
+          coPurchaseEdges(s, dir))),
 
     // Label-propagation community detection (4 synchronous rounds,
     // min-label tie-break) on the part co-purchase graph. Each round is
@@ -241,7 +241,7 @@ object RobustQueries {
       (s, dir) => {
         import graft.ops.Frames.materialize
         import org.apache.spark.sql.expressions.Window
-        val e = coPurchaseEdges(T(s, dir, "lineitem"))
+        val e = coPurchaseEdges(s, dir)
         val adj = materialize(
           e.select(col("a").as("v"), col("b").as("u"))
             .unionAll(e.select(col("b"), col("a"))))

@@ -257,17 +257,9 @@ object WarehouseQueries {
         ${bellmanFordCtes(BfRounds)}
         SELECT v, round(dist, 9) AS dist FROM d$BfRounds ORDER BY v"""))(
       (s, dir) => {
-        // pair-gen via collect_set expansion (CoPurchase.edges's 2-shuffle
-        // shape — the oracle's DISTINCT self-join counts the same pairs)
-        val sets = T(s, dir, "lineitem").groupBy(col("l_orderkey"))
-          .agg(collect_set(col("l_partkey")).as("ps"))
-        val pairCol = flatten(transform(col("ps"), x =>
-          transform(filter(col("ps"), y => y > x),
-            y => struct(x.as("a"), y.as("b")))))
-        val pr = sets.select(explode(pairCol).as("pr"))
-          .select(col("pr.a").as("a"), col("pr.b").as("b"))
-          .groupBy("a", "b").agg(count(lit(1)).as("n"))
-          .where(col("n") >= 2)
+        // staged co-purchase pair frame (graph/CoPurchase.scala): same
+        // rows as the oracle's DISTINCT self-join pair count
+        val pr = graft.graph.CoPurchase.pairsStaged(s, dir)
           .withColumn("w", round(lit(1.0) / col("n"), 9))
         // model-sized frames: keep the per-round shuffles narrow
         val adj = materialize(
