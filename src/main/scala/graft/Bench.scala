@@ -13,10 +13,46 @@ import org.apache.spark.sql.SparkSession
   * query runs first so JVM/codegen startup isn't attributed to whichever
   * query happens to run first; queries run in name order for stable
   * attribution.
+  *
+  * Segmented mode (the round-12 verdict's set-size-invariance fix): a
+  * single sequential JVM accrues GC/code-cache pressure, so the full-set
+  * per-query average crept ~16% as the registry grew (BASELINE.md) — a
+  * set-size-dependent bias in the gate metric. When the selected set
+  * exceeds `SPARK_GRAFT_BENCH_SEGMENT` queries (default 100; 0 disables),
+  * the parent forks one FRESH child JVM per chunk (same flags, same
+  * classpath, sequential — never concurrent, so per-query timing is
+  * uncontended), each child times its slice exactly like the monolithic
+  * path (own untimed warmup, per-query cache clear) and reports
+  * `name\tsec` lines through a temp file; the parent aggregates and
+  * prints the same contract line. Accumulation is now bounded by the
+  * chunk size, so the per-query average no longer grows with the
+  * registry. Any fork/IO failure falls back to timing the affected
+  * queries in-process — the contract line survives every failure mode.
   */
 object Bench {
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+  private def loadAvg(): Double = java.lang.management.ManagementFactory
+    .getOperatingSystemMXBean.getSystemLoadAverage
+
+  /** The sorted, SPARK_GRAFT_ONLY-filtered query list — identical in
+    * parent and child (both derive it from the registry + env), so a
+    * chunk's (start, count) means the same slice in both processes.
+    */
+  private def selectedQueries: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)] = {
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .filter(_.nonEmpty)
+    def matches(f: Set[String], n: String) =
+      f.contains(n) || f.exists(p => n.startsWith(p + "_"))
+    val all = SparkEntry.queries.toSeq.sortBy(_._1)
+    only match {
+      case Some(f) if all.exists(q => matches(f, q._1)) =>
+        all.filter(q => matches(f, q._1))
+      case _ => all
+    }
+  }
+
+  private def newSession(): SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -26,46 +62,131 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+
+  /** Time `qs` in this JVM: untimed warmup, then per-query noop-sink
+    * wall clock with cache isolation. -1 marks a failed query (never its
+    * elapsed-to-crash time masquerading as a fast success).
+    */
+  private def timeQueries(sfDir: String,
+      qs: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)])
+      : Seq[(String, Double)] = {
+    val spark = newSession()
     // warmup: exercise scan + shuffle + codegen paths once, untimed
-    // (entry reads its own fixture path; a missing path must not kill the run)
+    // (entry reads its own fixture path; a missing path must not kill
+    // the run)
     try io.Writers.noop(SparkEntry.entry(spark)) catch { case _: Throwable => () }
-    // dev-only: SPARK_GRAFT_ONLY=q27,q101 times just those queries (steady-
-    // state isolation); the driver never sets it, so the contract line is
-    // always the full set there. A filter matches a full name or the
-    // `qNN` prefix up to its underscore (`q12` must NOT select q120);
-    // an empty or all-miss filter falls back to the full set rather
-    // than silently benching nothing.
-    val only = sys.env.get("SPARK_GRAFT_ONLY")
-      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-      .filter(_.nonEmpty)
-    def matches(f: Set[String], n: String) =
-      f.contains(n) || f.exists(p => n.startsWith(p + "_"))
-    // 1-minute system load average, sampled before and after the run: the
-    // driver benches on a shared box (documented 2-6x co-tenant swings),
-    // and recording the load lets a loaded run be adjudicated from the
-    // JSON itself instead of needing a judge re-run each round
-    def loadAvg(): Double = java.lang.management.ManagementFactory
-      .getOperatingSystemMXBean.getSystemLoadAverage
-    val loadStart = loadAvg()
-    val all = SparkEntry.queries.toSeq.sortBy(_._1)
-    val selected = only match {
-      case Some(f) if all.exists(q => matches(f, q._1)) =>
-        all.filter(q => matches(f, q._1))
-      case _ => all
-    }
-    val results = selected.map { case (name, fn) =>
+    qs.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      // a failed query reports -1 (unambiguous error marker), never its
-      // elapsed-to-crash time masquerading as a fast success
       val sec =
         try { io.Writers.noop(fn(spark, sfDir)); (System.nanoTime() - t0) / 1e9 }
         catch { case _: Throwable => -1.0 }
       // per-query cache isolation: operators (dedup) cache intermediates
-      // for intra-query reuse; without this the 53-query run accumulates
-      // every cached plan in executor memory
+      // for intra-query reuse; without this the sequential run
+      // accumulates every cached plan in executor memory
       spark.catalog.clearCache()
       name -> sec
     }
+  }
+
+  /** Fork one fresh JVM per chunk (sequentially) and collect its timed
+    * results; returns None when forking isn't viable so the caller can
+    * fall back to in-process timing.
+    */
+  private def runSegmented(sfDir: String, names: Seq[String],
+                           chunk: Int): Option[Seq[(String, Double)]] = {
+    val javaBin = new java.io.File(
+      new java.io.File(System.getProperty("java.home"), "bin"), "java")
+    val cp = System.getProperty("java.class.path", "")
+    // under a non-forked classloader launcher the classpath property
+    // doesn't carry the app classes — segmenting is impossible, so the
+    // monolithic path must take over rather than children that die on
+    // ClassNotFound
+    if (!javaBin.isFile || cp.isEmpty || !cp.contains("classes")) return None
+    val jvmArgs = java.lang.management.ManagementFactory
+      .getRuntimeMXBean.getInputArguments
+    val results = scala.collection.mutable.LinkedHashMap[String, Double]()
+    try {
+      names.grouped(chunk).zipWithIndex.foreach { case (slice, i) =>
+        val out = java.nio.file.Files
+          .createTempFile(s"graft_bench_chunk$i", ".tsv")
+        val start = i * chunk
+        val cmd = new java.util.ArrayList[String]()
+        val _ = cmd.add(javaBin.getAbsolutePath)
+        jvmArgs.forEach(a => { val _ = cmd.add(a) })
+        Seq("-cp", cp, "graft.Bench", "__chunk", start.toString,
+          slice.size.toString, out.toString)
+          .foreach(a => { val _ = cmd.add(a) })
+        val pb = new ProcessBuilder(cmd)
+        // child stderr joins the parent's (Spark log noise stays
+        // visible/attributable); child stdout is discarded so nothing
+        // can land after the parent's contract line in the driver's
+        // stdout tail window
+        pb.redirectError(ProcessBuilder.Redirect.INHERIT)
+        pb.redirectOutput(ProcessBuilder.Redirect.DISCARD)
+        val rc = pb.start().waitFor()
+        if (rc != 0)
+          System.err.println(s"[bench] chunk $i exited rc=$rc; " +
+            "missing queries will be re-timed in-process")
+        java.nio.file.Files.readAllLines(out).forEach { line =>
+          line.split('\t') match {
+            case Array(n, s) => results(n) = s.toDouble
+            case _ => ()
+          }
+        }
+        java.nio.file.Files.deleteIfExists(out)
+      }
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] segmentation failed (${e.getMessage}); " +
+        "falling back to in-process")
+      return None
+    }
+    // a crashed child reports nothing for its remaining slice: re-time
+    // those in-process rather than inventing failures
+    val missing = names.filterNot(results.contains)
+    if (missing.nonEmpty) {
+      System.err.println(s"[bench] re-timing ${missing.size} queries " +
+        "missed by crashed chunks")
+      val byName = selectedQueries.toMap
+      timeQueries(sfDir, missing.map(n => n -> byName(n)))
+        .foreach { case (n, s) => results(n) = s }
+    }
+    Some(names.map(n => n -> results(n)))
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+    // child mode: time slice [start, start+count) of the selected list,
+    // write name\tsec lines, exit. No contract line, nothing on stdout.
+    args match {
+      case Array("__chunk", start, count, outPath) =>
+        val slice = selectedQueries.slice(start.toInt,
+          start.toInt + count.toInt)
+        val timed = timeQueries(sfDir, slice)
+        val body = timed.map { case (n, s) => s"$n\t$s" }
+          .mkString("", "\n", "\n")
+        java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), body)
+        sys.exit(0)
+      case _ => ()
+    }
+
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // 1-minute system load average, sampled before and after the run: the
+    // driver benches on a shared box (documented 2-6x co-tenant swings),
+    // and recording the load lets a loaded run be adjudicated from the
+    // JSON itself instead of needing a judge re-run each round
+    val loadStart = loadAvg()
+    val selected = selectedQueries
+    val segment = sys.env.getOrElse("SPARK_GRAFT_BENCH_SEGMENT", "100")
+    val chunk = scala.util.Try(segment.toInt).getOrElse(100)
+    val results: Seq[(String, Double)] =
+      (if (chunk > 0 && selected.size > chunk)
+         runSegmented(sfDir, selected.map(_._1), chunk)
+       else None)
+        .getOrElse(timeQueries(sfDir, selected))
+
     val total = results.map(_._2).filter(_ >= 0).sum
     val nFailed = results.count(_._2 < 0)
     // The driver captures only the LAST ~2000 chars of stdout and parses the
@@ -101,7 +222,8 @@ object Bench {
     val qsFull = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val head = s""""metric":"total","value":${fmt(total)},"unit":"sec","failed":$nFailed""" +
-      s""","load_avg_start":${fmt(loadStart)},"load_avg_end":${fmt(loadAvg())},"cpus":$cpus"""
+      s""","load_avg_start":${fmt(loadStart)},"load_avg_end":${fmt(loadAvg())}""" +
+      s""","cpus":$cpus,"segment":$chunk"""
     // the contract line prints FIRST — a failed details-file write (bad
     // cwd, full disk) must never cost the driver its bench JSON.
     // Field order matters: the driver keeps only the LAST ~2000 chars of
@@ -120,6 +242,8 @@ object Bench {
       java.nio.file.Paths.get(detailsPath),
       s"""{$head,"queries":$qsFull,"sf":"$sfDir"}""".getBytes("UTF-8"))
     catch { case _: Throwable => () }
-    spark.stop()
+    // in the segmented path no SparkSession exists in the parent; stop
+    // only what was actually started
+    SparkSession.getActiveSession.foreach(_.stop())
   }
 }
