@@ -52,7 +52,8 @@ object SparkEntry {
       AdoptionQueries.all ++ ComplexityQueries.all ++
       CapstoneQueries.all ++ ReliabilityTwoQueries.all ++
       StationarityQueries.all ++ RankScaleQueries.all ++
-      VarianceDiagQueries.all ++ CycleCapstoneQueries.all
+      VarianceDiagQueries.all ++ CycleCapstoneQueries.all ++
+      RetrievalCapstoneQueries.all
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0.
     * Full slice: scan -> filter -> broadcast-join -> agg -> window top-k.
