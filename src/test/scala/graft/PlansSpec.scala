@@ -211,4 +211,32 @@ class PlansSpec extends SparkSpec {
     NativeTopK.topKPerGroup(df, Seq(col("g")),
       Seq(col("v"), col("id")), 5).count() shouldBe 1
   }
+
+  test("q334 label join degrades to a shuffle when broadcast estimates are off") {
+    // The round-12 fix's value IS the degrade path: the vertex-sized
+    // label frame carries no broadcast hint, so when size estimates
+    // exceed the threshold the per-round label join becomes a shuffled
+    // equi-join instead of a corpus-fraction broadcast. A hint OVERRIDES
+    // autoBroadcastJoinThreshold=-1, so with both thresholds disabled a
+    // re-added broadcast() (the round-11 weak item) turns this pin red.
+    spark.catalog.clearCache()
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try {
+      val p = SparkEntry.queries("q334_label_propagation")(
+          spark, "/root/testdata/sf0.001")
+        .queryExecution.executedPlan.toString
+      withClue("q334 with broadcasts disabled:") {
+        p should not include "BroadcastHashJoin"
+        p should not include "BroadcastNestedLoopJoin"
+        p should not include "CartesianProduct"
+        p should include("SortMergeJoin")
+      }
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+      spark.catalog.clearCache()
+    }
+  }
 }
