@@ -50,6 +50,20 @@ object Probit {
     when(p > PHigh, tail).otherwise(central)
   }
 
+  /** Φ⁻¹(p) for the FULL open interval (0, 1) via the symmetry
+    * Φ⁻¹(p) = −Φ⁻¹(1−p): the p ≥ 0.5 machinery of [[of]] mirrored onto
+    * the lower half — order-statistic scores (Shapiro-Francia's Blom
+    * arguments) live on both sides of 1/2.
+    */
+  def ofFull(p: Column): Column =
+    when(p < 0.5, -of(lit(1.0) - p)).otherwise(of(p))
+
+  /** Full-range Φ⁻¹ over a DuckDB double expression — same tree as
+    * [[ofFull]].
+    */
+  def sqlFull(p: String): String =
+    s"(CASE WHEN $p < 0.5 THEN -${sql(s"(1.0 - $p)")} ELSE ${sql(p)} END)"
+
   /** Φ⁻¹ over a DuckDB double expression — the same tree as [[of]]. */
   def sql(p: String): String = {
     val qc = s"($p - 0.5)"

@@ -1206,6 +1206,212 @@ object VarianceDiagQueries {
             round(when(col("vv") > 0,
               (col("runs") - col("mu")) / sqrt(col("vv"))), 6).as("z"))
           .orderBy("event_type")
+      }),
+
+    // Shapiro-Francia normality test (Shapiro & Francia JASA'72;
+    // Royston '93 z-approximation) — the order-statistic-correlation
+    // normality test beside q475's moment-based K² and q382's
+    // Jarque-Bera: W' = corr(x_(i), m_i)² between the per-type sorted
+    // daily masses and the Blom normal scores m_i = Φ⁻¹((i−3/8)/(n+1/4)).
+    // Order statistics ride the strict (v, day) per-type prefix (q470's
+    // tie-breaking); Φ⁻¹ is the full-range Acklam ladder
+    // ([[graft.functions.Probit.ofFull]] — scores live on BOTH sides of
+    // 1/2); every score is rounded@9 into DECIMAL sums (Σm, Σm², Σmx
+    // exact; Σx, Σx² exact integers), so W' and Royston's
+    // z = (ln(1−W') − μ(ln n))/σ(ln n) are fixed-order double
+    // assemblies.
+    Q("q483_shapiro_francia", {
+      val pArg = "((pos.i - 0.375) / (m.n + 0.25))"
+      Q.sql(s"""
+        WITH d AS ($dailyMassSql),
+        pos AS (
+          SELECT a.event_type, a.v, CAST(count(b.day) + 1 AS BIGINT) AS i
+          FROM d a LEFT JOIN d b
+            ON b.event_type = a.event_type
+            AND (b.v < a.v OR (b.v = a.v AND b.day < a.day))
+          GROUP BY a.event_type, a.day, a.v),
+        m AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM d
+              GROUP BY 1),
+        sc AS (
+          SELECT pos.event_type, pos.v,
+            round(${graft.functions.Probit.sqlFull(pArg)}, 9) AS sm
+          FROM pos JOIN m ON m.event_type = pos.event_type),
+        agg AS (
+          SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+            CAST(sum(v) AS BIGINT) AS sx,
+            CAST(sum(CAST(v AS HUGEINT) * v) AS DECIMAL(38,0)) AS sx2,
+            CAST(sum(CAST(sm AS DECIMAL(11,9))) AS DECIMAL(38,9)) AS smm,
+            CAST(sum(CAST(round(sm * sm, 9) AS DECIMAL(11,9)))
+              AS DECIMAL(38,9)) AS sm2,
+            CAST(sum(CAST(sm AS DECIMAL(11,9)) * CAST(v AS DECIMAL(19,0)))
+              AS DECIMAL(38,9)) AS smx
+          FROM sc GROUP BY 1),
+        w AS (
+          SELECT event_type, n,
+            (CAST(smx AS DOUBLE) - CAST(smm AS DOUBLE) * sx / n)
+              * (CAST(smx AS DOUBLE) - CAST(smm AS DOUBLE) * sx / n)
+              / ((CAST(sm2 AS DOUBLE)
+                  - CAST(smm AS DOUBLE) * CAST(smm AS DOUBLE) / n)
+                * (CAST(sx2 AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * sx / n)) AS wp
+          FROM agg
+          WHERE n > 5
+            AND CAST(sx2 AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n > 0),
+        fin AS (
+          SELECT event_type, n, wp,
+            (ln(1.0 - wp) - (-1.2725 + 1.0521 * (ln(ln(CAST(n AS DOUBLE)))
+                - ln(CAST(n AS DOUBLE)))))
+              / (1.0308 - 0.26758 * (ln(ln(CAST(n AS DOUBLE)))
+                + 2.0 / ln(CAST(n AS DOUBLE)))) AS z
+          FROM w WHERE wp < 1)
+        SELECT event_type, n AS n_days, round(wp, 6) AS w_prime,
+          round(z, 6) AS z
+        FROM fin ORDER BY event_type""")
+    })(
+      (s, dir) => {
+        val d = dailyMass(s, dir)
+        val pos = graft.ops.Prefix.runningTotal(
+          d.withColumn("__one", lit(1L)),
+          Seq(col("v"), col("day")), col("__one"), "i",
+          strataCols = Seq("event_type"))
+          .select(col("event_type"), col("v"), col("i"))
+        val m = d.groupBy("event_type")
+          .agg(count(lit(1)).cast("long").as("n"))
+        val pArg = (col("i") - 0.375) / (col("n") + 0.25)
+        val sc = pos.join(broadcast(m), "event_type")
+          .select(col("event_type"), col("v"),
+            round(graft.functions.Probit.ofFull(pArg), 9).as("sm"))
+        val agg = sc.groupBy("event_type").agg(
+          count(lit(1)).cast("long").as("n"),
+          sum(col("v")).cast("long").as("sx"),
+          sum(col("v").cast("decimal(19,0)") * col("v"))
+            .cast("decimal(38,0)").as("sx2"),
+          sum(col("sm").cast("decimal(11,9)")).cast("decimal(38,9)")
+            .as("smm"),
+          sum(round(col("sm") * col("sm"), 9).cast("decimal(11,9)"))
+            .cast("decimal(38,9)").as("sm2"),
+          sum(col("sm").cast("decimal(11,9)")
+            * col("v").cast("decimal(19,0)")).cast("decimal(38,9)")
+            .as("smx"))
+        val nm = col("smx").cast("double")
+          - col("smm").cast("double") * col("sx") / col("n")
+        val w = agg
+          .where(col("n") > 5 &&
+            col("sx2").cast("double")
+              - col("sx").cast("double") * col("sx") / col("n") > 0)
+          .select(col("event_type"), col("n"),
+            (nm * nm
+              / ((col("sm2").cast("double")
+                  - col("smm").cast("double") * col("smm").cast("double")
+                    / col("n"))
+                * (col("sx2").cast("double")
+                  - col("sx").cast("double") * col("sx") / col("n"))))
+              .as("wp"))
+        val lnn = log(col("n").cast("double"))
+        val fin = w.where(col("wp") < 1)
+          .select(col("event_type"), col("n"), col("wp"),
+            ((log(lit(1.0) - col("wp"))
+              - (lit(-1.2725) + lit(1.0521) * (log(lnn) - lnn)))
+              / (lit(1.0308) - lit(0.26758) * (log(lnn)
+                + lit(2.0) / lnn))).as("z"))
+        fin.select(col("event_type"), col("n").as("n_days"),
+            round(col("wp"), 6).as("w_prime"), round(col("z"), 6).as("z"))
+          .orderBy("event_type")
+      }),
+
+    // Mood's median test (Mood '50; the 2×2 median split) — the
+    // quick-and-robust two-sample LOCATION screen beside q410's Mood
+    // location ranks and the q481/q471 scale panel: split each type's
+    // odd- vs even-day daily masses at the POOLED doubled median
+    // (2·v > med2 — ties fall below, deterministically), and test the
+    // 2×2 association with the uncorrected χ² = n(ad−bc)²/((a+b)(c+d)
+    // (a+c)(b+d)). Every cell is an exact BIGINT; ad−bc and the
+    // marginal product are DECIMAL-exact; one double division at the
+    // end, degenerate marginals guarded out.
+    Q("q484_mood_median", Q.sql(s"""
+        WITH d AS ($dailyMassSql),
+        g AS (SELECT event_type, day, v,
+                CAST(dayofmonth(day) % 2 AS INT) AS grp FROM d),
+        nv AS (SELECT event_type, v, CAST(count(*) AS BIGINT) AS cnt
+               FROM g GROUP BY 1, 2),
+        ncum AS (
+          SELECT event_type, v, cnt,
+            sum(cnt) OVER (PARTITION BY event_type ORDER BY v) AS cum,
+            CAST(sum(cnt) OVER (PARTITION BY event_type) AS BIGINT) AS n_g
+          FROM nv),
+        med AS (
+          SELECT event_type,
+            min(CASE WHEN cum >= (n_g + 1) // 2 THEN v END)
+              + min(CASE WHEN cum >= (n_g + 2) // 2 THEN v END) AS med2
+          FROM ncum GROUP BY 1),
+        cells AS (
+          SELECT g.event_type,
+            CAST(sum(CASE WHEN g.grp = 1 AND 2 * g.v > m.med2
+              THEN 1 ELSE 0 END) AS BIGINT) AS a,
+            CAST(sum(CASE WHEN g.grp = 1 AND 2 * g.v <= m.med2
+              THEN 1 ELSE 0 END) AS BIGINT) AS b,
+            CAST(sum(CASE WHEN g.grp = 0 AND 2 * g.v > m.med2
+              THEN 1 ELSE 0 END) AS BIGINT) AS c,
+            CAST(sum(CASE WHEN g.grp = 0 AND 2 * g.v <= m.med2
+              THEN 1 ELSE 0 END) AS BIGINT) AS dd
+          FROM g JOIN med m ON m.event_type = g.event_type
+          GROUP BY 1),
+        fin AS (
+          SELECT event_type, a, b, c, dd, a + b + c + dd AS n,
+            CAST(a AS HUGEINT) * dd - CAST(b AS HUGEINT) * c AS adbc,
+            CAST(a + b AS HUGEINT) * (c + dd) * (a + c) * (b + dd)
+              AS marg
+          FROM cells
+          WHERE a + b > 0 AND c + dd > 0 AND a + c > 0 AND b + dd > 0)
+        SELECT event_type, a AS n1_above, b AS n1_below, c AS n2_above,
+          dd AS n2_below,
+          round(CAST(n AS DOUBLE) * CAST(adbc AS DOUBLE)
+            * CAST(adbc AS DOUBLE) / CAST(marg AS DOUBLE), 6)
+            AS mood_x2
+        FROM fin ORDER BY event_type"""))(
+      (s, dir) => {
+        val g = dailyMass(s, dir).select(col("event_type"), col("day"),
+          col("v"), (dayofmonth(col("day")) % 2).cast("int").as("grp"))
+        val nv = g.groupBy("event_type", "v")
+          .agg(count(lit(1)).cast("long").as("cnt"))
+        val wCum = Window.partitionBy("event_type").orderBy("v")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wAll = Window.partitionBy("event_type")
+        val ncum = nv.select(col("event_type"), col("v"), col("cnt"),
+          sum(col("cnt")).over(wCum).as("cum"),
+          sum(col("cnt")).over(wAll).cast("long").as("n_g"))
+        val med = ncum.groupBy("event_type").agg(
+          (min(when(col("cum") >= floor((col("n_g") + 1) / 2), col("v")))
+            + min(when(col("cum") >= floor((col("n_g") + 2) / 2),
+              col("v")))).as("med2"))
+        val cells = g.join(broadcast(med), "event_type")
+          .groupBy("event_type").agg(
+            sum(when(col("grp") === 1 && lit(2) * col("v") > col("med2"),
+              1).otherwise(0)).cast("long").as("a"),
+            sum(when(col("grp") === 1 && lit(2) * col("v") <= col("med2"),
+              1).otherwise(0)).cast("long").as("b"),
+            sum(when(col("grp") === 0 && lit(2) * col("v") > col("med2"),
+              1).otherwise(0)).cast("long").as("c"),
+            sum(when(col("grp") === 0 && lit(2) * col("v") <= col("med2"),
+              1).otherwise(0)).cast("long").as("dd"))
+        val fin = cells
+          .where(col("a") + col("b") > 0 && col("c") + col("dd") > 0 &&
+            col("a") + col("c") > 0 && col("b") + col("dd") > 0)
+          .select(col("event_type"), col("a"), col("b"), col("c"),
+            col("dd"),
+            (col("a") + col("b") + col("c") + col("dd")).as("n"),
+            (col("a").cast("decimal(19,0)") * col("dd")
+              - col("b").cast("decimal(19,0)") * col("c")).as("adbc"),
+            ((col("a") + col("b")).cast("decimal(19,0)")
+              * (col("c") + col("dd")) * (col("a") + col("c"))
+              * (col("b") + col("dd"))).cast("decimal(38,0)").as("marg"))
+        fin.select(col("event_type"), col("a").as("n1_above"),
+            col("b").as("n1_below"), col("c").as("n2_above"),
+            col("dd").as("n2_below"),
+            round(col("n").cast("double") * col("adbc").cast("double")
+              * col("adbc").cast("double") / col("marg").cast("double"),
+              6).as("mood_x2"))
+          .orderBy("event_type")
       })
   )
 }
