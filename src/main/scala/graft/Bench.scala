@@ -15,19 +15,24 @@ import org.apache.spark.sql.SparkSession
   * attribution.
   *
   * Segmented mode (the round-12 verdict's set-size-invariance fix): a
-  * single sequential JVM accrues GC/code-cache pressure, so the full-set
-  * per-query average crept ~16% as the registry grew (BASELINE.md) — a
+  * single sequential session accrues state, so the full-set per-query
+  * average crept ~16% as the registry grew (BASELINE.md) — a
   * set-size-dependent bias in the gate metric. When the selected set
-  * exceeds `SPARK_GRAFT_BENCH_SEGMENT` queries (default 100; 0 disables),
-  * the parent forks one FRESH child JVM per chunk (same flags, same
-  * classpath, sequential — never concurrent, so per-query timing is
-  * uncontended), each child times its slice exactly like the monolithic
-  * path (own untimed warmup, per-query cache clear) and reports
-  * `name\tsec` lines through a temp file; the parent aggregates and
-  * prints the same contract line. Accumulation is now bounded by the
-  * chunk size, so the per-query average no longer grows with the
-  * registry. Any fork/IO failure falls back to timing the affected
-  * queries in-process — the contract line survives every failure mode.
+  * exceeds `SPARK_GRAFT_BENCH_SEGMENT` queries (default 100; 0
+  * disables), the run is split into chunks whose accumulation is
+  * bounded by the chunk size. Two isolation strengths
+  * (`SPARK_GRAFT_BENCH_MODE`):
+  *  - `restart` (default): tear down and rebuild the SparkSession +
+  *    SparkContext between chunks in THIS JVM. Spark-side accumulation
+  *    (codegen cache, block manager, listener/UI state) resets; the
+  *    JIT stays hot, so no chunk re-pays interpreter/compile warmup.
+  *  - `fork`: one fresh child JVM per chunk (same flags/classpath,
+  *    strictly sequential), results via temp file, crash-safe
+  *    fallback. Strongest isolation, but each chunk re-pays JIT
+  *    warmup — measured +~30 s per chunk at sf0.001 (0.6 s/query), so
+  *    this mode only makes sense when chunks are long or queries are
+  *    heavy.
+  *  - `off`: monolithic single session (the pre-round-13 behavior).
   */
 object Bench {
 
@@ -68,15 +73,43 @@ object Bench {
   /** Time `qs` in this JVM: untimed warmup, then per-query noop-sink
     * wall clock with cache isolation. -1 marks a failed query (never its
     * elapsed-to-crash time masquerading as a fast success).
+    * `restartEvery` > 0 tears the SparkSession+Context down and builds a
+    * fresh one between chunks of that size (same JVM — JIT stays hot,
+    * Spark-side accumulation resets).
     */
   private def timeQueries(sfDir: String,
-      qs: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)])
+      qs: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)],
+      restartEvery: Int = 0)
       : Seq[(String, Double)] = {
+    if (restartEvery > 0 && qs.size > restartEvery)
+      return qs.grouped(restartEvery).toSeq.flatMap { slice =>
+        val timed = timeQueries(sfDir, slice)
+        SparkSession.getActiveSession.foreach(_.stop())
+        SparkSession.clearActiveSession()
+        SparkSession.clearDefaultSession()
+        timed
+      }
     val spark = newSession()
-    // warmup: exercise scan + shuffle + codegen paths once, untimed
-    // (entry reads its own fixture path; a missing path must not kill
-    // the run)
+    // Warmup, untimed: entry (scan + shuffle + codegen once) PLUS a
+    // fixed set of cheap representative queries spanning the operator
+    // families (agg, native top-k, scalar ladder, explode/text, array
+    // codegen, window frames, sketch agg, distributed prefix). A fresh
+    // JVM that only warmed `entry` still JIT-compiles the bulk of the
+    // Tungsten/codegen machinery inside the first TIMED queries —
+    // measured ~+30 s per 100-query chunk at sf0.001 — so the warmup
+    // must cover the machinery, not just one path. (Per-query janino
+    // codegen of each query's unique class is intrinsic and stays
+    // timed, same as the monolithic path.)
     try io.Writers.noop(SparkEntry.entry(spark)) catch { case _: Throwable => () }
+    val warm = Seq("q01_pricing_summary", "q05_topk_orders",
+      "q17_string_predicates", "q22_running_window", "q30_token_stats",
+      "q38_knn_cosine", "q66_hll_registers", "q62_deciles")
+    warm.foreach { n =>
+      SparkEntry.queries.get(n).foreach { fn =>
+        try io.Writers.noop(fn(spark, sfDir)) catch { case _: Throwable => () }
+      }
+    }
+    spark.catalog.clearCache()
     qs.map { case (name, fn) =>
       val t0 = System.nanoTime()
       val sec =
@@ -181,11 +214,20 @@ object Bench {
     val selected = selectedQueries
     val segment = sys.env.getOrElse("SPARK_GRAFT_BENCH_SEGMENT", "100")
     val chunk = scala.util.Try(segment.toInt).getOrElse(100)
+    // segmentation mode: "restart" (default) rebuilds the SparkSession
+    // per chunk in THIS JVM — resets Spark-side accumulation while the
+    // JIT stays hot; "fork" spawns a fresh child JVM per chunk — the
+    // strongest isolation, but each chunk re-pays JIT warmup, which at
+    // sf0.001 (~0.6 s/query) measured +30 s per chunk and inverted the
+    // trade; "off" = monolithic.
+    val mode = sys.env.getOrElse("SPARK_GRAFT_BENCH_MODE", "restart")
     val results: Seq[(String, Double)] =
-      (if (chunk > 0 && selected.size > chunk)
-         runSegmented(sfDir, selected.map(_._1), chunk)
-       else None)
-        .getOrElse(timeQueries(sfDir, selected))
+      if (chunk <= 0 || selected.size <= chunk || mode == "off")
+        timeQueries(sfDir, selected)
+      else if (mode == "fork")
+        runSegmented(sfDir, selected.map(_._1), chunk)
+          .getOrElse(timeQueries(sfDir, selected))
+      else timeQueries(sfDir, selected, restartEvery = chunk)
 
     val total = results.map(_._2).filter(_ >= 0).sum
     val nFailed = results.count(_._2 < 0)
@@ -223,7 +265,7 @@ object Bench {
       .mkString("{", ",", "}")
     val head = s""""metric":"total","value":${fmt(total)},"unit":"sec","failed":$nFailed""" +
       s""","load_avg_start":${fmt(loadStart)},"load_avg_end":${fmt(loadAvg())}""" +
-      s""","cpus":$cpus,"segment":$chunk"""
+      s""","cpus":$cpus,"segment":$chunk,"segment_mode":"$mode""""
     // the contract line prints FIRST — a failed details-file write (bad
     // cwd, full disk) must never cost the driver its bench JSON.
     // Field order matters: the driver keeps only the LAST ~2000 chars of
