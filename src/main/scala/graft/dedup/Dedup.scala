@@ -544,8 +544,16 @@ object Dedup {
     * generation the caller already did.
     */
   def dedupByComponents(docs: DataFrame, idCol: Column,
-                        pairs: DataFrame): DataFrame = {
-    val comp = components(pairs)
+                        pairs: DataFrame): DataFrame =
+    dedupByComponentsFrom(docs, idCol, components(pairs))
+
+  /** [[dedupByComponents]] over a PRECOMPUTED (id, component) frame —
+    * the staged-components path (see DedupQueries.stagedSimhashComponents):
+    * the pointer-jumping pass is the expensive stage, so consumers that
+    * share one component assignment read it instead of re-deriving it.
+    */
+  def dedupByComponentsFrom(docs: DataFrame, idCol: Column,
+                            comp: DataFrame): DataFrame = {
     val sizes = comp.groupBy("component").agg(count(lit(1)).as("cluster_size"))
     docs.select(idCol.as("id"))
       .join(comp, Seq("id"), "left")
@@ -612,9 +620,13 @@ object Dedup {
     * is one anti-join against the same small frame.
     */
   def dedupByBest(docs: DataFrame, idCol: Column, scoreCol: Column,
-                  pairs: DataFrame): DataFrame = {
+                  pairs: DataFrame): DataFrame =
+    dedupByBestFrom(docs, idCol, scoreCol, components(pairs))
+
+  /** [[dedupByBest]] over a precomputed (id, component) frame. */
+  def dedupByBestFrom(docs: DataFrame, idCol: Column, scoreCol: Column,
+                      comp: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val comp = components(pairs)
     val scored = comp.join(
       docs.select(idCol.as("id"), scoreCol.as("rep_score")), Seq("id"))
     val w = Window.partitionBy("component")

@@ -55,6 +55,24 @@ object DedupQueries {
     */
   private val SimhashBits = 48
 
+  /** The simhash near-dup pair frame and its connected components,
+    * staged to parquet once per fixture ([[graft.io.Staged]]): six
+    * queries (q52/q54/q84/q247/q252 and the cluster report) otherwise
+    * each re-run the scan→tokenize→md5→bit-sum simhash pipeline, the
+    * banded self-join AND the pointer-jumping pass — the dedup family's
+    * shared intermediates, exactly like the graph-family pair bases.
+    * First caller pays compute + write inside its own timing.
+    */
+  private def stagedSimhashPairs(s: SparkSession, dir: String): DataFrame =
+    graft.io.Staged.parquet(s, dir, "simpairs", "documents")(
+      Dedup.simhashNearDups(T(s, dir, "documents"),
+        col("doc_id"), col("text"), maxDist = 3, bits = SimhashBits))
+
+  private def stagedSimhashComponents(s: SparkSession,
+                                      dir: String): DataFrame =
+    graft.io.Staged.parquet(s, dir, "simcomp", "documents")(
+      Dedup.components(stagedSimhashPairs(s, dir)))
+
   /** MinHash signature + LSH banding CTE chain shared by q36 and q90:
     * `sig(id, m0..m{K-1})` (raw-occurrence double-hashed minima — the
     * identical derivation to [[Dedup.minhashSignatures]]) and
@@ -258,9 +276,7 @@ object DedupQueries {
       (s, dir) => {
         import org.apache.spark.sql.expressions.Window
         val docs = T(s, dir, "documents")
-        val comp = Dedup.components(
-          Dedup.simhashNearDups(docs, col("doc_id"), col("text"),
-            maxDist = 3, bits = SimhashBits))
+        val comp = stagedSimhashComponents(s, dir)
         val mem = docs
           .join(comp, docs("doc_id") === comp("id"), "left")
           .select(col("doc_id"),
@@ -453,8 +469,7 @@ object DedupQueries {
         WHERE hamming <= 3
         ORDER BY id_a, id_b"""))(
       (s, dir) =>
-        Dedup.simhashNearDups(T(s, dir, "documents"),
-            col("doc_id"), col("text"), maxDist = 3, bits = SimhashBits)
+        stagedSimhashPairs(s, dir)
           .orderBy("id_a", "id_b")),
 
     // SimHash (16-bit, token-frequency weighted) per document.
@@ -491,9 +506,7 @@ object DedupQueries {
         FROM comp
         ORDER BY id"""))(
       (s, dir) =>
-        Dedup.components(
-            Dedup.simhashNearDups(T(s, dir, "documents"),
-              col("doc_id"), col("text"), maxDist = 3, bits = SimhashBits))
+        stagedSimhashComponents(s, dir)
           .orderBy("id")),
 
     // Benchmark decontamination report (the n-gram-overlap check every
@@ -566,10 +579,9 @@ object DedupQueries {
         WHERE c.id IS NULL OR c.component = d.doc_id
         ORDER BY id"""))(
       (s, dir) =>
-        Dedup.dedupByComponents(
+        Dedup.dedupByComponentsFrom(
             T(s, dir, "documents"), col("doc_id"),
-            Dedup.simhashNearDups(T(s, dir, "documents"),
-              col("doc_id"), col("text"), maxDist = 3, bits = SimhashBits))
+            stagedSimhashComponents(s, dir))
           .orderBy("id")),
 
     // Quality-aware cluster collapse: same simhash component graph as
@@ -593,10 +605,9 @@ object DedupQueries {
         WHERE c.id IS NULL
         ORDER BY keep_id"""))(
       (s, dir) =>
-        Dedup.dedupByBest(T(s, dir, "documents"), col("doc_id"),
+        Dedup.dedupByBestFrom(T(s, dir, "documents"), col("doc_id"),
             col("n_chars"),
-            Dedup.simhashNearDups(T(s, dir, "documents"),
-              col("doc_id"), col("text"), maxDist = 3, bits = SimhashBits))
+            stagedSimhashComponents(s, dir))
           .orderBy("keep_id")),
 
     // Near-dup-aware train/test split: the split key is the doc's near-dup
@@ -617,9 +628,7 @@ object DedupQueries {
     })(
       (s, dir) => {
         val docs = T(s, dir, "documents")
-        val comp = Dedup.components(
-          Dedup.simhashNearDups(docs, col("doc_id"), col("text"),
-            maxDist = 3, bits = SimhashBits))
+        val comp = stagedSimhashComponents(s, dir)
         val withRep = docs.select(col("doc_id"))
           .join(comp.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
           .withColumn("rep_id", coalesce(col("component"), col("doc_id")))
