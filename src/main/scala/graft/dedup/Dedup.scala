@@ -321,13 +321,24 @@ object Dedup {
     */
   def minhashNearDups(df: DataFrame, idCol: Column, textCol: Column,
                       n: Int, k: Int, rowsPerBand: Int,
-                      threshold: Double): DataFrame = {
+                      threshold: Double): DataFrame =
     // ONE pass over the raw (non-distinct) shingles computes the join hash
     // and all K signature hashes; the cached frame is (k+2) longs wide and
     // the shingle string never reaches a shuffle. Signatures aggregate the
     // raw multiset directly (min is multiset-invariant); the verify side
     // distincts the two-long (id, shash) projection.
-    val hashed = hashedShingleFrame(df, idCol, textCol, n, k)
+    minhashNearDupsFrom(hashedShingleFrame(df, idCol, textCol, n, k),
+      k, rowsPerBand, threshold)
+
+  /** [[minhashNearDups]] from a precomputed per-occurrence hash frame
+    * (a [[hashedShingleFrame]], possibly served from a
+    * [[graft.io.Staged]] parquet stage): identical pair set, minus the
+    * shingle-explode + md5 pass every caller of the (df, text) form
+    * re-pays.
+    */
+  def minhashNearDupsFrom(hashedRaw: DataFrame, k: Int, rowsPerBand: Int,
+                          threshold: Double): DataFrame = {
+    val hashed = cached(hashedRaw)
     val sig = signaturesOf(hashed, k)
     val cands = minhashCandidates(sig, k, rowsPerBand)
     val sh = hashed.select("id", "shash").distinct()
@@ -372,9 +383,19 @@ object Dedup {
     */
   def minhashEstimates(df: DataFrame, idCol: Column, textCol: Column,
                        n: Int, k: Int, rowsPerBand: Int,
-                       minEstimate: Double): DataFrame = {
+                       minEstimate: Double): DataFrame =
+    minhashEstimatesFrom(
+      minhashSignatures(shinglesRaw(df, idCol, textCol, n), k),
+      k, rowsPerBand, minEstimate)
+
+  /** [[minhashEstimates]] from a precomputed signature frame
+    * (id, m0..m{k-1}) — e.g. [[signaturesOf]] over a staged
+    * [[hashedShingleFrame]].
+    */
+  def minhashEstimatesFrom(sigRaw: DataFrame, k: Int, rowsPerBand: Int,
+                           minEstimate: Double): DataFrame = {
     // Referenced by the banding AND both sides of the estimate join.
-    val sig = cached(minhashSignatures(shinglesRaw(df, idCol, textCol, n), k))
+    val sig = cached(sigRaw)
     val cands = minhashCandidates(sig, k, rowsPerBand)
     val a = sig.select(col("id").as("id_a") +:
       (0 until k).map(i => col(s"m$i").as(s"am$i")): _*)

@@ -73,6 +73,42 @@ object DedupQueries {
     graft.io.Staged.parquet(s, dir, "simcomp", "documents")(
       Dedup.components(stagedSimhashPairs(s, dir)))
 
+  /** The per-occurrence 3-shingle hash frame (id, shash, h0..h{K-1} —
+    * [[Dedup.hashedShingleFrame]]), staged to parquet once per fixture:
+    * the minhash family's shared base. q35/q36/q90/q293 each otherwise
+    * re-pay the scan→tokenize→explode→md5 pass — the family's dominant
+    * cost — before their own joins. Signatures aggregate this frame
+    * (min is multiset-invariant) and the verify side distincts its
+    * (id, shash) projection, so every consumer derives exactly the rows
+    * it derived from the raw text. Bump `version` if K or n changes.
+    */
+  private def stagedMinhashHashes(s: SparkSession, dir: String): DataFrame =
+    graft.io.Staged.parquet(s, dir, "minhash3", "documents")(
+      Dedup.hashedShingleFrame(T(s, dir, "documents"),
+        col("doc_id"), col("text"), 3, MinhashK))
+
+  /** The full 3-gram exact-Jaccard pair frame (threshold 0 — every pair
+    * sharing ≥1 shingle hash, with counts and the rounded score), staged
+    * once per fixture: q35 is a filter over it, q293's ground-truth side
+    * IS it, and q36's exact verify is an equi-join of the LSH candidates
+    * against it (candidate-restricted verify ≡ full-pairs ∩ candidates —
+    * DedupSpec proves the identity). Three queries otherwise re-run the
+    * posting-list self-join — the family's dominant cost.
+    *
+    * 100 TB posture: this is the TRUTH/VERIFY intermediate, quadratic in
+    * posting-list collisions by definition — the pass LSH exists to
+    * avoid. At scale it is computed over a sample or with the df-cap
+    * ([[Dedup.jaccardPairs]] `maxDf`) exactly as q293's calibration doc
+    * prescribes, and the stage then holds that bounded slice; the
+    * staging mechanics (one distributed write, every consumer scans)
+    * are unchanged.
+    */
+  private def stagedJaccardPairs(s: SparkSession, dir: String): DataFrame =
+    graft.io.Staged.parquet(s, dir, "jacc3", "documents")(
+      Dedup.jaccardPairs(
+        stagedMinhashHashes(s, dir).select("id", "shash").distinct(),
+        threshold = 0.0))
+
   /** MinHash signature + LSH banding CTE chain shared by q36 and q90:
     * `sig(id, m0..m{K-1})` (raw-occurrence double-hashed minima — the
     * identical derivation to [[Dedup.minhashSignatures]]) and
@@ -329,9 +365,13 @@ object DedupQueries {
         WHERE round(n_inter * 1.0 / (ca.n_sh + cb.n_sh - n_inter), 6) >= 0.8
         ORDER BY id_a, id_b"""))(
       (s, dir) =>
-        Dedup.jaccardPairs(
-            Dedup.shingleHashSet(T(s, dir, "documents"), col("doc_id"), col("text"), 3),
-            threshold = 0.8)
+        // the staged frame is jaccardPairs at threshold 0 over the
+        // staged base's (id, shash) distinct (= shingleHashSet(n=3):
+        // same md5-prefix derivation, distinct applied after); the 0.8
+        // cut is the same rounded-column filter jaccardPairs applies
+        stagedJaccardPairs(s, dir)
+          .where(col("jaccard") >= 0.8)
+          .select("id_a", "id_b", "n_inter", "n_a", "n_b", "jaccard")
           .orderBy("id_a", "id_b")),
 
     // All-pairs Jaccard via PREFIX FILTERING (Bayardo et al. WWW'07) on
@@ -398,11 +438,18 @@ object DedupQueries {
         WHERE round(n_inter * 1.0 / (ca.n_sh + cb.n_sh - n_inter), 6) >= 0.8
         ORDER BY 1, 2""")
     })(
-      (s, dir) =>
-        Dedup.minhashNearDups(T(s, dir, "documents"),
-            col("doc_id"), col("text"),
-            n = 3, k = MinhashK, rowsPerBand = RowsPerBand, threshold = 0.8)
-          .orderBy("id_a", "id_b")),
+      (s, dir) => {
+        // LSH banding from the staged hash base; exact verify is an
+        // equi-join against the staged pair frame (candidate-restricted
+        // verify ≡ full-pairs ∩ candidates — DedupSpec)
+        val cand = Dedup.minhashCandidates(
+          Dedup.signaturesOf(stagedMinhashHashes(s, dir), MinhashK),
+          MinhashK, RowsPerBand)
+        cand.join(stagedJaccardPairs(s, dir), Seq("id_a", "id_b"))
+          .where(col("jaccard") >= 0.8)
+          .select("id_a", "id_b", "jaccard")
+          .orderBy("id_a", "id_b")
+      }),
 
     // Sketch-only estimated Jaccard over the LSH candidates: signature
     // agreement (matches/K) with NO exact verify join — the pure-sketch
@@ -426,9 +473,9 @@ object DedupQueries {
         ORDER BY id_a, id_b""")
     })(
       (s, dir) =>
-        Dedup.minhashEstimates(T(s, dir, "documents"),
-            col("doc_id"), col("text"),
-            n = 3, k = MinhashK, rowsPerBand = RowsPerBand, minEstimate = 0.5)
+        Dedup.minhashEstimatesFrom(
+            Dedup.signaturesOf(stagedMinhashHashes(s, dir), MinhashK),
+            k = MinhashK, rowsPerBand = RowsPerBand, minEstimate = 0.5)
           .orderBy("id_a", "id_b")),
 
     // Cross-source contamination matrix: shingle-set Jaccard between
@@ -822,31 +869,17 @@ object DedupQueries {
         FROM cs LEFT JOIN truth ON truth.t_pct = cs.t_pct
         ORDER BY cs.t_pct"""))(
       (s, dir) => {
-        val docs = T(s, dir, "documents")
-        // ONE cached shingle-explode+md5 pass feeds the signature
-        // pipeline AND the verify/truth projections (the
-        // minhashNearDups sharing, externalized)
-        val hashed = Dedup.hashedShingleFrame(
-          docs, col("doc_id"), col("text"), 3, MinhashK)
-        val sh = graft.ops.Frames.cached(
-          hashed.select("id", "shash").distinct())
+        // Both staged family bases serve here: the hash base feeds the
+        // signature→banding pipeline, and the staged pair frame IS the
+        // ground-truth side (the minhashNearDups sharing, externalized
+        // and amortized across the family).
         val cand = Dedup.minhashCandidates(
-          Dedup.signaturesOf(hashed, MinhashK), MinhashK, RowsPerBand)
-        val cnt = Dedup.shingleCounts(sh)
-        val inter = sh.select(col("id").as("id_a"), col("shash"))
-          .join(sh.select(col("id").as("id_b"), col("shash")), "shash")
-          .where(col("id_a") < col("id_b"))
-          .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_inter"))
+          Dedup.signaturesOf(stagedMinhashHashes(s, dir), MinhashK),
+          MinhashK, RowsPerBand)
         // cached: the truth frame is consumed by the per-threshold census
         // AND the candidate left-join
-        val tj = graft.ops.Frames.cached(inter
-          .join(cnt.withColumnRenamed("id", "id_a")
-            .withColumnRenamed("n_sh", "n_a"), "id_a")
-          .join(cnt.withColumnRenamed("id", "id_b")
-            .withColumnRenamed("n_sh", "n_b"), "id_b")
-          .select(col("id_a"), col("id_b"),
-            round(col("n_inter") * 1.0 /
-              (col("n_a") + col("n_b") - col("n_inter")), 6).as("j")))
+        val tj = graft.ops.Frames.cached(stagedJaccardPairs(s, dir)
+          .select(col("id_a"), col("id_b"), col("jaccard").as("j")))
         val th = s.range(1)
           .select(explode(typedlit(Seq(40, 50, 60, 70, 80))).as("t_pct"))
         val cut = col("t_pct") / lit(100.0)

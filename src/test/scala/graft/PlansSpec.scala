@@ -239,4 +239,77 @@ class PlansSpec extends SparkSpec {
       spark.catalog.clearCache()
     }
   }
+
+  /** Root paths of every file scan in the frame's analyzed plan. */
+  private def scanPaths(df: org.apache.spark.sql.DataFrame): Seq[String] = {
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    df.queryExecution.analyzed.collect {
+      case l: LogicalRelation => l.relation match {
+        case f: HadoopFsRelation => f.location.rootPaths.map(_.toString)
+        case _ => Seq.empty[String]
+      }
+    }.flatten
+  }
+
+  test("staged-base consumers scan the stage, not the raw tables") {
+    // The staged-family bench wins (graph family −46%, simhash family
+    // ~16 s → 2 s — VERDICT r13) silently evaporate if a refactor stops
+    // routing a consumer through Staged.parquet: every query stays
+    // oracle-green, just several times slower. Pin one consumer per
+    // staged base: running the query builder stages (first caller) and
+    // the resulting frame must READ from the stage.
+    val dir = "/root/testdata/sf0.001"
+    val pins = Seq(
+      "q314_modularity" -> "graft_staged_cosupply",
+      "q274_adamic_adar" -> "graft_staged_copurchase",
+      "q52_simhash_neardup" -> "graft_staged_simpairs",
+      "q84_cluster_dedup" -> "graft_staged_simcomp",
+      "q36_minhash_lsh" -> "graft_staged_minhash3",
+      "q35_jaccard_pairs" -> "graft_staged_jacc3")
+    pins.foreach { case (q, tag) =>
+      val paths = scanPaths(SparkEntry.queries(q)(spark, dir))
+      withClue(s"$q scans [${paths.mkString(", ")}]:") {
+        paths.exists(_.contains(tag)) shouldBe true
+      }
+    }
+    spark.catalog.clearCache()
+  }
+
+  test("PageRank broadcastRanks=false plans shuffle joins — the web-scale fallback") {
+    // Same recipe as the q334 pin: the documented degrade path
+    // (PageRank.scala broadcastRanks) must actually degrade. With the
+    // toggle off and size-estimation broadcasts disabled, every
+    // per-iteration join (rank ⋈ edges ⋈ deg) must be a co-partitioned
+    // shuffle join — a broadcast() hint on the rank/deg side would
+    // override the thresholds and turn this red; so would a cartesian.
+    spark.catalog.clearCache()
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try {
+      val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L),
+        (1L, 3L), (3L, 1L)).toDF("src", "dst")
+      val p = graft.graph.PageRank.run(edges, iters = 2,
+          broadcastRanks = false)
+        .queryExecution.executedPlan.toString
+      withClue("PageRank fallback plan:") {
+        p should not include "BroadcastHashJoin"
+        p should not include "BroadcastNestedLoopJoin"
+        p should not include "CartesianProduct"
+        p should include("SortMergeJoin")
+      }
+      // and the model-bounded default DOES broadcast (one map-side join
+      // per iteration): the two modes must stay distinct
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+      val pb = graft.graph.PageRank.run(edges, iters = 2,
+          broadcastRanks = true)
+        .queryExecution.executedPlan.toString
+      pb should include("BroadcastHashJoin")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+      spark.catalog.clearCache()
+    }
+  }
 }

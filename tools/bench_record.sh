@@ -3,8 +3,23 @@
 # load to settle, then runs the segmented bench at both SFs with the
 # details redirected to the COMMITTED record files. Run alone on a calm
 # box; the printed contract lines carry load_avg_start for adjudication.
+#
+# Staging state is EXPLICIT (ADVICE r13): committed records depend on
+# whether the io/Staged bases are warm, so the script pins that state
+# instead of inheriting whatever /tmp holds.
+#   tools/bench_record.sh          # warm (default): untimed staging
+#                                  # pre-pass per SF, then record
+#   tools/bench_record.sh cold     # purge the stage root, then record
+#                                  # (first callers pay staging in-band)
+# The recorded JSON head carries staged_dirs (count of marker-complete
+# stages at run start) so the state is adjudicable from the record file.
 set -eu
 cd "$(dirname "$0")/.."
+MODE="${1:-warm}"
+STAGE_ROOT="${SPARK_GRAFT_STAGE_DIR:-/tmp}"
+# one consumer per staged base: q35 stages minhash3+jacc3, q54 stages
+# simpairs+simcomp, q314 cosupply, q274 copurchase
+STAGERS="q35_jaccard_pairs,q54_components,q314_modularity,q274_adamic_adar"
 wait_calm() {
   for _ in $(seq 1 60); do
     l=$(cut -d' ' -f1 /proc/loadavg)
@@ -13,12 +28,26 @@ wait_calm() {
   done
   echo "WARN: load never settled below 1.0" >&2
 }
-echo "== sf0.001 record"
+prepare() { # $1 = sf dir
+  if [ "$MODE" = cold ]; then
+    rm -rf "$STAGE_ROOT"/graft_staged_*
+  else
+    # untimed staging pre-pass: first-caller writes land OUTSIDE the
+    # recorded run, so the record is reproducibly warm
+    SPARK_GRAFT_SF_DIR="$1" SPARK_GRAFT_ONLY="$STAGERS" \
+      SPARK_GRAFT_BENCH_DETAILS=$(mktemp) \
+      tools/run.sh graft.Bench >/dev/null 2>&1
+  fi
+  echo "staged dirs at record start: $(ls -d "$STAGE_ROOT"/graft_staged_* 2>/dev/null | wc -l) ($MODE)"
+}
+echo "== sf0.001 record ($MODE)"
+prepare /root/testdata/sf0.001
 wait_calm
 SPARK_GRAFT_SF_DIR=/root/testdata/sf0.001 \
   SPARK_GRAFT_BENCH_DETAILS=bench_details.json \
   tools/run.sh graft.Bench 2>/dev/null | tail -1
-echo "== sf0.1 record"
+echo "== sf0.1 record ($MODE)"
+prepare /root/testdata/sf0.1
 wait_calm
 SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 \
   SPARK_GRAFT_BENCH_DETAILS=bench_details_sf01.json \

@@ -14,9 +14,14 @@ pure Scala Spark.
 import os
 import duckdb
 
-SRC = "/root/testdata/sf0.1"
-DST = "/root/repo/scaledata/sf1"
-REPLICAS = 10
+# Env-overridable (round-14: the 100x capstone probe builds scaledata/sf10
+# from the 10x fixture with GRAFT_SCALE_SRC=scaledata/sf1
+# GRAFT_SCALE_DST=scaledata/sf10 GRAFT_SCALE_REPLICAS=10 — keys are
+# re-offset above the 10x fixture's max, so the composition is a true
+# 100x of sf0.1).
+SRC = os.environ.get("GRAFT_SCALE_SRC", "/root/testdata/sf0.1")
+DST = os.environ.get("GRAFT_SCALE_DST", "/root/repo/scaledata/sf1")
+REPLICAS = int(os.environ.get("GRAFT_SCALE_REPLICAS", "10"))
 
 # table -> columns to offset (entity keys)
 OFFSET_COLS = {
