@@ -90,25 +90,16 @@ object Bench {
         timed
       }
     val spark = newSession()
-    // Warmup, untimed: entry (scan + shuffle + codegen once) PLUS a
-    // fixed set of cheap representative queries spanning the operator
-    // families (agg, native top-k, scalar ladder, explode/text, array
-    // codegen, window frames, sketch agg, distributed prefix). A fresh
-    // JVM that only warmed `entry` still JIT-compiles the bulk of the
+    // Warmup, untimed: entry (scan + shuffle + codegen once) PLUS
+    // dedicated exemplars spanning the operator families. A fresh JVM
+    // that only warmed `entry` still JIT-compiles the bulk of the
     // Tungsten/codegen machinery inside the first TIMED queries —
     // measured ~+30 s per 100-query chunk at sf0.001 — so the warmup
     // must cover the machinery, not just one path. (Per-query janino
     // codegen of each query's unique class is intrinsic and stays
     // timed, same as the monolithic path.)
     try io.Writers.noop(SparkEntry.entry(spark)) catch { case _: Throwable => () }
-    val warm = Seq("q01_pricing_summary", "q05_topk_orders",
-      "q17_string_predicates", "q22_running_window", "q30_token_stats",
-      "q38_knn_cosine", "q66_hll_registers", "q62_deciles")
-    warm.foreach { n =>
-      SparkEntry.queries.get(n).foreach { fn =>
-        try io.Writers.noop(fn(spark, sfDir)) catch { case _: Throwable => () }
-      }
-    }
+    warmupExemplars(spark, sfDir)
     spark.catalog.clearCache()
     qs.map { case (name, fn) =>
       val t0 = System.nanoTime()
@@ -120,6 +111,56 @@ object Bench {
       // accumulates every cached plan in executor memory
       spark.catalog.clearCache()
       name -> sec
+    }
+  }
+
+  /** Untimed machinery warmup with DEDICATED exemplars, never registry
+    * members: the previous warm set (q01/q05/q17/q22/q30/q38/q62/q66)
+    * ran untimed in the SAME session that then timed those queries, a
+    * self-warming advantage the other ~476 didn't get (ADVICE r13).
+    * Each exemplar exercises one family's codegen/shuffle machinery —
+    * hash agg + decimal sums, native top-k exec, string predicate
+    * ladder, window frames, explode + md5 hash, array-math kNN, HLL
+    * sketch registers, partitioned ntile — with shapes that appear in
+    * NO registered query.
+    */
+  private def warmupExemplars(spark: SparkSession, sfDir: String): Unit = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    def t(n: String) = Tables.load(spark, sfDir, n)
+    val li = t("lineitem")
+    val docs = t("documents")
+    val runs: Seq[() => org.apache.spark.sql.DataFrame] = Seq(
+      () => li.groupBy("l_linestatus")
+        .agg(sum(col("l_quantity")).as("sq"),
+          avg(col("l_discount")).as("ad"), count(lit(1)).as("n")),
+      () => plans.NativeTopK.topKPerGroup(
+        li.select(col("l_suppkey"), col("l_extendedprice"),
+          col("l_orderkey")),
+        Seq(col("l_suppkey")),
+        Seq(col("l_extendedprice").desc, col("l_orderkey")), 2),
+      () => docs.where(lower(col("text")).contains("the"))
+        .select(col("doc_id"), length(col("text")).as("len"),
+          upper(col("lang")).as("ul")),
+      () => li.limit(20000).withColumn("rt",
+        sum(col("l_quantity")).over(Window.partitionBy("l_suppkey")
+          .orderBy("l_orderkey")
+          .rowsBetween(Window.unboundedPreceding, 0))),
+      () => docs.select(col("doc_id"),
+          explode(split(lower(col("text")), " ")).as("tok"))
+        .select((functions.Hashing.hash48(col("tok")) % 101).as("b"))
+        .groupBy("b").count(),
+      () => {
+        val e = t("embeddings")
+        similarity.Similarity.knnBruteForce(
+          e.where(col("vec_id") < 3).limit(3), e, k = 2)
+      },
+      () => sketch.Hll.registers(li, col("l_suppkey"), 5),
+      () => li.limit(20000).select(col("l_orderkey"),
+        ntile(7).over(Window.partitionBy("l_linestatus")
+          .orderBy(col("l_extendedprice"), col("l_orderkey"))).as("bin")))
+    runs.foreach { r =>
+      try io.Writers.noop(r()) catch { case _: Throwable => () }
     }
   }
 
@@ -221,12 +262,31 @@ object Bench {
     // sf0.001 (~0.6 s/query) measured +30 s per chunk and inverted the
     // trade; "off" = monolithic.
     val mode = sys.env.getOrElse("SPARK_GRAFT_BENCH_MODE", "restart")
+    // staging state at run start (marker-complete graft_staged_* dirs
+    // under the stage root): committed record totals differ ~10-12 s
+    // between cold and warm staged bases, so the adjudication record
+    // carries the state instead of leaving it to hidden /tmp contents
+    // (ADVICE r13).
+    val stagedDirs = {
+      val root = new java.io.File(graft.io.Staged.root)
+      Option(root.listFiles()).getOrElse(Array.empty)
+        .count(d => d.isDirectory && d.getName.startsWith("graft_staged_") &&
+          new java.io.File(d, "_graft_staged").exists())
+    }
+    // effMode records what actually RAN: the fork path silently degrades
+    // to a monolithic session when forking isn't viable, and a run whose
+    // set fits in one chunk never segments — the JSON must not claim
+    // isolation that did not happen (ADVICE r13).
+    var effMode = mode
     val results: Seq[(String, Double)] =
-      if (chunk <= 0 || selected.size <= chunk || mode == "off")
+      if (chunk <= 0 || selected.size <= chunk || mode == "off") {
+        effMode = "off"
         timeQueries(sfDir, selected)
-      else if (mode == "fork")
-        runSegmented(sfDir, selected.map(_._1), chunk)
-          .getOrElse(timeQueries(sfDir, selected))
+      } else if (mode == "fork")
+        runSegmented(sfDir, selected.map(_._1), chunk).getOrElse {
+          effMode = "off"
+          timeQueries(sfDir, selected)
+        }
       else timeQueries(sfDir, selected, restartEvery = chunk)
 
     val total = results.map(_._2).filter(_ >= 0).sum
@@ -265,7 +325,7 @@ object Bench {
       .mkString("{", ",", "}")
     val head = s""""metric":"total","value":${fmt(total)},"unit":"sec","failed":$nFailed""" +
       s""","load_avg_start":${fmt(loadStart)},"load_avg_end":${fmt(loadAvg())}""" +
-      s""","cpus":$cpus,"segment":$chunk,"segment_mode":"$mode""""
+      s""","cpus":$cpus,"segment":$chunk,"segment_mode":"$effMode","staged_dirs":$stagedDirs"""
     // the contract line prints FIRST — a failed details-file write (bad
     // cwd, full disk) must never cost the driver its bench JSON.
     // Field order matters: the driver keeps only the LAST ~2000 chars of

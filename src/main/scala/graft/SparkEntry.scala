@@ -53,7 +53,7 @@ object SparkEntry {
       CapstoneQueries.all ++ ReliabilityTwoQueries.all ++
       StationarityQueries.all ++ RankScaleQueries.all ++
       VarianceDiagQueries.all ++ CycleCapstoneQueries.all ++
-      RetrievalCapstoneQueries.all
+      RetrievalCapstoneQueries.all ++ TwoSampleOmnibusQueries.all
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0.
     * Full slice: scan -> filter -> broadcast-join -> agg -> window top-k.

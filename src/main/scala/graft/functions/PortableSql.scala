@@ -87,4 +87,19 @@ object PortableSql {
     */
   def bit(hExpr: String, b: Int): String =
     s"(CAST(floor($hExpr / ${pow2(b)}) AS BIGINT) % 2)"
+
+  /** Engine-portable display rounding: floor(x·10^d + 0.5)/10^d as one
+    * shared IEEE sequence. The engines' NATIVE round(DOUBLE, d) differ
+    * on inputs within ~1 ulp of a .5·10^-d boundary — Spark rounds the
+    * double's full binary expansion (BigDecimal HALF_UP) while DuckDB
+    * rounds multiply-based — which surfaces as rare 10^-d hash
+    * mismatches (q142/q236 at sf0.001). Identical doubles in, identical
+    * doubles out, on any input whose |x·10^d| < 2^52. Semantics:
+    * half-up toward +∞ (differs from native HALF_UP only for exact
+    * negative halves, which the boundary inputs here never are).
+    */
+  def round(xExpr: String, d: Int): String = {
+    val p = s"CAST(1e$d AS DOUBLE)"
+    s"(CAST(floor((($xExpr) * $p) + CAST(0.5 AS DOUBLE)) AS DOUBLE) / $p)"
+  }
 }

@@ -83,7 +83,8 @@ object AdoptionQueries {
           FROM det),
         fit AS (
           SELECT n, a, b, c,
-            (-b - sqrt(b * b - 4 * a * c)) / (2 * c) AS mm
+            CASE WHEN b * b - 4 * a * c >= 0
+              THEN (-b - sqrt(b * b - 4 * a * c)) / (2 * c) END AS mm
           FROM abc)
         SELECT n AS n_days, round(a, 6) AS a, round(b, 6) AS b,
           round(c, 8) AS c, round(mm, 6) AS market_m,
@@ -135,9 +136,13 @@ object AdoptionQueries {
             col("t0") * (col("s1") * col("s3") - col("s2") * col("s2")))
             / col("dd")).as("c"),
           col("n"))
+        // discriminant guard (sf0.001: the sparse series fits a convex
+        // quadratic with b²−4ac < 0 — DuckDB's sqrt ERRORS on negatives
+        // where Spark returns NaN, so both sides branch to NULL)
+        val disc = col("b") * col("b") - lit(4) * col("a") * col("c")
         val fit = abc.select(col("n"), col("a"), col("b"), col("c"),
-          ((-col("b") - sqrt(col("b") * col("b")
-            - lit(4) * col("a") * col("c"))) / (lit(2) * col("c")))
+          when(disc >= 0,
+            (-col("b") - sqrt(disc)) / (lit(2) * col("c")))
             .as("mm"))
         fit.select(col("n").as("n_days"), round(col("a"), 6).as("a"),
           round(col("b"), 6).as("b"), round(col("c"), 8).as("c"),

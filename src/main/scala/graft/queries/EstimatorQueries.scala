@@ -504,15 +504,19 @@ object EstimatorQueries {
           FROM g, tot t),
         mo AS (
           SELECT CAST(max(gn) AS BIGINT) AS gn,
-            CAST(sum(r_g) AS DOUBLE) AS sr,
-            CAST(sum(CAST(round(CAST(r_g AS DOUBLE) * CAST(r_g AS DOUBLE),
-              9) AS DECIMAL(28,9))) AS DOUBLE) AS srr
+            CAST(sum(r_g) AS DOUBLE) AS sr
           FROM rep),
+        rb AS (SELECT gn, round(sr / gn, 9) AS rbar FROM mo),
+        ctr AS (
+          SELECT rb.gn,
+            CAST(sum(CAST(round((CAST(r_g AS DOUBLE) - rbar)
+              * (CAST(r_g AS DOUBLE) - rbar), 9) AS DECIMAL(28,9)))
+              AS DOUBLE) AS css
+          FROM rep, rb GROUP BY rb.gn),
         vj AS (
           SELECT gn,
-            round(CAST(gn - 1 AS DOUBLE) / gn
-              * (srr - sr * sr / gn), 9) AS var_jack
-          FROM mo)
+            round(CAST(gn - 1 AS DOUBLE) / gn * css, 9) AS var_jack
+          FROM ctr)
         SELECT r.grp, round(CAST(r.r_g AS DOUBLE), 6) AS r_loo,
           round(CAST(r.srev AS DOUBLE) / r.sqty / 100.0, 6) AS r_full,
           v.var_jack, round(sqrt(v.var_jack), 6) AS se_jack
@@ -532,13 +536,21 @@ object EstimatorQueries {
               / (col("sqty") - col("qty")).cast("double") / 100.0, 9)
               .cast("decimal(28,9)").as("r_g"),
             col("gn"), col("srev"), col("sqty"))
+        // CENTERED spread about the 9dp-rounded mean: the raw-moment
+        // form (srr − sr²/gn) cancels ~8 digits, amplifying the 1-ulp
+        // decimal→double cast divergence between engines above the
+        // round@9 floor (sf0.001); centering first keeps every term
+        // O(spread), and rbar's own round@9 absorbs the ulp.
         val mo = rep.agg(max(col("gn")).cast("long").as("gn"),
-          sum(col("r_g")).cast("double").as("sr"),
-          sum(round(col("r_g").cast("double") * col("r_g").cast("double"),
-            9).cast("decimal(28,9)")).cast("double").as("srr"))
-        val vj = mo.select(col("gn"),
-          round((col("gn") - 1).cast("double") / col("gn")
-            * (col("srr") - col("sr") * col("sr") / col("gn")), 9)
+          sum(col("r_g")).cast("double").as("sr"))
+        val rb = mo.select(round(col("sr") / col("gn"), 9).as("rbar"))
+        val ctr = rep.crossJoin(broadcast(rb))
+          .groupBy("gn")
+          .agg(sum(round((col("r_g").cast("double") - col("rbar"))
+              * (col("r_g").cast("double") - col("rbar")), 9)
+            .cast("decimal(28,9)")).cast("double").as("css"))
+        val vj = ctr.select(col("gn"),
+          round((col("gn") - 1).cast("double") / col("gn") * col("css"), 9)
             .as("var_jack"))
         rep.crossJoin(broadcast(vj))
           .select(col("grp"), round(col("r_g").cast("double"), 6)

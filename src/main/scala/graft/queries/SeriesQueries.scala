@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.functions.PortableSql
 import graft.ops.Relational.dsum
 
 /** Round-5 batch 24: time-series repair (linear interpolation of gaps
@@ -28,7 +29,7 @@ object SeriesQueries {
     // aggregation shuffles normally; the windows run over the
     // calendar-bounded spine (days, never rows). Edge days outside the
     // observed range stay NULL-filled with observed = 0.
-    Q("q236_interpolate_gaps", Q.sql("""
+    Q("q236_interpolate_gaps", Q.sql(s"""
         WITH daily AS (
           SELECT CAST(l_shipdate AS DATE) AS day,
             round(CAST(sum(CAST(l_extendedprice * (1 - l_discount)
@@ -55,10 +56,10 @@ object SeriesQueries {
               AS next_day
           FROM spine s LEFT JOIN daily d ON d.day = s.day)
         SELECT day, observed,
-          round(CASE WHEN rev IS NOT NULL THEN rev
+          ${PortableSql.round("""CASE WHEN rev IS NOT NULL THEN rev
             ELSE prev_val + (next_val - prev_val)
               * CAST(day - prev_day AS DOUBLE)
-              / CAST(next_day - prev_day AS DOUBLE) END, 6) AS rev_filled
+              / CAST(next_day - prev_day AS DOUBLE) END""", 6)} AS rev_filled
         FROM joined ORDER BY day"""))(
       (s, dir) => {
         val daily = T(s, dir, "lineitem")
@@ -90,12 +91,15 @@ object SeriesQueries {
             col("rev").as("prev_val"))), Seq("prev_day"), "left")
           .join(broadcast(daily.select(col("day").as("next_day"),
             col("rev").as("next_val"))), Seq("next_day"), "left")
+          .withColumn("__fill", when(col("rev").isNotNull, col("rev"))
+            .otherwise(col("prev_val") + (col("next_val") - col("prev_val")) *
+              datediff(col("day"), col("prev_day")).cast("double") /
+              datediff(col("next_day"), col("prev_day")).cast("double")))
+          // portable floor-based rounding: the interpolation produced a
+          // .5-boundary value at sf0.001 where the engines' native
+          // round(DOUBLE, 6) disagree (PortableSql.round)
           .select(col("day"), col("observed"),
-            round(when(col("rev").isNotNull, col("rev"))
-              .otherwise(col("prev_val") + (col("next_val") - col("prev_val")) *
-                datediff(col("day"), col("prev_day")).cast("double") /
-                datediff(col("next_day"), col("prev_day")).cast("double")), 6)
-              .as("rev_filled"))
+            expr(PortableSql.round("__fill", 6)).as("rev_filled"))
           .orderBy("day")
       }),
 

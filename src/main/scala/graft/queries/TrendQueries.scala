@@ -221,7 +221,7 @@ object TrendQueries {
     // broadcast re-join); flagged days deviate >20% from their weekday
     // baseline. The dow keys differ between engines (Spark 1=Sunday,
     // DuckDB 0=Sunday) — the oracle adds 1.
-    Q("q142_seasonality", Q.sql("""
+    Q("q142_seasonality", Q.sql(s"""
         WITH daily AS (
           SELECT CAST(o_orderdate AS DATE) AS day,
             CAST(sum(CAST(o_totalprice AS DECIMAL(27,4))) AS DOUBLE) AS revenue
@@ -230,8 +230,9 @@ object TrendQueries {
           SELECT dayofweek(day) + 1 AS dow,
             CAST(sum(CAST(revenue AS DECIMAL(27,4))) AS DOUBLE) / count(*) AS baseline
           FROM daily GROUP BY 1)
-        SELECT day, revenue, dow, round(baseline, 6) AS baseline,
-          round(revenue - baseline, 6) AS residual,
+        SELECT day, revenue, dow,
+          ${PortableSql.round("baseline", 6)} AS baseline,
+          ${PortableSql.round("revenue - baseline", 6)} AS residual,
           abs(revenue - baseline) > baseline * 0.2 AS flagged
         FROM daily JOIN base ON dayofweek(day) + 1 = base.dow
         ORDER BY day"""))(
@@ -241,10 +242,13 @@ object TrendQueries {
           .agg(dsum(col("o_totalprice"), 4).as("revenue"))
         val base = daily.groupBy(dayofweek(col("day")).as("dow"))
           .agg(davg(col("revenue"), 4).as("baseline"))
+        // residual rides the PORTABLE floor-based rounding: the engines'
+        // native round(DOUBLE, 6) disagree on a .5-boundary input this
+        // subtraction produced at sf0.001 (PortableSql.round)
         daily.join(broadcast(base), dayofweek(col("day")) === col("dow"))
           .select(col("day"), col("revenue"), col("dow"),
-            round(col("baseline"), 6).as("baseline"),
-            round(col("revenue") - col("baseline"), 6).as("residual"),
+            expr(PortableSql.round("baseline", 6)).as("baseline"),
+            expr(PortableSql.round("revenue - baseline", 6)).as("residual"),
             (abs(col("revenue") - col("baseline")) >
               col("baseline") * 0.2).as("flagged"))
           .orderBy("day")

@@ -31,6 +31,16 @@ oracle_out=$(python3 tools/check_oracle.py /root/testdata/sf0.01 "$out" 2>&1); o
 echo "$oracle_out" | tail -1
 [ $oracle_rc -ne 0 ] && { echo "FAIL: oracle gate (rc=$oracle_rc)"; fail=1; }
 
+echo "== correctness vs DuckDB oracle at sf0.001 (data-shape divergences)"
+# second scale factor (round-13 verdict item 5): sf0.001's sparser groups
+# produce the degenerate/boundary cells that sf0.01 masks — the q142/
+# q236/q361/q449 class of divergences this gate exists to catch.
+out001=$(mktemp -d)
+tools/run.sh graft.Verify /root/testdata/sf0.001 "$out001" 2>/dev/null >/dev/null
+oracle001_out=$(python3 tools/check_oracle.py /root/testdata/sf0.001 "$out001" 2>&1); oracle001_rc=$?
+echo "$oracle001_out" | tail -1
+[ $oracle001_rc -ne 0 ] && { echo "FAIL: oracle gate sf0.001 (rc=$oracle001_rc)"; echo "$oracle001_out" | grep ^FAIL | head -5; fail=1; }
+
 echo "== oracle coverage (every query must ship an oracle unless allowlisted)"
 # rows-only allowlist: queries whose semantics cannot be expressed in
 # DuckDB SQL. Adding a query without an oracle and without listing it
