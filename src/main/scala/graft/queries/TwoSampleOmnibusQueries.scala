@@ -145,7 +145,216 @@ object TwoSampleOmnibusQueries {
       s"round((CASE WHEN least(nx, ny) < 25 THEN ($w2 * $corr) ELSE $w2 END), 6) AS w2_small")
   }
 
+  /** Scholz-Stephens variance coefficient / statistic ladder — shared
+    * expression strings, ES-style: inputs (n, k, s, hh, hsum, gsum).
+    */
+  private val adCoefCols: Seq[String] = Seq(
+    "event_type", "n", "k",
+    "((CAST(n - 1 AS DOUBLE) / CAST(n AS DOUBLE)) * s) AS a2",
+    "((CAST(4 AS DOUBLE) * gsum - CAST(6 AS DOUBLE)) * CAST(k - 1 AS DOUBLE)" +
+      " + (CAST(10 AS DOUBLE) - CAST(6 AS DOUBLE) * gsum) * hh) AS ca",
+    "((CAST(2 AS DOUBLE) * gsum - CAST(4 AS DOUBLE)) * CAST(k AS DOUBLE) * CAST(k AS DOUBLE)" +
+      " + CAST(8 AS DOUBLE) * hsum * CAST(k AS DOUBLE)" +
+      " + (CAST(2 AS DOUBLE) * gsum - CAST(14 AS DOUBLE) * hsum - CAST(4 AS DOUBLE)) * hh" +
+      " - CAST(8 AS DOUBLE) * hsum + CAST(4 AS DOUBLE) * gsum - CAST(6 AS DOUBLE)) AS cb",
+    "((CAST(6 AS DOUBLE) * hsum + CAST(2 AS DOUBLE) * gsum - CAST(2 AS DOUBLE)) * CAST(k AS DOUBLE) * CAST(k AS DOUBLE)" +
+      " + (CAST(4 AS DOUBLE) * hsum - CAST(4 AS DOUBLE) * gsum + CAST(6 AS DOUBLE)) * CAST(k AS DOUBLE)" +
+      " + (CAST(2 AS DOUBLE) * hsum - CAST(6 AS DOUBLE)) * hh + CAST(4 AS DOUBLE) * hsum) AS cc",
+    "((CAST(2 AS DOUBLE) * hsum + CAST(6 AS DOUBLE)) * CAST(k AS DOUBLE) * CAST(k AS DOUBLE)" +
+      " - CAST(4 AS DOUBLE) * hsum * CAST(k AS DOUBLE)) AS cd")
+
+  private val adFinCols: Seq[String] = {
+    val sigma2 = "((ca * CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)" +
+      " + cb * CAST(n AS DOUBLE) * CAST(n AS DOUBLE) + cc * CAST(n AS DOUBLE) + cd)" +
+      " / CAST((n - 1) * (n - 2) * (n - 3) AS DOUBLE))"
+    Seq("event_type", "n", "k",
+      "round(a2, 6) AS a2",
+      s"round(sqrt($sigma2), 6) AS sigma",
+      s"round((CASE WHEN $sigma2 > 0" +
+        s" THEN (a2 - CAST(k - 1 AS DOUBLE)) / sqrt($sigma2) END), 6) AS t")
+  }
+
   def all: Seq[Q] = Seq(
+
+    // k-sample Anderson-Darling (Scholz & Stephens JASA'87, the
+    // ties/midrank statistic A²_akN): does the daily-mass DISTRIBUTION
+    // differ across the three day-of-month residue groups? This is the
+    // k-sample distributional omnibus the panel lacked — q329
+    // Kruskal-Wallis / q346 Friedman / q466 Quade compare LOCATION
+    // across k groups; AD weighs the whole ECDF with emphasis on the
+    // tails. Everything up to the final ladder is EXACT integers:
+    // doubled midrank cumulatives m2 = 2M+lᵢ and b2 = 2B+l make each
+    // j-term the ratio l·(N·m2 − nᵢ·b2)² / (N·(b2·(2N−b2) − N·l)) of
+    // two BIGINTs; per-term doubles are rounded@9 into DECIMAL sums.
+    // The variance's harmonic sums h = Σ1/i and g = ΣΣ1/((N−i)j) are
+    // rounded@12 reciprocal DECIMAL sums over generated index frames
+    // (N ≤ days, so the g grid is tiny); the coefficient polynomial and
+    // T = (A² − (k−1))/σ ride ONE shared expression ladder on both
+    // engines (the q485 pattern). The formula path reproduces the
+    // paper's worked example (A² 8.3926, σ 1.2038, T 4.480) — pinned in
+    // EsSpec's sibling check. Scale: two hash aggs for multiplicities,
+    // cumulatives on the distinct-value frame (prefix-sum shaped, value
+    // domain ≪ rows), one generated index frame per type — nothing
+    // touches row pairs.
+    Q("q486_ksample_ad", Q.sql(s"""
+        WITH d AS ($dailyMassSql),
+        g AS (SELECT event_type, day, v,
+                CAST(dayofmonth(day) % 3 AS INT) AS grp FROM d),
+        zl AS (SELECT event_type, v, CAST(count(*) AS BIGINT) AS l
+               FROM g GROUP BY 1, 2),
+        zli AS (SELECT event_type, grp, v, CAST(count(*) AS BIGINT) AS li
+                FROM g GROUP BY 1, 2, 3),
+        nn AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                 CAST(count(DISTINCT v) AS BIGINT) AS lc
+               FROM g GROUP BY 1),
+        ni AS (SELECT event_type, grp, CAST(count(*) AS BIGINT) AS nig
+               FROM g GROUP BY 1, 2),
+        kk AS (SELECT event_type, CAST(count(*) AS BIGINT) AS k
+               FROM ni GROUP BY 1),
+        cb2 AS (
+          SELECT a.event_type, a.v, a.l,
+            2 * CAST(coalesce(sum(b.l), 0) AS BIGINT) + a.l AS b2
+          FROM zl a LEFT JOIN zl b
+            ON b.event_type = a.event_type AND b.v < a.v
+          GROUP BY a.event_type, a.v, a.l),
+        cm AS (
+          SELECT gr.event_type, gr.grp, gr.v,
+            2 * CAST(coalesce(sum(CASE WHEN z2.v < gr.v THEN z2.li END), 0)
+              AS BIGINT)
+              + CAST(coalesce(max(CASE WHEN z2.v = gr.v THEN z2.li END), 0)
+              AS BIGINT) AS m2
+          FROM (SELECT zl.event_type, ni.grp, zl.v
+                FROM zl JOIN ni ON ni.event_type = zl.event_type) gr
+          LEFT JOIN zli z2
+            ON z2.event_type = gr.event_type AND z2.grp = gr.grp
+              AND z2.v <= gr.v
+          GROUP BY 1, 2, 3),
+        tm AS (
+          SELECT cm.event_type, cm.grp,
+            round(CAST(cb2.l * (nn.n * cm.m2 - ni.nig * cb2.b2)
+                * (nn.n * cm.m2 - ni.nig * cb2.b2) AS DOUBLE)
+              / CAST(nn.n * (cb2.b2 * (2 * nn.n - cb2.b2) - nn.n * cb2.l)
+                AS DOUBLE), 9) AS t
+          FROM cm
+          JOIN cb2 ON cb2.event_type = cm.event_type AND cb2.v = cm.v
+          JOIN nn ON nn.event_type = cm.event_type
+          JOIN ni ON ni.event_type = cm.event_type AND ni.grp = cm.grp),
+        in1 AS (
+          SELECT event_type, grp,
+            CAST(sum(CAST(t AS DECIMAL(38,9))) AS DOUBLE) AS inner_g
+          FROM tm GROUP BY 1, 2),
+        in2 AS (
+          SELECT i.event_type,
+            CAST(sum(CAST(round(i.inner_g / ni.nig, 9) AS DECIMAL(38,9)))
+              AS DOUBLE) AS s
+          FROM in1 i JOIN ni
+            ON ni.event_type = i.event_type AND ni.grp = i.grp
+          GROUP BY 1),
+        hc AS (
+          SELECT event_type,
+            CAST(sum(CAST(round(CAST(1 AS DOUBLE) / nig, 12)
+              AS DECIMAL(38,12))) AS DOUBLE) AS hh
+          FROM ni GROUP BY 1),
+        hs AS (
+          SELECT nn.event_type,
+            CAST(sum(CAST(round(CAST(1 AS DOUBLE) / ii.i, 12)
+              AS DECIMAL(38,12))) AS DOUBLE) AS hsum
+          FROM nn, LATERAL (SELECT unnest(generate_series(1,
+            CAST(nn.n - 1 AS INT))) AS i) ii
+          GROUP BY 1),
+        gs AS (
+          SELECT nn.event_type,
+            CAST(sum(CAST(round(CAST(1 AS DOUBLE) / ((nn.n - ii.i) * jj.j),
+              12) AS DECIMAL(38,12))) AS DOUBLE) AS gsum
+          FROM nn,
+            LATERAL (SELECT unnest(generate_series(1,
+              CAST(nn.n - 2 AS INT))) AS i) ii,
+            LATERAL (SELECT unnest(generate_series(ii.i + 1,
+              CAST(nn.n - 1 AS INT))) AS j) jj
+          GROUP BY 1),
+        base AS (
+          SELECT nn.event_type, nn.n, kk.k, in2.s, hc.hh, hs.hsum, gs.gsum
+          FROM nn JOIN kk ON kk.event_type = nn.event_type
+          JOIN in2 ON in2.event_type = nn.event_type
+          JOIN hc ON hc.event_type = nn.event_type
+          JOIN hs ON hs.event_type = nn.event_type
+          JOIN gs ON gs.event_type = nn.event_type
+          WHERE nn.n >= 5 AND kk.k >= 2 AND nn.lc >= 2),
+        coef AS (SELECT ${adCoefCols.mkString(", ")} FROM base)
+        SELECT ${adFinCols.mkString(", ")} FROM coef
+        ORDER BY event_type"""))(
+      (s, dir) => {
+        val g = dailyMass(s, dir).select(col("event_type"), col("day"),
+          col("v"), (dayofmonth(col("day")) % 3).cast("int").as("grp"))
+        val zl = g.groupBy("event_type", "v")
+          .agg(count(lit(1)).cast("long").as("l"))
+        val zli = g.groupBy("event_type", "grp", "v")
+          .agg(count(lit(1)).cast("long").as("li"))
+        val nn = g.groupBy("event_type")
+          .agg(count(lit(1)).cast("long").as("n"),
+            countDistinct(col("v")).cast("long").as("lc"))
+        val ni = g.groupBy("event_type", "grp")
+          .agg(count(lit(1)).cast("long").as("nig"))
+        val kk = ni.groupBy("event_type")
+          .agg(count(lit(1)).cast("long").as("k"))
+        // doubled pooled cumulative b2 = 2B+l via the distributed prefix
+        // (inclusive running total of l in v order, per type)
+        val cb2 = graft.ops.Prefix.runningTotal(zl, Seq(col("v")),
+            col("l"), "__cum", strataCols = Seq("event_type"))
+          .select(col("event_type"), col("v"), col("l"),
+            (lit(2) * col("__cum") - col("l")).as("b2"))
+        // per-sample doubled cumulative m2 = 2M+li on the FULL
+        // (type, grp, distinct-v) grid — absent (grp, v) cells carry
+        // li = 0 but still contribute their cumulative position
+        val grid = zl.select(col("event_type"), col("v"))
+          .join(ni.select(col("event_type"), col("grp")), "event_type")
+          .join(zli, Seq("event_type", "grp", "v"), "left")
+          .na.fill(0L, Seq("li"))
+        val cm = graft.ops.Prefix.runningTotal(grid, Seq(col("v")),
+            col("li"), "__cumi", strataCols = Seq("event_type", "grp"))
+          .select(col("event_type"), col("grp"), col("v"),
+            (lit(2) * col("__cumi") - col("li")).as("m2"))
+        val tm = cm
+          .join(cb2, Seq("event_type", "v"))
+          .join(nn.select("event_type", "n"), "event_type")
+          .join(ni, Seq("event_type", "grp"))
+          .select(col("event_type"), col("grp"),
+            round((col("l") * (col("n") * col("m2") - col("nig") * col("b2"))
+                * (col("n") * col("m2") - col("nig") * col("b2")))
+                .cast("double")
+              / (col("n") * (col("b2") * (lit(2) * col("n") - col("b2"))
+                - col("n") * col("l"))).cast("double"), 9).as("t"))
+        val in1 = tm.groupBy("event_type", "grp")
+          .agg(sum(col("t").cast("decimal(38,9)")).cast("double")
+            .as("inner_g"))
+        val in2 = in1.join(ni, Seq("event_type", "grp"))
+          .groupBy("event_type")
+          .agg(sum(round(col("inner_g") / col("nig"), 9)
+            .cast("decimal(38,9)")).cast("double").as("s"))
+        val hc = ni.groupBy("event_type")
+          .agg(sum(round(lit(1.0) / col("nig"), 12)
+            .cast("decimal(38,12)")).cast("double").as("hh"))
+        val hs = nn.select(col("event_type"), col("n"),
+            explode(sequence(lit(1L), col("n") - 1)).as("i"))
+          .groupBy("event_type")
+          .agg(sum(round(lit(1.0) / col("i"), 12)
+            .cast("decimal(38,12)")).cast("double").as("hsum"))
+        val gsum = nn.select(col("event_type"), col("n"),
+            explode(sequence(lit(1L), col("n") - 2)).as("i"))
+          .select(col("event_type"), col("n"), col("i"),
+            explode(sequence(col("i") + 1, col("n") - 1)).as("j"))
+          .groupBy("event_type")
+          .agg(sum(round(lit(1.0) / ((col("n") - col("i")) * col("j")), 12)
+            .cast("decimal(38,12)")).cast("double").as("gsum"))
+        val base = nn.join(kk, "event_type").join(in2, "event_type")
+          .join(hc, "event_type").join(hs, "event_type")
+          .join(gsum, "event_type")
+          .where(col("n") >= 5 && col("k") >= 2 && col("lc") >= 2)
+          .select("event_type", "n", "k", "s", "hh", "hsum", "gsum")
+        base.selectExpr(adCoefCols: _*)
+          .selectExpr(adFinCols: _*)
+          .orderBy("event_type")
+      }),
 
     // Epps-Singleton two-sample test (Epps & Singleton JSCS'86): compare
     // the EMPIRICAL CHARACTERISTIC FUNCTIONS of the odd- and even-day

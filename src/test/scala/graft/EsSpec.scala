@@ -67,6 +67,86 @@ class EsSpec extends SparkSpec {
     Some(n * d.zip(sol).map { case (a, b) => a * b }.sum)
   }
 
+  /** Independent A²_akN (Scholz-Stephens '87, ties/midrank version) —
+    * textbook doubles, no doubled-integer machinery. The same code
+    * reproduces the paper's worked example (checked below), so it
+    * anchors the query to the published statistic, not to itself.
+    */
+  private def refAd(samples: Seq[Seq[Long]]): (Double, Double, Double) = {
+    val k = samples.size
+    val n = samples.map(_.size).sum
+    val pooled = samples.flatten
+    val zs = pooled.distinct.sorted
+    val l = zs.map(z => z -> pooled.count(_ == z)).toMap
+    var a2 = 0.0
+    samples.foreach { s =>
+      var inner = 0.0
+      zs.foreach { z =>
+        val lij = s.count(_ == z)
+        val mij = s.count(_ < z) + lij / 2.0
+        val bj = zs.filter(_ < z).map(l).sum + l(z) / 2.0
+        inner += l(z) * math.pow(n * mij - s.size * bj, 2) /
+          (bj * (n - bj) - n * l(z) / 4.0) / n
+      }
+      a2 += inner / s.size
+    }
+    a2 *= (n - 1.0) / n
+    val hcap = samples.map(s => 1.0 / s.size).sum
+    val h = (1 until n).map(1.0 / _).sum
+    val g = (1 until n - 1).flatMap(i =>
+      (i + 1 until n).map(j => 1.0 / ((n.toLong - i) * j))).sum
+    val a = (4 * g - 6) * (k - 1) + (10 - 6 * g) * hcap
+    val b = (2 * g - 4) * k * k + 8 * h * k +
+      (2 * g - 14 * h - 4) * hcap - 8 * h + 4 * g - 6
+    val c = (6 * h + 2 * g - 2) * k * k + (4 * h - 4 * g + 6) * k +
+      (2 * h - 6) * hcap + 4 * h
+    val d = (2 * h + 6) * k * k - 4 * h * k
+    val s2 = (a * math.pow(n, 3) + b * n * n + c * n + d) /
+      ((n - 1.0) * (n - 2.0) * (n - 3.0))
+    (a2, math.sqrt(s2), (a2 - (k - 1)) / math.sqrt(s2))
+  }
+
+  test("refAd reproduces the Scholz-Stephens published example") {
+    // JASA'87 §5 water-smoothness data ×10 (integer inputs): A², σ, T
+    // are scale-invariant in the VALUES (rank statistic), so the
+    // published 8.3926 / 1.2038 / 4.480 must reproduce exactly.
+    val s = Seq(
+      Seq(387L, 415L, 438L, 445L, 455L, 460L, 477L, 580L),
+      Seq(392L, 393L, 397L, 414L, 418L, 429L, 433L, 458L),
+      Seq(340L, 350L, 390L, 400L, 430L, 430L, 440L, 450L),
+      Seq(340L, 348L, 348L, 354L, 372L, 378L, 412L, 428L))
+    val (a2, sigma, t) = refAd(s)
+    a2 shouldBe 8.3926 +- 1e-4
+    sigma shouldBe 1.2038 +- 1e-4
+    t shouldBe 4.4798 +- 1e-4
+  }
+
+  test("q486 A2/T match the independent Scholz-Stephens reference at sf0.001") {
+    val dir = "/root/testdata/sf0.001"
+    val out = SparkEntry.queries("q486_ksample_ad")(spark, dir)
+      .collect()
+      .map(r => r.getAs[String]("event_type") ->
+        (r.getAs[Double]("a2"), r.getAs[Double]("t")))
+      .toMap
+    out should not be empty
+    val daily = spark.read.parquet(s"$dir/events.parquet")
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(sum(floor(col("value") * 10000 + 0.5).cast("long")).as("v"))
+      .collect()
+      .map(r => (r.getAs[String]("event_type"),
+        r.getAs[java.sql.Date]("day").toLocalDate.getDayOfMonth % 3,
+        r.getAs[Long]("v")))
+      .groupBy(_._1)
+    out.foreach { case (et, (a2, t)) =>
+      val byGrp = daily(et).groupBy(_._2).values.map(_.map(_._3).toSeq).toSeq
+      val (ra2, _, rt) = refAd(byGrp)
+      withClue(s"$et: query=($a2, $t) ref=($ra2, $rt):") {
+        a2 shouldBe ra2 +- 1e-4
+        t shouldBe rt +- 1e-4
+      }
+    }
+  }
+
   test("q485 W2 matches an independent dense-algebra reference at sf0.001") {
     val dir = "/root/testdata/sf0.001"
     val out = SparkEntry.queries("q485_epps_singleton")(spark, dir)
