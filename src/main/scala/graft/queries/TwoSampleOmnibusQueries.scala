@@ -297,10 +297,16 @@ object TwoSampleOmnibusQueries {
           .agg(count(lit(1)).cast("long").as("nig"))
         val kk = ni.groupBy("event_type")
           .agg(count(lit(1)).cast("long").as("k"))
-        // doubled pooled cumulative b2 = 2B+l via the distributed prefix
-        // (inclusive running total of l in v order, per type)
-        val cb2 = graft.ops.Prefix.runningTotal(zl, Seq(col("v")),
-            col("l"), "__cum", strataCols = Seq("event_type"))
+        // doubled pooled cumulative b2 = 2B+l: a PARTITIONED window over
+        // the distinct-value frame — per-type row count is bounded by
+        // the calendar (≤ days), so unlike a corpus-sized prefix this
+        // window is a fixed-size per-type scan, cheaper than the
+        // distributed-prefix machinery by its two materialize barriers
+        import org.apache.spark.sql.expressions.Window
+        val wPool = Window.partitionBy("event_type").orderBy("v")
+          .rowsBetween(Window.unboundedPreceding, 0)
+        val cb2 = zl
+          .withColumn("__cum", sum(col("l")).over(wPool))
           .select(col("event_type"), col("v"), col("l"),
             (lit(2) * col("__cum") - col("l")).as("b2"))
         // per-sample doubled cumulative m2 = 2M+li on the FULL
@@ -310,8 +316,10 @@ object TwoSampleOmnibusQueries {
           .join(ni.select(col("event_type"), col("grp")), "event_type")
           .join(zli, Seq("event_type", "grp", "v"), "left")
           .na.fill(0L, Seq("li"))
-        val cm = graft.ops.Prefix.runningTotal(grid, Seq(col("v")),
-            col("li"), "__cumi", strataCols = Seq("event_type", "grp"))
+        val wGrp = Window.partitionBy("event_type", "grp").orderBy("v")
+          .rowsBetween(Window.unboundedPreceding, 0)
+        val cm = grid
+          .withColumn("__cumi", sum(col("li")).over(wGrp))
           .select(col("event_type"), col("grp"), col("v"),
             (lit(2) * col("__cumi") - col("li")).as("m2"))
         val tm = cm
