@@ -39,6 +39,29 @@ object Bench {
   private def loadAvg(): Double = java.lang.management.ManagementFactory
     .getOperatingSystemMXBean.getSystemLoadAverage
 
+  /** Per-chunk adjudication stamps (round-14 verdict item 2): each timed
+    * chunk records its query range, wall clock, and the 1-min load at its
+    * start and end. A contention window that inflates one contiguous
+    * block of an otherwise-calm run (the r14 driver run: q246–q293 at
+    * 5–24× calm while the structural leaders sat at 1.4–1.6×) is then
+    * identifiable from the record file ALONE — no committed calm detail
+    * file or same-day probe needed. Written to the details JSON, never
+    * the size-capped stdout contract line. Fork-mode stamps are taken
+    * around the child process, so they include the child's JVM startup.
+    */
+  private val chunkStamps = scala.collection.mutable.ArrayBuffer[String]()
+
+  private def stamp(first: String, last: String, n: Int, wallSec: Double,
+                    loadStart: Double, loadEnd: Double): Unit = {
+    def f(v: Double) =
+      String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+    chunkStamps.synchronized {
+      val _ = chunkStamps += s"""{"first":"$first","last":"$last","n":$n,""" +
+        s""""wall":${f(wallSec)},"load_start":${f(loadStart)},""" +
+        s""""load_end":${f(loadEnd)}}"""
+    }
+  }
+
   /** The sorted, SPARK_GRAFT_ONLY-filtered query list — identical in
     * parent and child (both derive it from the registry + env), so a
     * chunk's (start, count) means the same slice in both processes.
@@ -89,6 +112,8 @@ object Bench {
         SparkSession.clearDefaultSession()
         timed
       }
+    val chunkLoad0 = loadAvg()
+    val chunkT0 = System.nanoTime()
     val spark = newSession()
     // Warmup, untimed: entry (scan + shuffle + codegen once) PLUS
     // dedicated exemplars spanning the operator families. A fresh JVM
@@ -101,7 +126,7 @@ object Bench {
     try io.Writers.noop(SparkEntry.entry(spark)) catch { case _: Throwable => () }
     warmupExemplars(spark, sfDir)
     spark.catalog.clearCache()
-    qs.map { case (name, fn) =>
+    val timed = qs.map { case (name, fn) =>
       val t0 = System.nanoTime()
       val sec =
         try { io.Writers.noop(fn(spark, sfDir)); (System.nanoTime() - t0) / 1e9 }
@@ -112,6 +137,10 @@ object Bench {
       spark.catalog.clearCache()
       name -> sec
     }
+    if (qs.nonEmpty)
+      stamp(qs.head._1, qs.last._1, qs.size,
+        (System.nanoTime() - chunkT0) / 1e9, chunkLoad0, loadAvg())
+    timed
   }
 
   /** Untimed machinery warmup with DEDICATED exemplars, never registry
@@ -128,8 +157,11 @@ object Bench {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.expressions.Window
     def t(n: String) = Tables.load(spark, sfDir, n)
-    val li = t("lineitem")
-    val docs = t("documents")
+    // lazy: a fixture missing either parquet must degrade per-exemplar
+    // inside the per-run try below (the warm path never gets to abort
+    // the TIMED run — ADVICE r14), not throw from the eager loads
+    lazy val li = t("lineitem")
+    lazy val docs = t("documents")
     val runs: Seq[() => org.apache.spark.sql.DataFrame] = Seq(
       () => li.groupBy("l_linestatus")
         .agg(sum(col("l_quantity")).as("sq"),
@@ -199,7 +231,11 @@ object Bench {
         // stdout tail window
         pb.redirectError(ProcessBuilder.Redirect.INHERIT)
         pb.redirectOutput(ProcessBuilder.Redirect.DISCARD)
+        val l0 = loadAvg()
+        val t0 = System.nanoTime()
         val rc = pb.start().waitFor()
+        stamp(slice.head, slice.last, slice.size,
+          (System.nanoTime() - t0) / 1e9, l0, loadAvg())
         if (rc != 0)
           System.err.println(s"[bench] chunk $i exited rc=$rc; " +
             "missing queries will be re-timed in-process")
@@ -340,9 +376,16 @@ object Bench {
     // clobber it (the incident class of commits 7beb62a / e50118d).
     val detailsPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAILS",
       "bench_details_driver.json")
+    // per-chunk wall/load stamps make a loaded window adjudicable from
+    // the record file alone (round-14 verdict item 2); details-only —
+    // the stdout line is size-capped
+    val chunksJson = chunkStamps.synchronized {
+      chunkStamps.mkString("[", ",", "]")
+    }
     try java.nio.file.Files.write(
       java.nio.file.Paths.get(detailsPath),
-      s"""{$head,"queries":$qsFull,"sf":"$sfDir"}""".getBytes("UTF-8"))
+      s"""{$head,"chunks":$chunksJson,"queries":$qsFull,"sf":"$sfDir"}"""
+        .getBytes("UTF-8"))
     catch { case _: Throwable => () }
     // in the segmented path no SparkSession exists in the parent; stop
     // only what was actually started

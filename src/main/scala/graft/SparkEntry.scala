@@ -53,7 +53,8 @@ object SparkEntry {
       CapstoneQueries.all ++ ReliabilityTwoQueries.all ++
       StationarityQueries.all ++ RankScaleQueries.all ++
       VarianceDiagQueries.all ++ CycleCapstoneQueries.all ++
-      RetrievalCapstoneQueries.all ++ TwoSampleOmnibusQueries.all
+      RetrievalCapstoneQueries.all ++ TwoSampleOmnibusQueries.all ++
+      EmbeddingDriftQueries.all
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0.
     * Full slice: scan -> filter -> broadcast-join -> agg -> window top-k.

@@ -109,8 +109,14 @@ object Staged {
               srcTable: String, version: Int = 1)
              (build: => DataFrame): DataFrame = {
     val rootDir = root
-    val base = staged.getOrElseUpdate(
-      (System.identityHashCode(spark), rootDir, dir, tag), {
+    val key = (System.identityHashCode(spark), rootDir, dir, tag)
+    // memo re-validation: a [[vacuum]] from ANOTHER process (this one's
+    // drops its own memo entries) can reclaim a directory this session
+    // already memoized — one cheap stat on the marker catches that and
+    // re-stages instead of scanning a deleted data dir
+    staged.get(key).filterNot(b => new File(s"$b/_graft_staged").exists())
+      .foreach(_ => staged.remove(key))
+    val base = staged.getOrElseUpdate(key, {
         val id = java.util.UUID
           .nameUUIDFromBytes(s"$tag#$dir".getBytes("UTF-8"))
           .toString.replace("-", "").take(8)
@@ -164,13 +170,23 @@ object Staged {
     * accretes one directory per (tag, fixture) forever. Directories
     * another process is actively staging (lock held) are skipped.
     * Returns the removed paths.
+    *
+    * Concurrency: the marker and data directory are deleted while the
+    * file lock is HELD, so vacuum serializes against stagers — a writer
+    * that acquires the lock after a reclaim re-checks the (now missing)
+    * marker and rebuilds. This JVM's staged memo is also purged for the
+    * reclaimed path (a cross-JVM memo is re-validated by the marker stat
+    * in [[parquet]]). Lock-free WARM READERS mid-scan are the residual
+    * race — vacuum only reclaims STALE bases (fingerprint mismatch), so
+    * a reader racing it was already reading rows the source has
+    * invalidated; run vacuum quiesced when that matters.
     */
   def vacuum(): Seq[String] = {
     val rootDir = new File(root)
     val kids = Option(rootDir.listFiles()).getOrElse(Array.empty[File])
       .filter(f => f.isDirectory && f.getName.startsWith("graft_staged_"))
     kids.toIndexedSeq.flatMap { d =>
-      val live = jvmLocks.getOrElseUpdate(d.getPath, new Object).synchronized {
+      val reclaimed = jvmLocks.getOrElseUpdate(d.getPath, new Object).synchronized {
         val lockPath = Paths.get(d.getPath, "_lock")
         val ch =
           try Some(FileChannel.open(lockPath,
@@ -179,27 +195,43 @@ object Staged {
         try {
           val lock = ch.flatMap(c => Option(c.tryLock()))
           try {
-            if (ch.nonEmpty && lock.isEmpty) true // being staged now
+            val live =
+              if (ch.nonEmpty && lock.isEmpty) true // being staged now
+              else {
+                val marker = new File(d, "_graft_staged")
+                val current =
+                  if (!marker.exists()) None
+                  else Files.readString(marker.toPath).trim
+                    .split('|') match {
+                      case Array("v2", v, srcPath, _)
+                          if new File(srcPath).exists() =>
+                        scala.util.Try(fingerprint(new File(srcPath), v.toInt))
+                          .toOption
+                      case _ => None
+                    }
+                current.exists(fp => markerOk(marker, fp))
+              }
+            if (live) false
             else {
-              val marker = new File(d, "_graft_staged")
-              val current =
-                if (!marker.exists()) None
-                else Files.readString(marker.toPath).trim
-                  .split('|') match {
-                    case Array("v2", v, srcPath, _)
-                        if new File(srcPath).exists() =>
-                      scala.util.Try(fingerprint(new File(srcPath), v.toInt))
-                        .toOption
-                    case _ => None
-                  }
-              current.exists(fp => markerOk(marker, fp))
+              // un-bless and delete INSIDE the held lock: a concurrent
+              // stager serializes behind it and rebuilds; this JVM's
+              // memoized paths for the dir are dropped in the same step
+              staged.filterInPlace((_, v) => v != d.getPath)
+              Option(d.listFiles()).getOrElse(Array.empty[File])
+                .filter(_.getName != "_lock")
+                .foreach(f => deleteTree(f.toPath))
+              true
             }
           } finally lock.foreach(_.release())
         } finally ch.foreach(_.close())
       }
-      if (live) Seq.empty
+      if (!reclaimed) Seq.empty
       else {
-        deleteTree(d.toPath)
+        // the lock file + shell dir go last, best-effort after release
+        // (deleting a locked-open file is safe on POSIX; a stager racing
+        // this exact window leaves at worst an empty shell for the next
+        // vacuum)
+        val _ = scala.util.Try(deleteTree(d.toPath))
         Seq(d.getPath)
       }
     }

@@ -43,6 +43,16 @@ object DedupQueries {
   private val MinhashK = 8
   private val RowsPerBand = 2
 
+  /** One shared staging version for the whole minhash family: jacc3 is
+    * DERIVED from the minhash3 stage, so its marker must go stale
+    * whenever minhash3's does — two independent per-stage versions would
+    * let a minhash3 bump (n or K change) rebuild the upstream while the
+    * downstream keeps serving pairs computed from the OLD hashes. Bump
+    * this when the shingle size n, MinhashK, or either derivation
+    * changes.
+    */
+  private val MinhashFamilyVersion = 1
+
   /** SimHash fingerprint width for the near-dup family (q52/q54/q84).
     * 48 bits -> 4 pigeonhole bands of 12 bits for maxDist=3: candidate
     * volume scales as n²/2^bandBits per band, so 12-bit bands (4096
@@ -83,7 +93,8 @@ object DedupQueries {
     * it derived from the raw text. Bump `version` if K or n changes.
     */
   private def stagedMinhashHashes(s: SparkSession, dir: String): DataFrame =
-    graft.io.Staged.parquet(s, dir, "minhash3", "documents")(
+    graft.io.Staged.parquet(s, dir, "minhash3", "documents",
+      version = MinhashFamilyVersion)(
       Dedup.hashedShingleFrame(T(s, dir, "documents"),
         col("doc_id"), col("text"), 3, MinhashK))
 
@@ -104,7 +115,8 @@ object DedupQueries {
     * are unchanged.
     */
   private def stagedJaccardPairs(s: SparkSession, dir: String): DataFrame =
-    graft.io.Staged.parquet(s, dir, "jacc3", "documents")(
+    graft.io.Staged.parquet(s, dir, "jacc3", "documents",
+      version = MinhashFamilyVersion)(
       Dedup.jaccardPairs(
         stagedMinhashHashes(s, dir).select("id", "shash").distinct(),
         threshold = 0.0))

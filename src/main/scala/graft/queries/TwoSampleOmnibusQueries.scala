@@ -169,7 +169,10 @@ object TwoSampleOmnibusQueries {
       " / CAST((n - 1) * (n - 2) * (n - 3) AS DOUBLE))"
     Seq("event_type", "n", "k",
       "round(a2, 6) AS a2",
-      s"round(sqrt($sigma2), 6) AS sigma",
+      // sigma guarded like t: an unguarded sqrt of a non-positive
+      // variance is NaN on Spark but a hard ERROR on DuckDB — the
+      // engine-divergence class the sf0.001 gate exists to catch
+      s"round((CASE WHEN $sigma2 > 0 THEN sqrt($sigma2) END), 6) AS sigma",
       s"round((CASE WHEN $sigma2 > 0" +
         s" THEN (a2 - CAST(k - 1 AS DOUBLE)) / sqrt($sigma2) END), 6) AS t")
   }

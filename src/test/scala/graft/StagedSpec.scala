@@ -177,4 +177,61 @@ class StagedSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
       sys.props("graft.stage.dir") = specRoot
     }
   }
+
+  test("vacuum between two reads in ONE session re-stages (memo purge)") {
+    val dir = freshFixture()
+    val customRoot = tmpDir("staged-root-memo")
+    sys.props("graft.stage.dir") = customRoot
+    try {
+      var builds = 0
+      def build = {
+        builds += 1
+        spark.read.parquet(s"$dir/lineitem.parquet").select(col("k"))
+      }
+      val tag = "spec7"
+      Staged.parquet(spark, dir, tag, "lineitem")(build).count() shouldBe 3
+      builds shouldBe 1
+      // go stale, vacuum reclaims — and must drop THIS session's memo so
+      // the next read rebuilds instead of scanning the deleted data dir
+      Seq((1L, 1L), (2L, 2L)).toDF("k", "v")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+      Staged.vacuum().size shouldBe 1
+      Staged.parquet(spark, dir, tag, "lineitem")(build).count() shouldBe 2
+      builds shouldBe 2
+    } finally {
+      sys.props("graft.stage.dir") = specRoot
+    }
+  }
+
+  test("a reclaim by ANOTHER process is caught by the memo marker stat") {
+    val dir = freshFixture()
+    val customRoot = tmpDir("staged-root-xproc")
+    sys.props("graft.stage.dir") = customRoot
+    try {
+      var builds = 0
+      def build = {
+        builds += 1
+        spark.read.parquet(s"$dir/lineitem.parquet").select(col("k"))
+      }
+      val tag = "spec8"
+      Staged.parquet(spark, dir, tag, "lineitem")(build).count() shouldBe 3
+      builds shouldBe 1
+      // simulate a second process's vacuum: delete the staged dir behind
+      // this session's memo (its own vacuum would have purged the memo)
+      val staged = Option(new java.io.File(customRoot).listFiles())
+        .getOrElse(Array.empty)
+        .find(_.getName.startsWith("graft_staged_spec8")).get
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+        val _ = f.delete()
+      }
+      rm(staged)
+      // the memoized base path is gone; the cheap marker stat on reuse
+      // must re-stage rather than fail the parquet scan
+      Staged.parquet(spark, dir, tag, "lineitem")(build).count() shouldBe 3
+      builds shouldBe 2
+    } finally {
+      sys.props("graft.stage.dir") = specRoot
+    }
+  }
 }

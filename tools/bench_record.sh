@@ -16,7 +16,13 @@
 set -eu
 cd "$(dirname "$0")/.."
 MODE="${1:-warm}"
+# Pin the stage root by EXPORTING it: Staged.root resolves the env var
+# first (before the graft.stage.dir sysprop and java.io.tmpdir), so the
+# JVM's staging, this script's cold purge, and the inspect count all
+# agree on ONE directory — a non-/tmp tmpdir or a sysprop-pointed root
+# can no longer make the purge miss the real staging dir (ADVICE r14).
 STAGE_ROOT="${SPARK_GRAFT_STAGE_DIR:-/tmp}"
+export SPARK_GRAFT_STAGE_DIR="$STAGE_ROOT"
 # one consumer per staged base: q35 stages minhash3+jacc3, q54 stages
 # simpairs+simcomp, q314 cosupply, q274 copurchase
 STAGERS="q35_jaccard_pairs,q54_components,q314_modularity,q274_adamic_adar"
@@ -30,8 +36,15 @@ wait_calm() {
 }
 prepare() { # $1 = sf dir
   if [ "$MODE" = cold ]; then
+    # raw purge, deliberately STRONGER than Staged.vacuum(): vacuum only
+    # reclaims stale-fingerprint dirs (the GC for accreting roots), while
+    # a cold record must drop LIVE stages too so first callers pay the
+    # staging write in-band
     rm -rf "$STAGE_ROOT"/graft_staged_*
   else
+    # GC stale-fingerprint dirs first (Staged.vacuum wiring): the
+    # staged_dirs count in the record head must mean LIVE stages
+    tools/run.sh graft.io.StagedVacuum || true
     # untimed staging pre-pass: first-caller writes land OUTSIDE the
     # recorded run, so the record is reproducibly warm
     SPARK_GRAFT_SF_DIR="$1" SPARK_GRAFT_ONLY="$STAGERS" \
