@@ -53,15 +53,23 @@ prepare() { # $1 = sf dir
   fi
   echo "staged dirs at record start: $(ls -d "$STAGE_ROOT"/graft_staged_* 2>/dev/null | wc -l) ($MODE)"
 }
+# Every attempt's detail file is also copied to a timestamped side file
+# under the stage root: a later attempt in the same session overwrites
+# the working-tree record files, and an UNCOMMITTED good attempt was
+# lost exactly that way (round 15) — the side copies make any attempt
+# promotable after the fact.
+keep() { cp "$1" "$STAGE_ROOT/bench_attempt_$(date +%s)_$1" 2>/dev/null || true; }
 echo "== sf0.001 record ($MODE)"
 prepare /root/testdata/sf0.001
 wait_calm
 SPARK_GRAFT_SF_DIR=/root/testdata/sf0.001 \
   SPARK_GRAFT_BENCH_DETAILS=bench_details.json \
   tools/run.sh graft.Bench 2>/dev/null | tail -1
+keep bench_details.json
 echo "== sf0.1 record ($MODE)"
 prepare /root/testdata/sf0.1
 wait_calm
 SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 \
   SPARK_GRAFT_BENCH_DETAILS=bench_details_sf01.json \
   tools/run.sh graft.Bench 2>/dev/null | tail -1
+keep bench_details_sf01.json
